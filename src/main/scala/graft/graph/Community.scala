@@ -1,0 +1,236 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Community detection (reference: `community/PLP.hpp:26` label
+  * propagation, `PLM.hpp:19` parallel Louvain,
+  * `Modularity.hpp:28` / `Coverage.hpp:19` / `EdgeCut.hpp:18` /
+  * `Conductance.hpp:22` quality measures,
+  * `coarsening/ParallelPartitionCoarsening.hpp:20`).
+  *
+  * The reference's async move order is nondeterministic (flagged by its
+  * own LeidenView docs); we standardize on synchronous rounds with
+  * (count desc, label asc) tie-breaks so results are reproducible under
+  * any partitioning (SURVEY.md §7.4.3).
+  */
+object Community {
+
+  /** Symmetric weighted adjacency. */
+  private def sym(g: PropertyGraph): DataFrame = g.adjacency
+
+  /** Synchronous PLP: adopt the most frequent neighbor label
+    * (ties → smallest label); stop when < `threshold` nodes change. */
+  def plp(g: PropertyGraph, maxIter: Int = 30, threshold: Long = 0): DataFrame = {
+    val adj = sym(g).select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val init = g.vertices.select(col("id"), col("id").as("community"))
+    var changed = Long.MaxValue
+    val res = Fixpoint.loop(init, maxIter, checkpointEvery = 4) { (labels, _) =>
+      val freq = labels.join(adj, labels("id") === adj("src"))
+        .groupBy(col("dst").as("id"), col("community"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("id").orderBy(col("cnt").desc, col("community").asc)
+      val best = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("community").as("newCommunity"))
+      labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newCommunity"), col("community")).as("community"))
+    } { (prev, next, _) =>
+      changed = prev.select(col("id"), col("community").as("c0"))
+        .join(next, "id").filter(col("c0") =!= col("community")).count()
+      changed <= threshold
+    }
+    adj.unpersist(false)
+    res
+  }
+
+  /** Modularity Q of a partition `(id, community)` (reference
+    * `community/Modularity.hpp:28`): Q = Σ_c [in_c/2m − (tot_c/2m)²]
+    * over the symmetric weighted adjacency (2m = total sym weight). */
+  def modularity(g: PropertyGraph, partition: DataFrame): Double = {
+    val adj = sym(g)
+    val lbl = partition.select(col("id"), col("community"))
+    val edgesL = adj
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+    val m2 = adj.agg(sum("weight")).head.getDouble(0)
+    if (m2 == 0.0) return 0.0
+    val inC = edgesL.filter(col("cs") === col("cd"))
+      .groupBy("cs").agg(sum("weight").as("inw"))
+    val totC = edgesL.groupBy("cs").agg(sum("weight").as("tot"))
+    totC.join(inC, Seq("cs"), "left")
+      .select((coalesce(col("inw"), lit(0.0)) / m2 -
+        (col("tot") / m2) * (col("tot") / m2)).as("q"))
+      .agg(sum("q")).head.getDouble(0)
+  }
+
+  /** Coverage: fraction of edge weight inside communities (reference
+    * `Coverage.hpp:19`). */
+  def coverage(g: PropertyGraph, partition: DataFrame): Double = {
+    val adj = sym(g)
+    val lbl = partition.select(col("id"), col("community"))
+    val edgesL = adj
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+    val r = edgesL.agg(
+      sum(when(col("cs") === col("cd"), col("weight")).otherwise(0.0)),
+      sum("weight")).head
+    r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Weight of inter-community edges (reference `EdgeCut.hpp:18`);
+    * canonical (each undirected edge once). */
+  def edgeCut(g: PropertyGraph, partition: DataFrame): Double = {
+    val lbl = partition.select(col("id"), col("community"))
+    val e = g.edges
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+    e.filter(col("cs") =!= col("cd")).agg(coalesce(sum("weight"), lit(0.0)))
+      .head.getDouble(0)
+  }
+
+  /** Conductance of one community vs rest (reference
+    * `Conductance.hpp:22`): cut / min(vol(S), vol(V∖S)). */
+  def conductance(g: PropertyGraph, partition: DataFrame, community: Long): Double = {
+    val lbl = partition.select(col("id"),
+      (col("community") === community).as("inS"))
+    val adjL = sym(g)
+      .join(lbl.select(col("id").as("src"), col("inS").as("sIn")), "src")
+      .join(lbl.select(col("id").as("dst"), col("inS").as("dIn")), "dst")
+    val r = adjL.agg(
+      sum(when(col("sIn") =!= col("dIn"), col("weight")).otherwise(0.0)),
+      sum(when(col("sIn"), col("weight")).otherwise(0.0)),
+      sum(when(!col("sIn"), col("weight")).otherwise(0.0))).head
+    // sym counts each crossing edge twice → halve; volumes are already
+    // the standard Σ deg_w over each side
+    val (cut, volS, volRest) = (r.getDouble(0) / 2.0, r.getDouble(1), r.getDouble(2))
+    val denom = math.min(volS, volRest)
+    if (denom == 0.0) 0.0 else cut / denom
+  }
+
+  /** Coarsen by partition (reference
+    * `coarsening/ParallelPartitionCoarsening.hpp:20`,
+    * `CoarsenedGraphView.hpp:26`): supernode per community, weights
+    * aggregated. The unevaluated plan IS the O(n) "view"; nothing is
+    * materialized until an action (SURVEY.md §1.1). */
+  def coarsen(g: PropertyGraph, partition: DataFrame): PropertyGraph = {
+    val lbl = partition.select(col("id"), col("community"))
+    val e = g.edges
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+      .select(least(col("cs"), col("cd")).as("src"),
+        greatest(col("cs"), col("cd")).as("dst"), col("weight"))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+    PropertyGraph(e, directed = false,
+      Some(lbl.select(col("community").as("id")).distinct()))
+  }
+
+  /** One synchronous Louvain local-moving pass (reference `PLM.hpp:19`
+    * gain formula): each round every node picks the neighbor community
+    * with max ΔQ = w(u→C)/m − γ·(tot_C·k_u)/(2m²); moves applied
+    * synchronously, ties → smaller community id. Self-loops carry
+    * coarsened intra-weight. Returns `(id, community)`. */
+  def louvainLocalMove(g: PropertyGraph, maxRounds: Int = 12,
+      gamma: Double = 1.0): DataFrame = {
+    val adj = sym(g).persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = adj.agg(sum("weight")).head.getDouble(0) // = 2m
+    val ku = adj.groupBy(col("src").as("id")).agg(sum("weight").as("ku"))
+    val init = g.vertices.select(col("id"), col("id").as("community"))
+
+    Fixpoint.loop(init, maxRounds, checkpointEvery = 2) { (labels, _) =>
+      // community volumes under current labels
+      val vol = labels.join(ku, Seq("id"), "left")
+        .groupBy("community").agg(sum(coalesce(col("ku"), lit(0.0))).as("tot"))
+      // weight from u to each neighboring community (self loops excluded:
+      // they stay with u regardless of move)
+      val w2c = adj.filter(col("src") =!= col("dst"))
+        .join(labels.select(col("id").as("dst"), col("community").as("cNbr")), "dst")
+        .groupBy(col("src").as("id"), col("cNbr"))
+        .agg(sum("weight").as("wuc"))
+      // candidate gain for u → C (including staying: C = current)
+      val cur = labels.withColumnRenamed("community", "cCur")
+      val cand = w2c
+        .join(cur, "id")
+        .join(ku, "id")
+        .join(vol.withColumnRenamed("community", "cNbr").withColumnRenamed("tot", "totC"), "cNbr")
+        // remove u's own contribution from its current community volume
+        .withColumn("totAdj",
+          when(col("cNbr") === col("cCur"), col("totC") - col("ku")).otherwise(col("totC")))
+        .withColumn("gain",
+          col("wuc") / lit(m2 / 2.0) -
+            lit(gamma) * col("totAdj") * col("ku") / lit(m2 * m2 / 2.0))
+      val w = Window.partitionBy("id")
+        .orderBy(col("gain").desc, col("cNbr").asc)
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("gain") > 1e-12)
+        .select(col("id"), col("cNbr").as("newCommunity"))
+      labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newCommunity"), col("community")).as("community"))
+    } { (prev, next, _) =>
+      prev.select(col("id"), col("community").as("c0"))
+        .join(next, "id").filter(col("c0") =!= col("community")).count() == 0
+    }
+  }
+
+  /** Full PLM: local moving, coarsen, recurse while modularity improves,
+    * then project labels back down the level mappings (reference
+    * `PLM.hpp:19` move→coarsen→recurse, `ClusteringProjector.hpp:19`). */
+  def louvain(g: PropertyGraph, maxLevels: Int = 6, gamma: Double = 1.0): DataFrame = {
+    var cur = g
+    var mapping = g.vertices.select(col("id"), col("id").as("community"))
+    var level = 0
+    var improved = true
+    var lastQ = modularity(g, mapping)
+    while (improved && level < maxLevels) {
+      val part = louvainLocalMove(cur, gamma = gamma).localCheckpoint(true)
+      // project: node → its supernode's new community
+      val sup = part.select(col("id").as("supernode"),
+        col("community").as("nextCommunity"))
+      mapping = mapping.join(sup, mapping("community") === sup("supernode"))
+        .select(col("id"), col("nextCommunity").as("community"))
+        .localCheckpoint(true)
+      val q = modularity(g, mapping)
+      if (q <= lastQ + 1e-9) improved = false
+      else {
+        lastQ = q
+        cur = coarsen(cur, part)
+        cur = cur.copy(edges = cur.edges.localCheckpoint(true))
+        level += 1
+      }
+    }
+    mapping
+  }
+
+  /** Compact community ids to 0..k-1 (reference `Partition::compact`,
+    * `structures/Partition.hpp:190`). */
+  def compact(partition: DataFrame): DataFrame = {
+    val ids = partition.select("community").distinct()
+      .withColumn("compactId",
+        row_number().over(Window.orderBy("community")).cast("long") - 1)
+    partition.join(ids, "community")
+      .select(col("id"), col("compactId").as("community"))
+  }
+
+  /** Partition-similarity: contingency-based Rand index and Jaccard
+    * measure between two labelings (reference
+    * `AdjustedRandMeasure.hpp:12`, `JaccardMeasure.hpp:18`). */
+  def randIndex(p1: DataFrame, p2: DataFrame): Double = {
+    val joined = p1.select(col("id"), col("community").as("c1"))
+      .join(p2.select(col("id"), col("community").as("c2")), "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = joined.count().toDouble
+    def s2(df: DataFrame, cols: Seq[String]) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2)).head.getLong(0).toDouble
+    val both = s2(joined, Seq("c1", "c2"))
+    val a1 = s2(joined, Seq("c1"))
+    val a2 = s2(joined, Seq("c2"))
+    val total = n * (n - 1) / 2
+    joined.unpersist(false)
+    (total + 2 * both - a1 - a2) / total
+  }
+}

@@ -1,0 +1,57 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative fixpoint driver — the engine's real "execution engine"
+  * (SURVEY.md §7.1). BFS/SSSP/PageRank/label-propagation/Louvain all loop
+  * through here.
+  *
+  * Each iteration of a graph fixpoint is one Spark job with at least one
+  * shuffle (join on src + groupBy dst). Two things make this survive at
+  * scale (SURVEY.md §4.2.1):
+  *   - persist each state and materialize it before dropping the parent,
+  *     so a state is computed exactly once;
+  *   - cut lineage with `localCheckpoint` every `checkpointEvery` rounds,
+  *     otherwise the logical plan (and task closures) grow per iteration
+  *     and stage submission eventually dominates.
+  */
+object Fixpoint {
+
+  /** Run `step` until `stop(prev, next, i)` is true or `maxIter` reached.
+    * Returns the final (persisted) state. */
+  def loop(init: DataFrame, maxIter: Int, checkpointEvery: Int = 8)(
+      step: (DataFrame, Int) => DataFrame)(
+      stop: (DataFrame, DataFrame, Int) => Boolean): DataFrame = {
+    var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val stepped = step(cur, i)
+      val next =
+        if ((i + 1) % checkpointEvery == 0) stepped.localCheckpoint(true)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before judging convergence / unpersisting parent
+      done = stop(cur, next, i)
+      cur.unpersist(blocking = false)
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  /** Convergence via a monotone scalar: stop when `metric` (e.g. sum of
+    * labels, sum of distances) stops changing between iterations. */
+  def loopUntilStableScalar(init: DataFrame, maxIter: Int,
+      metric: DataFrame => Double, checkpointEvery: Int = 8)(
+      step: (DataFrame, Int) => DataFrame): DataFrame = {
+    var prevMetric = Double.NaN
+    loop(init, maxIter, checkpointEvery)(step) { (_, next, _) =>
+      val m = metric(next)
+      val stable = !prevMetric.isNaN && m == prevMetric
+      prevMetric = m
+      stable
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by power iteration (reference:
+  * `include/networkit/centrality/PageRank.hpp:38-90`,
+  * `networkit/cpp/centrality/PageRank.cpp:21-120`): damping factor,
+  * L1-norm convergence, dangling-node (sink) mass redistribution.
+  *
+  * Each iteration = one shuffle (join ranks→adjacency on src, groupBy
+  * dst) plus two scalar aggregations (sink mass, L1 diff). The adjacency
+  * with out-degree attached is computed once, repartitioned by `src` and
+  * persisted, so every iteration's join reuses the same partitioning —
+  * at cluster scale this is the difference between one and two shuffles
+  * per round.
+  */
+object PageRank {
+
+  /** @param damping   reference `damp` (default 0.85)
+    * @param tol       L1 convergence tolerance; `tol <= 0` runs exactly
+    *                  `maxIter` iterations (deterministic, oracle-friendly)
+    * @param weighted  distribute rank proportional to edge weight
+    * @return `(id, rank)`, ranks summing to 1
+    */
+  def run(g: PropertyGraph, damping: Double = 0.85, tol: Double = 1e-8,
+      maxIter: Int = 100, weighted: Boolean = false): DataFrame = {
+    val spark = g.edges.sparkSession
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val outW =
+      if (weighted) g.adjacency.groupBy(col("src").as("id")).agg(sum("weight").as("out"))
+      else g.adjacency.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("out"))
+
+    // adjacency with per-edge contribution share, co-partitioned by src once
+    val adj = g.adjacency.join(outW, g.adjacency("src") === outW("id"))
+      .select(col("src"), col("dst"),
+        (if (weighted) col("weight") / col("out") else lit(1.0) / col("out")).as("share"))
+      .repartition(shufflePartitions, col("src"))
+      .persist()
+    adj.count()
+
+    val nodes = g.vertices.select("id").persist()
+    val n = nodes.count().toDouble
+    val init = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+
+    // nodes with no out-edges: their rank is redistributed uniformly
+    val sinks = nodes.join(outW.select("id"), Seq("id"), "left_anti").persist()
+    val hasSinks = sinks.count() > 0
+
+    val result = Fixpoint.loop(init, maxIter, checkpointEvery = 8) { (ranks, _) =>
+      val sinkMass =
+        if (!hasSinks) 0.0
+        else ranks.join(sinks, Seq("id"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      val contrib = ranks.join(adj, ranks("id") === adj("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("share")).as("contrib"))
+      nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
+    } { (prev, next, _) =>
+      tol > 0 && {
+        val diff = prev.select(col("id"), col("rank").as("r0"))
+          .join(next.select(col("id"), col("rank").as("r1")), "id")
+          .agg(sum(abs(col("r1") - col("r0")))).head.getDouble(0)
+        diff < tol
+      }
+    }
+    adj.unpersist(false); sinks.unpersist(false); nodes.unpersist(false)
+    result
+  }
+
+  /** Eigenvector centrality: power iteration on the (weighted) adjacency
+    * matrix with L2 normalization each round (reference
+    * `centrality/EigenvectorCentrality.hpp:20`). */
+  def eigenvector(g: PropertyGraph, tol: Double = 1e-9, maxIter: Int = 100): DataFrame = {
+    val adj = g.inAdjacency.persist()
+    val nodes = g.vertices.select("id")
+    val init = nodes.select(col("id"), lit(1.0).as("score"))
+    val result = Fixpoint.loop(init, maxIter) { (x, _) =>
+      val nxt = x.join(adj, x("id") === adj("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("score") * col("weight")).as("raw"))
+      val full = nodes.join(nxt, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      val norm = math.sqrt(full.agg(sum(col("raw") * col("raw"))).head.getDouble(0))
+      full.select(col("id"), (col("raw") / lit(if (norm == 0.0) 1.0 else norm)).as("score"))
+    } { (prev, next, _) =>
+      val diff = prev.select(col("id"), col("score").as("s0"))
+        .join(next.select(col("id"), col("score").as("s1")), "id")
+        .agg(sum(abs(col("s1") - col("s0")))).head.getDouble(0)
+      diff < tol
+    }
+    adj.unpersist(false)
+    result
+  }
+
+  /** Katz centrality: x ← α·Aᵀx + β iterated (reference
+    * `centrality/KatzCentrality.hpp:29`). */
+  def katz(g: PropertyGraph, alpha: Double = 0.1, beta: Double = 1.0,
+      tol: Double = 1e-9, maxIter: Int = 100): DataFrame = {
+    val adj = g.inAdjacency.persist()
+    val nodes = g.vertices.select("id")
+    val init = nodes.select(col("id"), lit(0.0).as("score"))
+    val result = Fixpoint.loop(init, maxIter) { (x, _) =>
+      val nxt = x.join(adj, x("id") === adj("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("score") * col("weight")).as("raw"))
+      nodes.join(nxt, Seq("id"), "left")
+        .select(col("id"),
+          (lit(alpha) * coalesce(col("raw"), lit(0.0)) + lit(beta)).as("score"))
+    } { (prev, next, _) =>
+      val diff = prev.select(col("id"), col("score").as("s0"))
+        .join(next.select(col("id"), col("score").as("s1")), "id")
+        .agg(sum(abs(col("s1") - col("s0")))).head.getDouble(0)
+      diff < tol
+    }
+    adj.unpersist(false)
+    result
+  }
+}

@@ -1,0 +1,114 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Traversals and shortest paths as iterative frontier joins
+  * (reference: `distance/BFS.hpp:20`, `Dijkstra.hpp:22`, base
+  * `SSSP.hpp:23`; multi-source variants `MultiTargetBFS.hpp:13`,
+  * `APSP.hpp:23`).
+  *
+  * All functions are multi-source: state is keyed `(source, id)` so any
+  * number of sources ride one fixpoint (n sources = APSP). BFS expands a
+  * frontier of newly-settled nodes only; Dijkstra is Bellman-Ford-style
+  * relaxation from improved nodes (identical results on non-negative
+  * weights; a distributed heap does not exist).
+  *
+  * Both `dist` and `frontier` are lineage-truncated every round
+  * (`localCheckpoint`): the frontier feeds the next frontier AND the
+  * next dist, so without truncation plan size compounds ~Fibonacci per
+  * hop and the per-action plan rendering alone goes quadratic — the
+  * cost is re-caching two small tables per hop, the win is O(1) plan
+  * size over arbitrarily many hops.
+  */
+object ShortestPaths {
+
+  /** Hop distances from each source: `(source, id, dist)` (unreachable
+    * nodes absent). */
+  def bfs(g: PropertyGraph, sources: DataFrame, maxIter: Int = 200): DataFrame = {
+    val adj = g.adjacency.select("src", "dst")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    var dist = sources.select(col("source"), col("source").as("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var i = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && i < maxIter) {
+      val candidates = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("source", "id").agg(min("dist").as("dist"))
+      val newFrontier = candidates
+        .join(dist, Seq("source", "id"), "left_anti")
+        .localCheckpoint(true)
+      frontierSize = newFrontier.count()
+      if (frontierSize > 0) {
+        dist = dist.unionAll(newFrontier).localCheckpoint(true)
+        frontier = newFrontier
+      }
+      i += 1
+    }
+    adj.unpersist(false)
+    dist
+  }
+
+  /** Weighted SSSP (non-negative weights): `(source, id, dist)`.
+    * Bellman-Ford relaxation, expanding only from nodes whose distance
+    * improved last round — semantically identical to Dijkstra. */
+  def dijkstra(g: PropertyGraph, sources: DataFrame, maxIter: Int = 200): DataFrame = {
+    val adj = g.adjacency.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    var dist = sources.select(col("source"), col("source").as("id"), lit(0.0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var i = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && i < maxIter) {
+      val candidates = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("source"), col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
+        .groupBy("source", "id").agg(min("nd").as("nd"))
+      // keep candidates that beat the settled distance (or reach new nodes)
+      val improved = candidates.join(dist, Seq("source", "id"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("source"), col("id"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        dist = dist.unionAll(improved)
+          .groupBy("source", "id").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+        frontier = improved
+      }
+      i += 1
+    }
+    adj.unpersist(false)
+    dist
+  }
+
+  def sourcesOf(g: PropertyGraph, ids: Seq[Long]): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    ids.toDF("source")
+  }
+
+  /** Per-source eccentricity and reach `(source, ecc, reached)`
+    * (reference `distance/Eccentricity.hpp:21`). */
+  def eccentricity(dist: DataFrame): DataFrame =
+    dist.groupBy("source").agg(max("dist").as("ecc"), count(lit(1)).as("reached"))
+
+  /** Closeness centrality from a BFS/Dijkstra distance table, component-
+    * aware: (reached-1)/Σd (reference `centrality/Closeness.hpp:29`). */
+  def closeness(dist: DataFrame): DataFrame =
+    dist.filter(col("id") =!= col("source"))
+      .groupBy(col("source").as("id"))
+      .agg((count(lit(1)).cast("double") / sum("dist")).as("closeness"))
+
+  /** Harmonic closeness: Σ 1/d (reference `HarmonicCloseness.hpp:18`). */
+  def harmonicCloseness(dist: DataFrame): DataFrame =
+    dist.filter(col("id") =!= col("source"))
+      .groupBy(col("source").as("id"))
+      .agg(sum(lit(1.0) / col("dist")).as("harmonic"))
+}

@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Graph file-format readers (SURVEY.md §2.1; reference:
+  * `include/networkit/io/EdgeListReader.hpp:24`,
+  * `METISGraphReader.hpp:21`, dispatcher `networkit/graphio.pyx:1310`).
+  * Parquet is this engine's native binary format; the text formats below
+  * cover the reference's fixture corpus.
+  */
+object GraphReaders {
+
+  /** METIS adjacency format (reference `METISGraphReader.hpp:21`,
+    * `METISParser.hpp:24`): header `n m [fmt]`, then line i lists the
+    * 1-based neighbors of node i-1 (0-based out). Line order is
+    * semantic, so parsing rides `textFile.zipWithIndex` — one of the few
+    * legitimate RDD uses (per-partition imperative parse).
+    * Node-weight (fmt 10/11) and edge-weight (fmt 1/11) variants are
+    * handled; comment lines (%) skipped. */
+  def readMetis(spark: SparkSession, path: String): PropertyGraph = {
+    import spark.implicits._
+    val lines = spark.sparkContext.textFile(path)
+      .zipWithIndex()
+      .filter { case (l, _) => !l.trim.startsWith("%") && l.trim.nonEmpty }
+      .map { case (l, i) => (i, l.trim) }
+      .sortByKey()
+      .zipWithIndex()
+      .map { case ((_, l), rank) => (rank, l) }
+
+    val header = lines.filter(_._1 == 0L).map(_._2).collect().head
+    val headerParts = header.split("\\s+").map(_.toLong)
+    val fmt = if (headerParts.length > 2) headerParts(2) else 0L
+    val hasEdgeWeights = fmt % 10 == 1
+    val hasNodeWeights = (fmt / 10) % 10 == 1
+
+    val edges = lines.filter(_._1 > 0L).flatMap { case (rank, l) =>
+      val u = rank - 1 // 0-based node id
+      val nums = l.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      val adj = if (hasNodeWeights) nums.drop(1) else nums
+      if (hasEdgeWeights)
+        adj.grouped(2).collect { case Array(v, w) => (u, v.toLong - 1, w) }.toSeq
+      else
+        adj.map(v => (u, v.toLong - 1, 1.0)).toSeq
+    }.toDF("src", "dst", "weight")
+
+    val n = headerParts(0)
+    val vertices = spark.range(n).select(col("id"))
+    PropertyGraph(
+      PropertyGraph.canonicalizeUndirected(edges)
+        .select(col("src"), col("dst"),
+          (col("weight") / 2.0).as("weight")), // each edge listed twice
+      directed = false, Some(vertices))
+  }
+
+  /** Delimited edge list (reference `EdgeListReader.hpp:24`): src dst
+    * [weight], configurable separator / comment prefix / first id. */
+  def readEdgeList(spark: SparkSession, path: String, separator: String = "\\s+",
+      commentPrefix: String = "#", firstNode: Long = 0L,
+      directed: Boolean = false): PropertyGraph = {
+    import spark.implicits._
+    val rows = spark.read.text(path).as[String]
+      .filter(l => !l.startsWith(commentPrefix) && l.trim.nonEmpty)
+      .map { l =>
+        val p = l.trim.split(separator)
+        (p(0).toLong - firstNode, p(1).toLong - firstNode,
+          if (p.length > 2) p(2).toDouble else 1.0)
+      }.toDF("src", "dst", "weight")
+    PropertyGraph(rows, directed)
+  }
+
+  /** Partition file (reference `PartitionReader.hpp:21`): line i is the
+    * community of node i. `(id, community)` */
+  def readPartition(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (l, i) => (i, l.trim.toLong) }
+      .toDF("id", "community")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact (hash
+  * group-by), MinHash + LSH banding, n-gram Jaccard, SimHash.
+  *
+  * All hashing is md5-based (codegen'd built-in, identical semantics in
+  * any ANSI engine — which is what lets every one of these ship with a
+  * DuckDB oracle). At 100 TB the shapes that matter: shingling is a
+  * narrow map (explode), signatures are one hash-agg by doc, LSH turns
+  * the quadratic all-pairs problem into a per-bucket join keyed on band
+  * hash — the only shuffle is by (band, bucket).
+  */
+object Dedup {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Exact-duplicate summary: 1 row `(n_docs, n_distinct, n_dup)`. */
+  def exactStats(df: DataFrame, text: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(text))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col(text)))).as("n_dup"))
+
+  /** Drop exact duplicates keeping the smallest id per text hash. */
+  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val keep = df.groupBy(md5(col(text)).as("fp")).agg(min(col(id)).as(id))
+    df.join(keep.select(id), Seq(id), "left_semi")
+  }
+
+  /** Word n-gram shingles of the tokenized text (named col required). */
+  def shingleExpr(toksCol: String, n: Int): Column = {
+    val parts = (0 until n).map(j => s"$toksCol[i-1+$j]").mkString(", ")
+    when(size(col(toksCol)) >= n,
+      expr(s"transform(sequence(1, size($toksCol)-${n - 1}), i -> concat_ws(' ', $parts))"))
+      .otherwise(array())
+  }
+
+  /** MinHash signatures: k independent min-hashes over the distinct
+    * shingle set, as hex-string columns `mh0..mh{k-1}`.
+    * (hash_i(s) = md5(i || s); the min is taken lexicographically.) */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+      k: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sh = df
+      .withColumn("toks", tokens(col(text)))
+      .withColumn("sh", explode(shingleExpr("toks", shingleN)))
+      .select(col(id), col("sh")).distinct()
+    val aggs = (0 until k).map(i => min(md5(concat(lit(i.toString), col("sh")))).as(s"mh$i"))
+    sh.groupBy(id).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a minhash signature (rows of `mh0..`): bucket id
+    * per (doc, band); docs sharing a bucket are near-dup candidates. */
+  def lshBuckets(sig: DataFrame, id: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      sig.select(col(id), lit(b).as("band"), md5(concat(cols: _*)).as("bucket"))
+    }
+    perBand.reduce(_ unionAll _)
+  }
+
+  /** Candidate near-duplicate pairs from LSH buckets `(a, b, n_bands)`. */
+  def lshCandidatePairs(buckets: DataFrame, id: String): DataFrame = {
+    val l = buckets.select(col(id).as("a"), col("band"), col("bucket"))
+    val r = buckets.select(col(id).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, thresholded.
+    * `(a, b, jaccard)` */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+      shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = df
+      .withColumn("toks", tokens(col(text)))
+      .withColumn("sh", explode(shingleExpr("toks", shingleN)))
+      .select(col(id), col("sh")).distinct().persist()
+    val cnt = sh.groupBy(id).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(id).as("a"), col("sh"))
+      .join(sh.select(col(id).as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.select(col(id).as("a"), col("n").as("na")), "a")
+      .join(cnt.select(col(id).as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash over token hashes, `bits` ≤ 16 (hash = first 4 hex chars of
+    * md5 → 16-bit int; per-bit majority vote). `(id, simhash)` */
+  def simhash(df: DataFrame, id: String, text: String, bits: Int = 16): DataFrame = {
+    val tok = df
+      .withColumn("tok", explode(tokens(col(text))))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val bitAggs = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy(id).agg(bitAggs.head, bitAggs.tail: _*)
+    val hashCol = (0 until bits).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(id), hashCol.as("simhash"))
+  }
+}

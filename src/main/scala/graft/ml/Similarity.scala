@@ -1,0 +1,104 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`), for
+  * training-data pipelines: brute-force cosine top-k as the exact
+  * baseline, and a sign-random-projection LSH bucketing as the scale
+  * path (bucketed join instead of the quadratic cross join).
+  *
+  * Dot products are codegen-friendly higher-order functions
+  * (`zip_with` + `aggregate`), evaluated left-to-right — deterministic
+  * and oracle-matchable after a cast to double.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two double arrays (named columns), as an expression. */
+  def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+  /** L2 norm of a float/double array column (named). */
+  def normExpr(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v)"))
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest
+    * non-identical vectors. Cosine is rounded to 6 decimals BEFORE
+    * ranking (ties broken by id) so results are reproducible across
+    * engines and partitionings. `(q, id, cosine, rank)` */
+  def cosineTopK(vectors: DataFrame, queries: DataFrame, id: String,
+      vec: String, k: Int): DataFrame = {
+    val v = vectors.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+      .withColumn("nv", normExpr("v"))
+    val q = queries.select(col(id).as("q"), asDouble(col(vec)).as("qv"))
+      .withColumn("nq", normExpr("qv"))
+    val scored = q.crossJoin(v).filter(col("q") =!= col("id"))
+      .withColumn("cosine", round(dotExpr("qv", "v") / (col("nq") * col("nv")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q", "id", "cosine", "rank")
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
+    * `(a, b, cosine)` — exact; use [[srpBuckets]] + bucket-join at scale. */
+  def cosinePairs(vectors: DataFrame, id: String, vec: String,
+      minCosine: Double): DataFrame = {
+    val v = vectors.select(col(id).as("a"), asDouble(col(vec)).as("va"))
+      .withColumn("na", normExpr("va"))
+    val w = vectors.select(col(id).as("b"), asDouble(col(vec)).as("vb"))
+      .withColumn("nb", normExpr("vb"))
+    v.crossJoin(w).filter(col("a") < col("b"))
+      .withColumn("cosine", round(dotExpr("va", "vb") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "cosine")
+  }
+
+  /** Sign-random-projection LSH bucket per vector: `nBits` pseudo-random
+    * hyperplanes with deterministic ±1 coefficients derived from
+    * xxhash64(bit, dim) — no stored plane matrix, reproducible under any
+    * partitioning. Approximate-NN then joins within buckets only. */
+  def srpBuckets(vectors: DataFrame, id: String, vec: String, nBits: Int = 8): DataFrame = {
+    val v = vectors.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+    val bitCols = (0 until nBits).map { b =>
+      // coefficient for dim i: +1 if xxhash64(b, i) even else -1
+      val proj = expr(
+        s"""aggregate(zip_with(v, sequence(0, size(v)-1),
+           |  (x, i) -> x * (1.0 - 2.0 * cast(pmod(xxhash64($b, i), 2) as double))),
+           |  0D, (acc, p) -> acc + p)""".stripMargin)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    v.select(col("id"), bitCols.reduce(_ + _).as("bucket"))
+  }
+
+  /** Approximate cosine top-k: candidates restricted to the query's SRP
+    * bucket (optionally ± Hamming-1 neighbors via multi-probe). */
+  def annTopK(vectors: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val vb = vectors.join(srpBuckets(vectors, id, vec, nBits), Seq(id))
+    val qb0 = queries.join(srpBuckets(queries, id, vec, nBits), Seq(id))
+    // multi-probe: also search the nBits buckets at Hamming distance 1
+    val qb =
+      if (!multiProbe) qb0
+      else qb0.withColumn("probe",
+          explode(array(lit(0L) +: (0 until nBits).map(b => lit(1L << b)): _*)))
+        .withColumn("bucket", expr("cast(bucket as bigint) ^ probe"))
+        .drop("probe")
+    val v = vb.select(col(id).as("cid"), col("bucket"), asDouble(col(vec)).as("v"))
+      .withColumn("nv", normExpr("v"))
+    val q = qb.select(col(id).as("q"), col("bucket"), asDouble(col(vec)).as("qv"))
+      .withColumn("nq", normExpr("qv"))
+    val scored = q.join(v, "bucket").filter(col("q") =!= col("cid"))
+      .dropDuplicates("q", "cid") // multi-probe can reach a candidate twice
+      .withColumn("cosine", round(dotExpr("qv", "v") / (col("nq") * col("nv")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("cid").as("id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.Similarity
+
+/** Similarity-search surface over the `embeddings` table
+  * (`vec_id LONG, embedding ARRAY<FLOAT>, label INT`): norms, centroids,
+  * brute-force cosine top-k (exact baseline; the LSH/ANN scale path
+  * lives in [[graft.ml.Similarity]] and is spec-tested for recall).
+  */
+object EmbeddingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, Q] = Map(
+    // L2 norms
+    "e1_norm" -> ((s, dir) =>
+      emb(s, dir)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .select(col("vec_id"), round(Similarity.normExpr("v"), 4).as("l2norm"))),
+
+    // per-(label, dim) centroid
+    "e2_centroid" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("x").cast("double")), 6).as("centroid"))),
+
+    // brute-force cosine top-3 for query vectors (vec_id % 100 = 0)
+    "e3_knn" -> ((s, dir) => {
+      val all = emb(s, dir)
+      Similarity.cosineTopK(all, all.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 3)
+    }),
+
+    // embedding near-dup pairs (cosine ≥ 0.35)
+    "e4_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.35)),
+
+    // label-level stats on norms
+    "e5_labelstats" -> ((s, dir) =>
+      emb(s, dir)
+        .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("nrm", Similarity.normExpr("v"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("nrm"), 6).as("avg_norm"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm")))
+  )
+
+  /** DuckDB: `embedding::DOUBLE[]` + explicit per-index products, summed
+    * left-to-right — same op order as Spark's `aggregate(zip_with(…))`. */
+  private val vecCte =
+    """v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v, len(embedding) AS d FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "e1_norm" ->
+      s"""WITH $vecCte
+         |SELECT vec_id, round(nrm, 4) AS l2norm FROM n""".stripMargin,
+    "e2_centroid" ->
+      """WITH x AS (SELECT label, unnest(range(1, len(embedding)+1)) AS dim,
+        |           unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+        |SELECT label, dim, round(avg(x), 6) AS centroid FROM x GROUP BY label, dim""".stripMargin,
+    "e3_knn" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT vec_id AS q, v AS qv, nrm AS nq FROM n WHERE vec_id % 100 = 0),
+         |scored AS (SELECT q.q, n.vec_id AS id,
+         |  round(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*n.v[i])) / (q.nq*n.nrm), 6) AS cosine
+         |  FROM q JOIN n ON q.q <> n.vec_id),
+         |ranked AS (SELECT q, id, cosine,
+         |  row_number() OVER (PARTITION BY q ORDER BY cosine DESC, id ASC) AS rank FROM scored)
+         |SELECT q, id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "e4_pairs" ->
+      s"""WITH $vecCte
+         |SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm), 6) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm), 6) >= 0.35""".stripMargin,
+    "e5_labelstats" ->
+      s"""WITH $vecCte
+         |SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm,
+         | round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+         |FROM n GROUP BY label""".stripMargin
+  )
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph._
+
+/** Graph operator surface (SURVEY.md §2.9) exercised on graphs derived
+  * deterministically from the driver's tables, so every operator gets a
+  * DuckDB oracle (plain SQL for aggregates, recursive CTEs for
+  * traversals, unrolled iterations for power methods).
+  *
+  * Graph: parts are vertices; parts are adjacent iff they co-occur in at
+  * least `minShared` distinct orders (edge weight = co-occurrence count).
+  * `minShared = 1` → dense graph (~116k edges @ sf0.01); `minShared = 2`
+  * → sparse graph (~3.4k edges, 9 components) used for traversal ops.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Part co-order graph; mirrors the SQL in [[graphCte]]. */
+  private def partGraph(s: SparkSession, dir: String, minShared: Int): PropertyGraph = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+      .select(col("src"), col("dst"), col("c").cast("double").as("weight"))
+    PropertyGraph(e, directed = false)
+  }
+
+  /** Shared SQL prologue: canonical edges `e(src,dst,c)`, symmetric view
+    * `sym`, weighted symmetric view `symw`, `nodes`, `deg`. */
+  private def graphCte(minShared: Int): String =
+    s"""op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+       |      FROM op a JOIN op b ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey
+       |      GROUP BY 1,2 HAVING count(*) >= $minShared),
+       |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |symw AS (SELECT src, dst, c FROM e UNION ALL SELECT dst, src, c FROM e),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)""".stripMargin
+
+  /** Unrolled PageRank oracle: `iters` pull iterations, damping 0.85,
+    * no sinks (undirected graph from edges), rounded to 6 decimals. */
+  private def pagerankSql(minShared: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT d.id,
+         | 0.15/(SELECT n FROM nn) + 0.85*coalesce(ctr.s, 0) AS r
+         | FROM deg d LEFT JOIN (
+         |   SELECT s.dst AS id, sum(r.r/dg.d) AS s
+         |   FROM r${i - 1} r JOIN sym s ON s.src=r.id JOIN deg dg ON dg.id=r.id
+         |   GROUP BY s.dst) ctr USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCte(minShared)},
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM deg),
+       |$steps
+       |SELECT id, round(r, 6) AS pagerank FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled Katz oracle: x ← α·Ax + β on the symmetric adjacency. */
+  private def katzSql(minShared: Int, iters: Int, alpha: Double, beta: Double): String = {
+    val steps = (1 to iters).map { i =>
+      s"""k$i AS (SELECT d.id, $alpha*coalesce(ctr.s, 0) + $beta AS x
+         | FROM deg d LEFT JOIN (
+         |   SELECT s.dst AS id, sum(k.x) AS s
+         |   FROM k${i - 1} k JOIN sym s ON s.src=k.id GROUP BY s.dst) ctr USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCte(minShared)},
+       |k0 AS (SELECT id, 0.0 AS x FROM deg),
+       |$steps
+       |SELECT id, round(x, 6) AS katz FROM k$iters""".stripMargin
+  }
+
+  val defs: Map[String, Q] = Map(
+    // ---- dense graph (minShared = 1) ----
+    "g1_degree" -> ((s, dir) =>
+      partGraph(s, dir, 1).degrees),
+    "g2_stats" -> ((s, dir) =>
+      GraphOps.stats(partGraph(s, dir, 1))),
+    "g3_assortativity" -> ((s, dir) =>
+      GraphOps.assortativity(partGraph(s, dir, 1))
+        .select(round(col("assortativity"), 6).as("assortativity"))),
+
+    // ---- sparse graph (minShared = 2) ----
+    "g4_cc" -> ((s, dir) =>
+      ConnectedComponents.run(partGraph(s, dir, 2))),
+    "g5_cc_sizes" -> ((s, dir) =>
+      ConnectedComponents.sizes(ConnectedComponents.run(partGraph(s, dir, 2)))),
+    "g6_bfs" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val src = g.vertices.agg(min("id").as("source"))
+      ShortestPaths.bfs(g, src).select(col("id"), col("dist"))
+    }),
+    "g7_pagerank" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      PageRank.run(g, damping = 0.85, tol = 0.0, maxIter = 10)
+        .select(col("id"), round(col("rank"), 6).as("pagerank"))
+    }),
+    "g8_triangles" -> ((s, dir) =>
+      Triangles.triangleCount(partGraph(s, dir, 2))),
+    "g9_lcc" -> ((s, dir) =>
+      Triangles.localClusteringCoefficient(partGraph(s, dir, 2))
+        .select(col("id"), round(col("lcc"), 6).as("lcc"))),
+    "g10_jaccard" -> ((s, dir) =>
+      LinkPrediction.jaccard(partGraph(s, dir, 2))
+        .select(col("u"), col("v"), round(col("jaccard"), 6).as("jaccard"))),
+    "g11_adamicadar" -> ((s, dir) =>
+      LinkPrediction.adamicAdar(partGraph(s, dir, 2))
+        .select(col("u"), col("v"), round(col("adamic_adar"), 6).as("adamic_adar"))),
+    "g12_commonneighbors" -> ((s, dir) =>
+      LinkPrediction.commonNeighbors(partGraph(s, dir, 2))),
+    "g13_closeness" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val sources = g.vertices.orderBy("id").limit(5).select(col("id").as("source"))
+      ShortestPaths.closeness(ShortestPaths.bfs(g, sources))
+        .select(col("id"), round(col("closeness"), 6).as("closeness"))
+    }),
+    "g14_twohop" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val adj = g.adjacency.select("src", "dst")
+      val wedge = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
+        .filter(col("b.dst") =!= col("a.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      adj.unionAll(wedge).distinct()
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("n2hop"))
+    }),
+    "g15_wdegree" -> ((s, dir) =>
+      partGraph(s, dir, 2).weightedDegrees
+        .select(col("id"), round(col("wdegree"), 6).as("wdegree"))),
+    "g16_katz" -> ((s, dir) => {
+      val g = GraphOps.toUnweighted(partGraph(s, dir, 2))
+      PageRank.katz(g, alpha = 0.1, beta = 1.0, tol = 0.0, maxIter = 10)
+        .select(col("id"), round(col("score"), 6).as("katz"))
+    }),
+    // k-core: no SQL-expressible oracle (nested delete-fixpoint) → rows-only
+    "g17_kcore3" -> ((s, dir) => {
+      val core = GraphOps.kCore(partGraph(s, dir, 2), 3)
+      core.edges.select(col("src").as("id")).unionAll(core.edges.select(col("dst").as("id")))
+        .distinct().orderBy("id")
+    }),
+    "g18_subgraph" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val small = Tables.load(s, dir, "part").filter(col("p_size") < 25)
+        .select(col("p_partkey").as("id"))
+      val sub = GraphOps.subgraphFromNodes(g, small)
+      sub.edges.agg(count(lit(1)).as("n_edges"), round(sum("weight"), 2).as("w"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_degree" ->
+      s"""WITH ${graphCte(1)}
+         |SELECT id, d AS degree FROM deg""".stripMargin,
+    "g2_stats" ->
+      s"""WITH ${graphCte(1)}
+         |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+         |  (SELECT count(*) FROM e) AS n_edges,
+         |  0::BIGINT AS self_loops,
+         |  (SELECT round(sum(c*1.0), 6) FROM e) AS total_weight,
+         |  (SELECT max(d) FROM deg) AS max_degree,
+         |  round((SELECT count(*) FROM e)*2.0 /
+         |    ((SELECT count(*) FROM nodes)*((SELECT count(*) FROM nodes)-1)), 8) AS density""".stripMargin,
+    "g3_assortativity" ->
+      s"""WITH ${graphCte(1)}
+         |SELECT round(corr(d1.d, d2.d), 6) AS assortativity
+         |FROM sym JOIN deg d1 ON d1.id=sym.src JOIN deg d2 ON d2.id=sym.dst""".stripMargin,
+    "g4_cc" ->
+      s"""WITH RECURSIVE ${graphCte(2)},
+         |lbl(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src=l.id WHERE l.comp < s.dst)
+         |SELECT id, min(comp) AS component FROM lbl GROUP BY id""".stripMargin,
+    "g5_cc_sizes" ->
+      s"""WITH RECURSIVE ${graphCte(2)},
+         |lbl(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.dst, l.comp FROM lbl l JOIN sym s ON s.src=l.id WHERE l.comp < s.dst),
+         |cc AS (SELECT id, min(comp) AS component FROM lbl GROUP BY id)
+         |SELECT component, count(*) AS size FROM cc GROUP BY component""".stripMargin,
+    "g6_bfs" ->
+      s"""WITH RECURSIVE ${graphCte(2)},
+         |srcn AS (SELECT min(id) AS s FROM nodes),
+         |bfs(id, dist) AS (
+         |  SELECT s, 0 FROM srcn
+         |  UNION
+         |  SELECT s.dst, b.dist+1 FROM bfs b JOIN sym s ON s.src=b.id WHERE b.dist < 20)
+         |SELECT id, min(dist)::BIGINT AS dist FROM bfs GROUP BY id""".stripMargin,
+    "g7_pagerank" -> pagerankSql(2, 10),
+    "g8_triangles" ->
+      s"""WITH ${graphCte(2)}
+         |SELECT count(*) AS triangles FROM e e1
+         |JOIN e e2 ON e2.src=e1.dst JOIN e e3 ON e3.src=e1.src AND e3.dst=e2.dst""".stripMargin,
+    "g9_lcc" ->
+      s"""WITH ${graphCte(2)},
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM e e1
+         |        JOIN e e2 ON e2.src=e1.dst JOIN e e3 ON e3.src=e1.src AND e3.dst=e2.dst),
+         |pern AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         |tc AS (SELECT id, count(*) AS t FROM pern GROUP BY id)
+         |SELECT d.id, CASE WHEN d.d < 2 THEN 0.0
+         |  ELSE round(coalesce(tc.t, 0)*2.0/(d.d*(d.d-1.0)), 6) END AS lcc
+         |FROM deg d LEFT JOIN tc USING (id)""".stripMargin,
+    "g10_jaccard" ->
+      s"""WITH ${graphCte(2)},
+         |cn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS cn FROM sym a
+         |       JOIN sym b ON a.src=b.src AND a.dst < b.dst GROUP BY 1,2)
+         |SELECT u, v, round(cn*1.0/(du.d + dv.d - cn), 6) AS jaccard
+         |FROM cn JOIN deg du ON du.id=cn.u JOIN deg dv ON dv.id=cn.v""".stripMargin,
+    "g11_adamicadar" ->
+      s"""WITH ${graphCte(2)}
+         |SELECT a.dst AS u, b.dst AS v, round(sum(1.0/ln(dw.d)), 6) AS adamic_adar
+         |FROM sym a JOIN sym b ON a.src=b.src AND a.dst < b.dst
+         |JOIN deg dw ON dw.id=a.src
+         |GROUP BY a.dst, b.dst""".stripMargin,
+    "g12_commonneighbors" ->
+      s"""WITH ${graphCte(2)}
+         |SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+         |FROM sym a JOIN sym b ON a.src=b.src AND a.dst < b.dst
+         |GROUP BY a.dst, b.dst""".stripMargin,
+    "g13_closeness" ->
+      s"""WITH RECURSIVE ${graphCte(2)},
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 20),
+         |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id)
+         |SELECT s AS id, round(count(*)*1.0/sum(dist), 6) AS closeness
+         |FROM d WHERE id <> s GROUP BY s""".stripMargin,
+    "g14_twohop" ->
+      s"""WITH ${graphCte(2)},
+         |two AS (SELECT src, dst FROM sym
+         |        UNION
+         |        SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst=b.src WHERE b.dst <> a.src)
+         |SELECT src AS id, count(*) AS n2hop FROM two GROUP BY src""".stripMargin,
+    "g15_wdegree" ->
+      s"""WITH ${graphCte(2)}
+         |SELECT src AS id, round(sum(c*1.0), 6) AS wdegree FROM symw GROUP BY src""".stripMargin,
+    "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
+    "g18_subgraph" ->
+      s"""WITH ${graphCte(2)},
+         |small AS (SELECT p_partkey AS id FROM part WHERE p_size < 25)
+         |SELECT count(*) AS n_edges, round(sum(c*1.0), 2) AS w FROM e
+         |WHERE src IN (SELECT id FROM small) AND dst IN (SELECT id FROM small)""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph._
+import graft.io.GraphReaders
+
+/** Golden-graph correctness on the reference's karate fixture
+  * (`/root/reference/input/karate.graph`: 34 nodes, 78 edges — values
+  * cross-checked against published Zachary-karate facts the reference's
+  * own tests rely on) plus cross-implementation agreement checks
+  * (SURVEY.md §5 test plan).
+  */
+class GraphAlgorithmsSpec extends SparkSpec {
+  lazy val karate: PropertyGraph =
+    GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
+
+  test("metis reader: karate has 34 nodes and 78 edges") {
+    assert(karate.numberOfNodes == 34)
+    assert(karate.numberOfEdges == 78)
+  }
+
+  test("degrees: karate max degree is 17 (node 33), total degree 156") {
+    val d = karate.degrees
+    assert(d.agg(max("degree")).head.getLong(0) == 17)
+    assert(d.agg(sum("degree")).head.getLong(0) == 156)
+  }
+
+  test("connected components: karate is one component; LSS == labelProp") {
+    val lss = ConnectedComponents.run(karate)
+    val lp = ConnectedComponents.labelProp(karate)
+    assert(lss.select("component").distinct().count() == 1)
+    assert(lss.count() == 34)
+    assert(lss.except(lp).isEmpty && lp.except(lss).isEmpty)
+  }
+
+  test("triangles: karate has 45 triangles") {
+    assert(Triangles.triangleCount(karate).head.getLong(0) == 45)
+  }
+
+  test("local clustering coefficient: degree-1 nodes are 0, bounds hold") {
+    val lcc = Triangles.localClusteringCoefficient(karate)
+    assert(lcc.count() == 34)
+    assert(lcc.filter(col("lcc") < 0 || col("lcc") > 1).isEmpty)
+  }
+
+  test("pagerank: sums to 1, node 33 ranks highest") {
+    val pr = PageRank.run(karate, tol = 1e-10, maxIter = 200)
+    val total = pr.agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6)
+    val top = pr.orderBy(desc("rank")).select("id").head.getLong(0)
+    assert(top == 33L) // the instructor-side hub
+  }
+
+  test("bfs == dijkstra on unit weights (all sources)") {
+    val sources = ShortestPaths.sourcesOf(karate, Seq(0L, 16L, 33L))
+    val b = ShortestPaths.bfs(karate, sources)
+      .select(col("source"), col("id"), col("dist").cast("double").as("dist"))
+    val d = ShortestPaths.dijkstra(GraphOps.toUnweighted(karate), sources)
+    assert(b.except(d).isEmpty && d.except(b).isEmpty)
+    // karate diameter is 5
+    assert(b.agg(max("dist")).head.getDouble(0) <= 5.0)
+  }
+
+  test("k-core: karate max core is 4") {
+    val core4 = GraphOps.kCore(karate, 4)
+    val core5 = GraphOps.kCore(karate, 5)
+    assert(core4.edges.count() > 0)
+    assert(core5.edges.count() == 0)
+    val cores = GraphOps.coreDecomposition(karate)
+    assert(cores.agg(max("core")).head.getInt(0) == 4)
+    assert(cores.count() == 34)
+  }
+
+  test("transpose/toUndirected/subgraph invariants") {
+    val t = GraphOps.transpose(karate)
+    assert(t.numberOfEdges == karate.numberOfEdges)
+    val sub = GraphOps.subgraphFromNodes(karate,
+      spark.range(17).select(col("id")))
+    assert(sub.edges.filter(col("src") >= 17 || col("dst") >= 17).isEmpty)
+  }
+
+  test("link prediction: jaccard within [0,1], symmetric candidate set") {
+    val j = LinkPrediction.jaccard(karate)
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).isEmpty)
+    assert(j.filter(col("u") >= col("v")).isEmpty)
+  }
+
+  test("eigenvector centrality: node 33 tops on karate") {
+    val ev = PageRank.eigenvector(karate, tol = 1e-10, maxIter = 300)
+    val top = ev.orderBy(desc("score")).select("id").head.getLong(0)
+    assert(top == 33L)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Dedup, Similarity}
+
+/** Dedup + similarity-search specs on the driver's sf0.001 tables. */
+class MlSpec extends SparkSpec {
+
+  test("minhash: identical texts get identical signatures") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence with other words entirely")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("ngram jaccard: identical docs = 1.0, disjoint docs absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"), (3L, "x1 x2 x3 x4 x5")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: near-identical docs have close hashes (hamming ≤ 4)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val h = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) <= 4)
+    assert(hamming(h(1L), h(3L)) >= 3)
+  }
+
+  test("exact dedup drops duplicates keeping min id") {
+    import spark.implicits._
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 9L))
+  }
+
+  test("lsh candidate pairs recover exact duplicates") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark scale shuffle partition join agg window stream"),
+      (2L, "spark scale shuffle partition join agg window stream"),
+      (3L, "entirely unrelated content goes right here in this doc")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.lshBuckets(sig, "doc_id", 4, 2), "doc_id").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("ANN (SRP-LSH multi-probe) recall vs brute force ≥ 0.5 on sf0.001") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low")
+  }
+
+  test("cosineTopK is exact top-k (matches naive recompute for one query)") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val res = Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3).collect()
+    assert(res.length == 3)
+    assert(res.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    assert(res.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+}
