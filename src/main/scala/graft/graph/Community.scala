@@ -128,19 +128,22 @@ object Community {
       Some(lbl.select(col("community").as("id")).distinct()))
   }
 
-  /** One synchronous Louvain local-moving pass (reference `PLM.hpp:19`
-    * gain formula): each round every node picks the neighbor community
-    * with max ΔQ = w(u→C)/m − γ·(tot_C·k_u)/(2m²); moves applied
-    * synchronously, ties → smaller community id. Self-loops carry
-    * coarsened intra-weight. Returns `(id, community)`. */
-  def louvainLocalMove(g: PropertyGraph, maxRounds: Int = 12,
+  /** Louvain local-moving pass (reference `PLM.hpp:19` gain formula):
+    * each round a node picks the community with max
+    * ΔQ = w(u→C)/m − γ·(tot_C·k_u)/(2m²), ties → smaller community id.
+    * Fully synchronous moves oscillate (two adjacent singletons swap
+    * labels forever), so each round only the deterministic half of the
+    * nodes — `xxhash64(id, round) % 2 == 0` — may move; convergence =
+    * two consecutive rounds with zero moves. Returns `(id, community)`. */
+  def louvainLocalMove(g: PropertyGraph, maxRounds: Int = 24,
       gamma: Double = 1.0): DataFrame = {
     val adj = sym(g).persist(StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.agg(sum("weight")).head.getDouble(0) // = 2m
     val ku = adj.groupBy(col("src").as("id")).agg(sum("weight").as("ku"))
     val init = g.vertices.select(col("id"), col("id").as("community"))
+    var quietRounds = 0
 
-    Fixpoint.loop(init, maxRounds, checkpointEvery = 2) { (labels, _) =>
+    val res = Fixpoint.loop(init, maxRounds, checkpointEvery = 2) { (labels, round) =>
       // community volumes under current labels
       val vol = labels.join(ku, Seq("id"), "left")
         .groupBy("community").agg(sum(coalesce(col("ku"), lit(0.0))).as("tot"))
@@ -150,7 +153,7 @@ object Community {
         .join(labels.select(col("id").as("dst"), col("community").as("cNbr")), "dst")
         .groupBy(col("src").as("id"), col("cNbr"))
         .agg(sum("weight").as("wuc"))
-      // candidate gain for u → C (including staying: C = current)
+      // candidate gain for u → C (staying = re-entering current community)
       val cur = labels.withColumnRenamed("community", "cCur")
       val cand = w2c
         .join(cur, "id")
@@ -166,14 +169,19 @@ object Community {
         .orderBy(col("gain").desc, col("cNbr").asc)
       val best = cand.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("gain") > 1e-12)
+        .filter(pmod(xxhash64(col("id"), lit(round)), lit(2)) === 0)
         .select(col("id"), col("cNbr").as("newCommunity"))
       labels.join(best, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("newCommunity"), col("community")).as("community"))
     } { (prev, next, _) =>
-      prev.select(col("id"), col("community").as("c0"))
-        .join(next, "id").filter(col("c0") =!= col("community")).count() == 0
+      val moved = prev.select(col("id"), col("community").as("c0"))
+        .join(next, "id").filter(col("c0") =!= col("community")).count()
+      quietRounds = if (moved == 0) quietRounds + 1 else 0
+      quietRounds >= 2
     }
+    adj.unpersist(false)
+    res
   }
 
   /** Full PLM: local moving, coarsen, recurse while modularity improves,
@@ -225,7 +233,7 @@ object Community {
     val n = joined.count().toDouble
     def s2(df: DataFrame, cols: Seq[String]) =
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1) / 2)).head.getLong(0).toDouble
+        .agg(sum(col("c") * (col("c") - 1) / 2)).head.getDouble(0)
     val both = s2(joined, Seq("c1", "c2"))
     val a1 = s2(joined, Seq("c1"))
     val a2 = s2(joined, Seq("c2"))

@@ -20,20 +20,25 @@ object Fixpoint {
 
   /** Run `step` until `stop(prev, next, i)` is true or `maxIter` reached.
     * Returns the final (persisted) state. */
-  def loop(init: DataFrame, maxIter: Int, checkpointEvery: Int = 8)(
+  def loop(init: DataFrame, maxIter: Int, checkpointEvery: Int = 1)(
       step: (DataFrame, Int) => DataFrame)(
       stop: (DataFrame, DataFrame, Int) => Boolean): DataFrame = {
+    val debug = sys.env.contains("GRAFT_FIXPOINT_DEBUG")
     var cur = init.persist(StorageLevel.MEMORY_AND_DISK)
     cur.count()
     var i = 0
     var done = false
     while (i < maxIter && !done) {
+      val t0 = System.nanoTime()
       val stepped = step(cur, i)
       val next =
         if ((i + 1) % checkpointEvery == 0) stepped.localCheckpoint(true)
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before judging convergence / unpersisting parent
+      val t1 = System.nanoTime()
       done = stop(cur, next, i)
+      if (debug) System.err.println(
+        f"[fixpoint] iter $i step=${(t1 - t0) / 1e9}%.2fs stop=${(System.nanoTime() - t1) / 1e9}%.2fs")
       cur.unpersist(blocking = false)
       cur = next
       i += 1
@@ -44,7 +49,7 @@ object Fixpoint {
   /** Convergence via a monotone scalar: stop when `metric` (e.g. sum of
     * labels, sum of distances) stops changing between iterations. */
   def loopUntilStableScalar(init: DataFrame, maxIter: Int,
-      metric: DataFrame => Double, checkpointEvery: Int = 8)(
+      metric: DataFrame => Double, checkpointEvery: Int = 1)(
       step: (DataFrame, Int) => DataFrame): DataFrame = {
     var prevMetric = Double.NaN
     loop(init, maxIter, checkpointEvery)(step) { (_, next, _) =>

@@ -48,7 +48,7 @@ object PageRank {
     val sinks = nodes.join(outW.select("id"), Seq("id"), "left_anti").persist()
     val hasSinks = sinks.count() > 0
 
-    val result = Fixpoint.loop(init, maxIter, checkpointEvery = 8) { (ranks, _) =>
+    val result = Fixpoint.loop(init, maxIter) { (ranks, _) =>
       val sinkMass =
         if (!hasSinks) 0.0
         else ranks.join(sinks, Seq("id"), "left_semi")

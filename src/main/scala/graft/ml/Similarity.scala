@@ -63,16 +63,16 @@ object Similarity {
     * xxhash64(bit, dim) — no stored plane matrix, reproducible under any
     * partitioning. Approximate-NN then joins within buckets only. */
   def srpBuckets(vectors: DataFrame, id: String, vec: String, nBits: Int = 8): DataFrame = {
-    val v = vectors.select(col(id).as("id"), asDouble(col(vec)).as("v"))
+    val v = vectors.select(col(id), asDouble(col(vec)).as("srp_v"))
     val bitCols = (0 until nBits).map { b =>
       // coefficient for dim i: +1 if xxhash64(b, i) even else -1
       val proj = expr(
-        s"""aggregate(zip_with(v, sequence(0, size(v)-1),
+        s"""aggregate(zip_with(srp_v, sequence(0, size(srp_v)-1),
            |  (x, i) -> x * (1.0 - 2.0 * cast(pmod(xxhash64($b, i), 2) as double))),
            |  0D, (acc, p) -> acc + p)""".stripMargin)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
-    v.select(col("id"), bitCols.reduce(_ + _).as("bucket"))
+    v.select(col(id), bitCols.reduce(_ + _).as("bucket"))
   }
 
   /** Approximate cosine top-k: candidates restricted to the query's SRP
