@@ -1,0 +1,67 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Weighted matching via locally-dominant-edge (suitor-style) rounds
+  * (reference: `matching/SuitorMatcher.cpp`, `LocalMaxMatcher`,
+  * base `Matching.hpp:19`).
+  *
+  * Each round every unmatched node proposes to its best eligible
+  * neighbor (max weight, tie → smaller id); an edge whose endpoints
+  * propose to each other is locally dominant and joins the matching —
+  * the classic distributed half of the suitor algorithm, a 1/2-
+  * approximation of maximum weight matching, deterministic under the
+  * fixed tie-break. One join + one window per round.
+  */
+object Matching {
+
+  /** Matched pairs `(u, v, weight)` with u < v. */
+  def suitor(g: PropertyGraph, maxIter: Int = 50): DataFrame = {
+    val spark = g.edges.sparkSession
+    var remaining = g.adjacency
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint(true)
+    var matched = spark.emptyDataFrame
+    var first = true
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      // best proposal per node via max(struct): (weight desc, dst asc)
+      // — a hash agg, no per-partition sort, and avoids a Spark 4
+      // analyzer bug self-joining window outputs ("key not found: #N")
+      val best = remaining
+        .groupBy("src")
+        .agg(max(struct(col("weight"), (-col("dst")).as("negDst"), col("dst"))).as("b"))
+        .select(col("src"), col("b.dst").as("dst"), col("b.weight").as("weight"))
+        .localCheckpoint(true)
+      val mutual = best.as("a")
+        .join(best.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"),
+          col("a.weight").as("weight"))
+        .localCheckpoint(true)
+      if (mutual.isEmpty) done = true
+      else {
+        matched = (if (first) mutual else matched.unionAll(mutual)).localCheckpoint(true)
+        first = false
+        val taken = matched.select(col("u").as("id"))
+          .unionAll(matched.select(col("v").as("id")))
+        remaining = remaining
+          .join(taken.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .join(taken.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+          .select("src", "dst", "weight")
+          .localCheckpoint(true)
+        if (remaining.isEmpty) done = true
+      }
+      i += 1
+    }
+    if (first) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("u", "v", "weight")
+    } else matched
+  }
+}

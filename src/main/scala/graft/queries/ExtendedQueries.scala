@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph._
+import graft.algebra.Coo
+import graft.ml.Multimodal
+
+/** Queries for the extended operator families: algebra (semiring
+  * matmul), sparsification, spanning forest, matching, MIS, ANF
+  * sketches, generators, multimodal plumbing. SQL-expressible ones get
+  * DuckDB oracles; the rest are rows-only with invariants asserted in
+  * ScalaTest.
+  */
+object ExtendedQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Part co-order graph (same derivation as GraphQueries). */
+  private def partGraph(s: SparkSession, dir: String, minShared: Int): PropertyGraph = {
+    val op = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = op.as("a")
+      .join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+      .select(col("src"), col("dst"), col("c").cast("double").as("weight"))
+    PropertyGraph(e, directed = false)
+  }
+
+  private val graphCte =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+      |      FROM op a JOIN op b ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey
+      |      GROUP BY 1,2 HAVING count(*) >= 2),
+      |sym AS (SELECT src, dst, c FROM e UNION ALL SELECT dst, src, c FROM e),
+      |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // semiring MxV: adjacency × degree vector (arithmetic semiring)
+    "x1_mxv" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val a = Coo.adjacencyMatrix(g)
+      val x = g.degrees.select(col("id").as("i"), col("degree").cast("double").as("v"))
+      Coo.mxv(a, x).select(col("i"), round(col("v"), 6).as("v"))
+    }),
+    // semiring MxV min-plus: one relaxation step of shortest paths
+    "x2_mxv_minplus" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val a = Coo.adjacencyMatrix(g)
+      val x = g.vertices.select(col("id").as("i"), lit(0.0).as("v"))
+      Coo.mxv(a, x, Coo.minPlus).select(col("i"), round(col("v"), 6).as("v"))
+    }),
+    // Laplacian row sums must be 0 — emitted per node for hashing
+    "x3_laplacian" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      Coo.laplacianMatrix(g).groupBy("i")
+        .agg(round(sum("v"), 6).as("rowsum"), count(lit(1)).as("nnz"))
+    }),
+    // triangle edge score + threshold sparsification
+    "x4_sparsify" -> ((s, dir) => {
+      val scored = Sparsification.triangleScore(partGraph(s, dir, 2))
+      scored.filter(col("score") >= 1)
+        .agg(count(lit(1)).as("kept_edges"), round(sum("weight"), 2).as("kept_weight"))
+    }),
+    // MSF: total weight + edge count (weight multiset of any MSF is
+    // unique, but not SQL-derivable → rows-only, invariants in spec)
+    "x5_msf" -> ((s, dir) =>
+      SpanningForest.totalWeight(partGraph(s, dir, 2))),
+    // suitor matching: summary (rows-only; validity in spec)
+    "x6_matching" -> ((s, dir) => {
+      val m = Matching.suitor(partGraph(s, dir, 2))
+      m.agg(count(lit(1)).as("n_pairs"), round(sum("weight"), 2).as("total_weight"))
+    }),
+    // Luby MIS: members (rows-only; validity in spec)
+    "x7_mis" -> ((s, dir) =>
+      IndependentSet.luby(partGraph(s, dir, 2)).orderBy("id")),
+    // ANF sketch neighborhood function (approximate → rows-only;
+    // accuracy asserted vs exact BFS in spec)
+    "x8_anf" -> ((s, dir) =>
+      NeighborhoodFunction.approximate(partGraph(s, dir, 2), maxH = 12)),
+    // generator determinism surface (hash-based → rows-only)
+    "x9_generators" -> ((s, dir) => {
+      val er = Generators.erdosRenyi(s, 500, 0.02)
+      val ws = Generators.wattsStrogatz(s, 500, 4, 0.1)
+      val rm = Generators.rmat(s, 9, 4)
+      er.edges.agg(count(lit(1)).as("n")).select(lit("er").as("gen"), col("n"))
+        .unionAll(ws.edges.agg(count(lit(1)).as("n")).select(lit("ws").as("gen"), col("n")))
+        .unionAll(rm.edges.agg(count(lit(1)).as("n")).select(lit("rmat").as("gen"), col("n")))
+    }),
+    // multimodal: media stats per kind (byte lengths SQL-checkable)
+    "x10_media" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+      media.groupBy("kind").agg(
+        count(lit(1)).as("n"),
+        sum(octet_length(col("content"))).as("total_bytes"),
+        sum("meta_duration_ms").as("total_ms"))
+    }),
+    // multimodal: frame-sampling plan size per video
+    "x11_frames" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+      Multimodal.sampleFrames(media, 1000L)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+    }),
+    // multimodal: stub decode features (deterministic fake → rows-only)
+    "x12_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+      Multimodal.featureStats(Multimodal.extractFeatures(media))
+    }),
+    // harmonic closeness for 5 sources (recursive-CTE oracle)
+    "x13_harmonic" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val sources = g.vertices.orderBy("id").limit(5).select(col("id").as("source"))
+      ShortestPaths.harmonicCloseness(ShortestPaths.bfs(g, sources))
+        .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
+    }),
+    // eccentricity of 5 sources (recursive-CTE oracle)
+    "x14_ecc" -> ((s, dir) => {
+      val g = partGraph(s, dir, 2)
+      val sources = g.vertices.orderBy("id").limit(5).select(col("id").as("source"))
+      ShortestPaths.eccentricity(ShortestPaths.bfs(g, sources))
+        .select(col("source").as("id"), col("ecc"), col("reached"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x1_mxv" ->
+      s"""WITH $graphCte
+         |SELECT sym.src AS i, round(sum(sym.c * d.d * 1.0), 6) AS v
+         |FROM sym JOIN deg d ON d.id = sym.dst GROUP BY sym.src""".stripMargin,
+    "x2_mxv_minplus" ->
+      s"""WITH $graphCte
+         |SELECT src AS i, round(min(c + 0.0), 6) AS v FROM sym GROUP BY src""".stripMargin,
+    "x3_laplacian" ->
+      s"""WITH $graphCte,
+         |a AS (SELECT src AS i, dst AS j, -(c*1.0) AS v FROM sym),
+         |d AS (SELECT src AS i, src AS j, sum(c*1.0) AS v FROM sym GROUP BY src),
+         |l AS (SELECT i, j, sum(v) AS v FROM (SELECT * FROM a UNION ALL SELECT * FROM d) GROUP BY i, j)
+         |SELECT i, round(sum(v), 6) AS rowsum, count(*) AS nnz FROM l GROUP BY i""".stripMargin,
+    "x4_sparsify" ->
+      s"""WITH $graphCte,
+         |adj AS (SELECT src, dst FROM sym),
+         |cn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS score
+         |       FROM adj a JOIN adj b ON a.src=b.src AND a.dst < b.dst GROUP BY 1,2)
+         |SELECT count(*) AS kept_edges, round(sum(e.c*1.0), 2) AS kept_weight
+         |FROM e JOIN cn ON cn.u=e.src AND cn.v=e.dst WHERE cn.score >= 1""".stripMargin,
+    "x10_media" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        | count(*) AS n,
+        | sum(octet_length(text::BLOB)) AS total_bytes,
+        | sum(n_chars * 10) AS total_ms
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x11_frames" ->
+      """SELECT doc_id AS media_id, count(*) AS n_frames
+        |FROM documents, unnest(range(0, greatest(n_chars*10 - 1, 0) + 1, 1000)) AS t(f)
+        |WHERE doc_id % 3 = 2 GROUP BY doc_id""".stripMargin,
+    "x13_harmonic" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 20),
+         |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id)
+         |SELECT s AS id, round(sum(1.0/dist), 6) AS harmonic
+         |FROM d WHERE id <> s GROUP BY s""".stripMargin,
+    "x14_ecc" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 20),
+         |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id)
+         |SELECT s AS id, max(dist)::BIGINT AS ecc, count(*) AS reached
+         |FROM d GROUP BY s""".stripMargin
+  )
+}
