@@ -19,8 +19,8 @@ object Debug {
       println(s"=== $n")
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
-        df.show(20, truncate = false)
-        println(s"rows=${df.count()}")
+        if (sys.env.contains("GRAFT_EXPLAIN")) df.explain("formatted")
+        else { df.show(20, truncate = false); println(s"rows=${df.count()}") }
       } catch {
         case e: Throwable =>
           println(s"FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")

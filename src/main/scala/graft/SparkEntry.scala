@@ -14,11 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     Relational.defs ++ GraphQueries.defs ++ TextQueries.defs ++
-      EmbeddingQueries.defs ++ EventQueries.defs ++ ExtendedQueries.defs
+      EmbeddingQueries.defs ++ EventQueries.defs ++ ExtendedQueries.defs ++ CommunityQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ GraphQueries.oracles ++ TextQueries.oracles ++
-      EmbeddingQueries.oracles ++ EventQueries.oracles ++ ExtendedQueries.oracles
+      EmbeddingQueries.oracles ++ EventQueries.oracles ++ ExtendedQueries.oracles ++ CommunityQueries.oracles
 }

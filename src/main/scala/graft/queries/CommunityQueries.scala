@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph._
+
+/** Community-detection surface (SURVEY.md §2.9 community +
+  * §2.4 partition-quality aggregations). Quality measures are evaluated
+  * on a deterministic SQL-derivable partition (`community = id % k`) so
+  * they get exact DuckDB oracles; the detection algorithms themselves
+  * (PLP, Louvain) are algorithm-defined outputs checked by golden-graph
+  * specs and reported rows-only here.
+  */
+object CommunityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+
+  private def modPartition(g: PropertyGraph, k: Int): DataFrame =
+    g.vertices.select(col("id"), pmod(col("id"), lit(k.toLong)).as("community"))
+
+  private val graphCte =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+      |      FROM op a JOIN op b ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey
+      |      GROUP BY 1,2 HAVING count(*) >= 2),
+      |sym AS (SELECT src, dst, c*1.0 AS w FROM e UNION ALL SELECT dst, src, c*1.0 FROM e),
+      |lbl AS (SELECT DISTINCT src AS id, src % 8 AS community FROM sym),
+      |el AS (SELECT sym.src, sym.dst, sym.w, ls.community AS cs, ld.community AS cd
+      |       FROM sym JOIN lbl ls ON ls.id = sym.src JOIN lbl ld ON ld.id = sym.dst)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    // modularity of the deterministic id%8 partition
+    "c1_modularity" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val q = Community.modularity(g, modPartition(g, 8))
+      s.range(1).select(round(lit(q), 6).as("modularity"))
+    }),
+    // coverage + edge cut of the same partition
+    "c2_coverage_cut" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = modPartition(g, 8)
+      val cov = Community.coverage(g, p)
+      val cut = Community.edgeCut(g, p)
+      s.range(1).select(round(lit(cov), 6).as("coverage"),
+        round(lit(cut), 2).as("edge_cut"))
+    }),
+    // conductance of community 0 vs rest
+    "c3_conductance" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val phi = Community.conductance(g, modPartition(g, 8), 0L)
+      s.range(1).select(round(lit(phi), 6).as("conductance"))
+    }),
+    // Rand index between id%8 and id%12 partitions
+    "c4_randindex" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val r = Community.randIndex(modPartition(g, 8), modPartition(g, 12))
+      s.range(1).select(round(lit(r), 6).as("rand_index"))
+    }),
+    // coarsening by id%8: supernode graph shape
+    "c5_coarsen" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val c = Community.coarsen(g, modPartition(g, 8))
+      c.edges.agg(count(lit(1)).as("n_super_edges"),
+        round(sum("weight"), 2).as("total_weight"))
+    }),
+    // per-community stats (intrapartition density ingredients —
+    // reference IntrapartitionDensity.hpp:13)
+    "c6_community_stats" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = modPartition(g, 8)
+      val e = g.edges
+        .join(p.select(col("id").as("src"), col("community").as("cs")), "src")
+        .join(p.select(col("id").as("dst"), col("community").as("cd")), "dst")
+      val sizes = p.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+      val internal = e.filter(col("cs") === col("cd"))
+        .groupBy(col("cs").as("community"))
+        .agg(count(lit(1)).as("n_internal"), round(sum("weight"), 2).as("w_internal"))
+      sizes.join(internal, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+          coalesce(col("w_internal"), lit(0.0)).as("w_internal"))
+    }),
+    // detection algorithms: summary rows (values asserted in specs)
+    "c7_plp" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = Community.plp(g, maxIter = 15)
+      val q = Community.modularity(g, p)
+      p.agg(countDistinct("community").as("n_communities"))
+        .select(col("n_communities"), round(lit(q), 4).as("modularity"))
+    }),
+    "c8_louvain" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = Community.louvain(g, maxLevels = 3)
+      val q = Community.modularity(g, p)
+      p.agg(countDistinct("community").as("n_communities"))
+        .select(col("n_communities"), round(lit(q), 4).as("modularity"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c1_modularity" ->
+      s"""WITH $graphCte,
+         |m2 AS (SELECT sum(w) AS m2 FROM sym),
+         |inc AS (SELECT cs, sum(CASE WHEN cs = cd THEN w ELSE 0 END) AS inw,
+         |        sum(w) AS tot FROM el GROUP BY cs)
+         |SELECT round(sum(inw/(SELECT m2 FROM m2) -
+         |  (tot/(SELECT m2 FROM m2))*(tot/(SELECT m2 FROM m2))), 6) AS modularity
+         |FROM inc""".stripMargin,
+    "c2_coverage_cut" ->
+      s"""WITH $graphCte
+         |SELECT
+         | round(sum(CASE WHEN cs = cd THEN w ELSE 0 END)/sum(w), 6) AS coverage,
+         | round(sum(CASE WHEN cs <> cd THEN w ELSE 0 END)/2.0, 2) AS edge_cut
+         |FROM el""".stripMargin,
+    "c3_conductance" ->
+      s"""WITH $graphCte,
+         |x AS (SELECT
+         |  sum(CASE WHEN (cs = 0) <> (cd = 0) THEN w ELSE 0 END)/2.0 AS cut,
+         |  sum(CASE WHEN cs = 0 THEN w ELSE 0 END) AS vs,
+         |  sum(CASE WHEN cs <> 0 THEN w ELSE 0 END) AS vr FROM el)
+         |SELECT round(CASE WHEN least(vs, vr) = 0 THEN 0 ELSE cut/least(vs, vr) END, 6)
+         |  AS conductance FROM x""".stripMargin,
+    "c4_randindex" ->
+      s"""WITH $graphCte,
+         |n2 AS (SELECT DISTINCT src AS id, src % 8 AS c1, src % 12 AS c2 FROM sym),
+         |nn AS (SELECT count(*)*1.0 AS n FROM n2),
+         |bt AS (SELECT sum(c*(c-1)/2.0) AS s FROM (SELECT count(*) AS c FROM n2 GROUP BY c1, c2)),
+         |a1 AS (SELECT sum(c*(c-1)/2.0) AS s FROM (SELECT count(*) AS c FROM n2 GROUP BY c1)),
+         |a2 AS (SELECT sum(c*(c-1)/2.0) AS s FROM (SELECT count(*) AS c FROM n2 GROUP BY c2))
+         |SELECT round((
+         |  (SELECT n FROM nn)*((SELECT n FROM nn)-1)/2.0
+         |  + 2*(SELECT s FROM bt) - (SELECT s FROM a1) - (SELECT s FROM a2))
+         |  / ((SELECT n FROM nn)*((SELECT n FROM nn)-1)/2.0), 6) AS rand_index""".stripMargin,
+    "c5_coarsen" ->
+      s"""WITH $graphCte,
+         |ce AS (SELECT least(ls.community, ld.community) AS cs,
+         |              greatest(ls.community, ld.community) AS cd, sum(e.c*1.0) AS w
+         |       FROM e JOIN (SELECT DISTINCT src AS id, src % 8 AS community FROM sym) ls ON ls.id = e.src
+         |              JOIN (SELECT DISTINCT src AS id, src % 8 AS community FROM sym) ld ON ld.id = e.dst
+         |       GROUP BY 1, 2)
+         |SELECT count(*) AS n_super_edges, round(sum(w), 2) AS total_weight FROM ce""".stripMargin,
+    "c6_community_stats" ->
+      s"""WITH $graphCte,
+         |sizes AS (SELECT community, count(*) AS n_nodes FROM lbl GROUP BY community),
+         |intl AS (SELECT ls.community AS community, count(*) AS n_internal,
+         |         round(sum(e.c*1.0), 2) AS w_internal
+         |         FROM e JOIN lbl ls ON ls.id = e.src JOIN lbl ld ON ld.id = e.dst
+         |         WHERE ls.community = ld.community GROUP BY 1)
+         |SELECT s.community, s.n_nodes,
+         | coalesce(i.n_internal, 0) AS n_internal,
+         | coalesce(i.w_internal, 0.0) AS w_internal
+         |FROM sizes s LEFT JOIN intl i ON i.community = s.community""".stripMargin
+  )
+}

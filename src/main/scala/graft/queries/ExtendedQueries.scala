@@ -16,20 +16,6 @@ import graft.ml.Multimodal
 object ExtendedQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Part co-order graph (same derivation as GraphQueries). */
-  private def partGraph(s: SparkSession, dir: String, minShared: Int): PropertyGraph = {
-    val op = Tables.load(s, dir, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val e = op.as("a")
-      .join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minShared)
-      .select(col("src"), col("dst"), col("c").cast("double").as("weight"))
-    PropertyGraph(e, directed = false)
-  }
 
   private val graphCte =
     """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -42,46 +28,46 @@ object ExtendedQueries {
   val defs: Map[String, Q] = Map(
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val a = Coo.adjacencyMatrix(g)
       val x = g.degrees.select(col("id").as("i"), col("degree").cast("double").as("v"))
       Coo.mxv(a, x).select(col("i"), round(col("v"), 6).as("v"))
     }),
     // semiring MxV min-plus: one relaxation step of shortest paths
     "x2_mxv_minplus" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val a = Coo.adjacencyMatrix(g)
       val x = g.vertices.select(col("id").as("i"), lit(0.0).as("v"))
       Coo.mxv(a, x, Coo.minPlus).select(col("i"), round(col("v"), 6).as("v"))
     }),
     // Laplacian row sums must be 0 — emitted per node for hashing
     "x3_laplacian" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       Coo.laplacianMatrix(g).groupBy("i")
         .agg(round(sum("v"), 6).as("rowsum"), count(lit(1)).as("nnz"))
     }),
     // triangle edge score + threshold sparsification
     "x4_sparsify" -> ((s, dir) => {
-      val scored = Sparsification.triangleScore(partGraph(s, dir, 2))
+      val scored = Sparsification.triangleScore(DerivedGraphs.partGraph(s, dir, 2))
       scored.filter(col("score") >= 1)
         .agg(count(lit(1)).as("kept_edges"), round(sum("weight"), 2).as("kept_weight"))
     }),
     // MSF: total weight + edge count (weight multiset of any MSF is
     // unique, but not SQL-derivable → rows-only, invariants in spec)
     "x5_msf" -> ((s, dir) =>
-      SpanningForest.totalWeight(partGraph(s, dir, 2))),
+      SpanningForest.totalWeight(DerivedGraphs.partGraph(s, dir, 2))),
     // suitor matching: summary (rows-only; validity in spec)
     "x6_matching" -> ((s, dir) => {
-      val m = Matching.suitor(partGraph(s, dir, 2))
+      val m = Matching.suitor(DerivedGraphs.partGraph(s, dir, 2))
       m.agg(count(lit(1)).as("n_pairs"), round(sum("weight"), 2).as("total_weight"))
     }),
     // Luby MIS: members (rows-only; validity in spec)
     "x7_mis" -> ((s, dir) =>
-      IndependentSet.luby(partGraph(s, dir, 2)).orderBy("id")),
+      IndependentSet.luby(DerivedGraphs.partGraph(s, dir, 2)).orderBy("id")),
     // ANF sketch neighborhood function (approximate → rows-only;
     // accuracy asserted vs exact BFS in spec)
     "x8_anf" -> ((s, dir) =>
-      NeighborhoodFunction.approximate(partGraph(s, dir, 2), maxH = 12)),
+      NeighborhoodFunction.approximate(DerivedGraphs.partGraph(s, dir, 2), maxH = 12)),
     // generator determinism surface (hash-based → rows-only)
     "x9_generators" -> ((s, dir) => {
       val er = Generators.erdosRenyi(s, 500, 0.02)
@@ -112,14 +98,14 @@ object ExtendedQueries {
     }),
     // harmonic closeness for 5 sources (recursive-CTE oracle)
     "x13_harmonic" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val sources = g.vertices.orderBy("id").limit(5).select(col("id").as("source"))
       ShortestPaths.harmonicCloseness(ShortestPaths.bfs(g, sources))
         .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
     }),
     // eccentricity of 5 sources (recursive-CTE oracle)
     "x14_ecc" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val sources = g.vertices.orderBy("id").limit(5).select(col("id").as("source"))
       ShortestPaths.eccentricity(ShortestPaths.bfs(g, sources))
         .select(col("source").as("id"), col("ecc"), col("reached"))

@@ -18,20 +18,6 @@ import graft.graph._
 object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Part co-order graph; mirrors the SQL in [[graphCte]]. */
-  private def partGraph(s: SparkSession, dir: String, minShared: Int): PropertyGraph = {
-    val op = Tables.load(s, dir, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val e = op.as("a")
-      .join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minShared)
-      .select(col("src"), col("dst"), col("c").cast("double").as("weight"))
-    PropertyGraph(e, directed = false)
-  }
 
   /** Shared SQL prologue: canonical edges `e(src,dst,c)`, symmetric view
     * `sym`, weighted symmetric view `symw`, `nodes`, `deg`. */
@@ -80,49 +66,49 @@ object GraphQueries {
   val defs: Map[String, Q] = Map(
     // ---- dense graph (minShared = 1) ----
     "g1_degree" -> ((s, dir) =>
-      partGraph(s, dir, 1).degrees),
+      DerivedGraphs.partGraph(s, dir, 1).degrees),
     "g2_stats" -> ((s, dir) =>
-      GraphOps.stats(partGraph(s, dir, 1))),
+      GraphOps.stats(DerivedGraphs.partGraph(s, dir, 1))),
     "g3_assortativity" -> ((s, dir) =>
-      GraphOps.assortativity(partGraph(s, dir, 1))
+      GraphOps.assortativity(DerivedGraphs.partGraph(s, dir, 1))
         .select(round(col("assortativity"), 6).as("assortativity"))),
 
     // ---- sparse graph (minShared = 2) ----
     "g4_cc" -> ((s, dir) =>
-      ConnectedComponents.run(partGraph(s, dir, 2))),
+      ConnectedComponents.run(DerivedGraphs.partGraph(s, dir, 2))),
     "g5_cc_sizes" -> ((s, dir) =>
-      ConnectedComponents.sizes(ConnectedComponents.run(partGraph(s, dir, 2)))),
+      ConnectedComponents.sizes(ConnectedComponents.run(DerivedGraphs.partGraph(s, dir, 2)))),
     "g6_bfs" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val src = g.vertices.agg(min("id").as("source"))
       ShortestPaths.bfs(g, src).select(col("id"), col("dist"))
     }),
     "g7_pagerank" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       PageRank.run(g, damping = 0.85, tol = 0.0, maxIter = 10)
         .select(col("id"), round(col("rank"), 6).as("pagerank"))
     }),
     "g8_triangles" -> ((s, dir) =>
-      Triangles.triangleCount(partGraph(s, dir, 2))),
+      Triangles.triangleCount(DerivedGraphs.partGraph(s, dir, 2))),
     "g9_lcc" -> ((s, dir) =>
-      Triangles.localClusteringCoefficient(partGraph(s, dir, 2))
+      Triangles.localClusteringCoefficient(DerivedGraphs.partGraph(s, dir, 2))
         .select(col("id"), round(col("lcc"), 6).as("lcc"))),
     "g10_jaccard" -> ((s, dir) =>
-      LinkPrediction.jaccard(partGraph(s, dir, 2))
+      LinkPrediction.jaccard(DerivedGraphs.partGraph(s, dir, 2))
         .select(col("u"), col("v"), round(col("jaccard"), 6).as("jaccard"))),
     "g11_adamicadar" -> ((s, dir) =>
-      LinkPrediction.adamicAdar(partGraph(s, dir, 2))
+      LinkPrediction.adamicAdar(DerivedGraphs.partGraph(s, dir, 2))
         .select(col("u"), col("v"), round(col("adamic_adar"), 6).as("adamic_adar"))),
     "g12_commonneighbors" -> ((s, dir) =>
-      LinkPrediction.commonNeighbors(partGraph(s, dir, 2))),
+      LinkPrediction.commonNeighbors(DerivedGraphs.partGraph(s, dir, 2))),
     "g13_closeness" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val sources = g.vertices.orderBy("id").limit(5).select(col("id").as("source"))
       ShortestPaths.closeness(ShortestPaths.bfs(g, sources))
         .select(col("id"), round(col("closeness"), 6).as("closeness"))
     }),
     "g14_twohop" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val adj = g.adjacency.select("src", "dst")
       val wedge = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
         .filter(col("b.dst") =!= col("a.src"))
@@ -131,21 +117,21 @@ object GraphQueries {
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("n2hop"))
     }),
     "g15_wdegree" -> ((s, dir) =>
-      partGraph(s, dir, 2).weightedDegrees
+      DerivedGraphs.partGraph(s, dir, 2).weightedDegrees
         .select(col("id"), round(col("wdegree"), 6).as("wdegree"))),
     "g16_katz" -> ((s, dir) => {
-      val g = GraphOps.toUnweighted(partGraph(s, dir, 2))
+      val g = GraphOps.toUnweighted(DerivedGraphs.partGraph(s, dir, 2))
       PageRank.katz(g, alpha = 0.1, beta = 1.0, tol = 0.0, maxIter = 10)
         .select(col("id"), round(col("score"), 6).as("katz"))
     }),
     // k-core: no SQL-expressible oracle (nested delete-fixpoint) → rows-only
     "g17_kcore3" -> ((s, dir) => {
-      val core = GraphOps.kCore(partGraph(s, dir, 2), 3)
+      val core = GraphOps.kCore(DerivedGraphs.partGraph(s, dir, 2), 3)
       core.edges.select(col("src").as("id")).unionAll(core.edges.select(col("dst").as("id")))
         .distinct().orderBy("id")
     }),
     "g18_subgraph" -> ((s, dir) => {
-      val g = partGraph(s, dir, 2)
+      val g = DerivedGraphs.partGraph(s, dir, 2)
       val small = Tables.load(s, dir, "part").filter(col("p_size") < 25)
         .select(col("p_partkey").as("id"))
       val sub = GraphOps.subgraphFromNodes(g, small)
