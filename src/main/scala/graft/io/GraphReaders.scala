@@ -70,6 +70,65 @@ object GraphReaders {
     PropertyGraph(rows, directed)
   }
 
+  /** DGS dynamic-graph event stream (reference
+    * `dynamics/DGSStreamParser.hpp:23`, event model
+    * `GraphEvent.hpp:18-35`): `an/dn/rn` node events, `ae/ce/de` edge
+    * events, `st` time steps. Returns GraphEvent rows
+    * `(seq, type, u, v, w)` — type ∈ NODE_ADDITION, NODE_REMOVAL,
+    * NODE_RESTORATION, EDGE_ADDITION, EDGE_WEIGHT_UPDATE, EDGE_REMOVAL,
+    * TIME_STEP — ready to feed Structured Streaming replay
+    * (`streaming.EventStreams.graphUpdater`). */
+  def readDgs(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.textFile(path).zipWithIndex()
+      .flatMap { case (line, seq) =>
+        val t = line.trim.split("\\s+")
+        def weight: Double = t.collectFirst {
+          case s if s.startsWith("weight=") => s.stripPrefix("weight=").toDouble
+        }.getOrElse(1.0)
+        def edgeEnds: (Long, Long) =
+          if (t.length > 3) (t(2).toLong, t(3).toLong)
+          else { val p = t(1).split("-"); (p(0).toLong, p(1).toLong) }
+        t.headOption match {
+          case Some("an") => Seq((seq, "NODE_ADDITION", t(1).toLong, -1L, 0.0))
+          case Some("dn") => Seq((seq, "NODE_REMOVAL", t(1).toLong, -1L, 0.0))
+          case Some("rn") => Seq((seq, "NODE_RESTORATION", t(1).toLong, -1L, 0.0))
+          case Some("ae") =>
+            val (u, v) = edgeEnds; Seq((seq, "EDGE_ADDITION", u, v, weight))
+          case Some("ce") =>
+            val p = t(1).split("-")
+            Seq((seq, "EDGE_WEIGHT_UPDATE", p(0).toLong, p(1).toLong, weight))
+          case Some("de") =>
+            val p = t(1).split("-")
+            Seq((seq, "EDGE_REMOVAL", p(0).toLong, p(1).toLong, 0.0))
+          case Some("st") => Seq((seq, "TIME_STEP", -1L, -1L, 0.0))
+          case _ => Seq.empty // header / comments
+        }
+      }.toDF("seq", "type", "u", "v", "w")
+  }
+
+  /** Replay a GraphEvent table in sequence order into the resulting
+    * edge set (reference `dynamics/GraphUpdater.hpp:19` batch apply).
+    * Last event per edge wins — a groupBy max(seq), no driver loop. */
+  def applyGraphEvents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edgeEvents = events.filter(
+      col("type").isin("EDGE_ADDITION", "EDGE_WEIGHT_UPDATE", "EDGE_REMOVAL"))
+    val w = Window.partitionBy("u", "v").orderBy(col("seq").desc)
+    val lastEdge = edgeEvents.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("type") =!= "EDGE_REMOVAL")
+    val removedNodes = events
+      .filter(col("type").isin("NODE_ADDITION", "NODE_REMOVAL", "NODE_RESTORATION"))
+      .groupBy(col("u").as("id"))
+      .agg(max(struct(col("seq"), col("type"))).as("last"))
+      .filter(col("last.type") === "NODE_REMOVAL")
+      .select("id")
+    lastEdge
+      .join(removedNodes.withColumnRenamed("id", "u"), Seq("u"), "left_anti")
+      .join(removedNodes.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
+      .select(col("u").as("src"), col("v").as("dst"), col("w").as("weight"))
+  }
+
   /** Partition file (reference `PartitionReader.hpp:21`): line i is the
     * community of node i. `(id, community)` */
   def readPartition(spark: SparkSession, path: String): DataFrame = {

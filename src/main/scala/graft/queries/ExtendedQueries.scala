@@ -103,6 +103,29 @@ object ExtendedQueries {
       ShortestPaths.harmonicCloseness(ShortestPaths.bfs(g, sources))
         .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
     }),
+    // hashed random walks: per-step node-visit counts (hash-determined
+    // transitions → deterministic, but not SQL-derivable → rows-only;
+    // edge-validity of every transition is spec-checked)
+    "x15_walks" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      Walks.randomWalks(g, walksPerNode = 1, len = 4)
+        .groupBy("step").agg(count(lit(1)).as("n"),
+          countDistinct(col("node")).as("n_distinct"))
+    }),
+    // SCC on the directed customer→supplier purchase graph (bipartite ⇒
+    // every SCC is a singleton — exact oracle on the component count)
+    "x16_scc" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val e = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct().withColumn("weight", lit(1.0))
+      val g = PropertyGraph(e, directed = true)
+      val scc = Digraph.stronglyConnectedComponents(g)
+      scc.agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("component")).as("n_components"))
+    }),
     // eccentricity of 5 sources (recursive-CTE oracle)
     "x14_ecc" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -144,6 +167,11 @@ object ExtendedQueries {
       """SELECT doc_id AS media_id, count(*) AS n_frames
         |FROM documents, unnest(range(0, greatest(n_chars*10 - 1, 0) + 1, 1000)) AS t(f)
         |WHERE doc_id % 3 = 2 GROUP BY doc_id""".stripMargin,
+    "x16_scc" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+        |SELECT count(*) AS n_nodes, count(*) AS n_components FROM n""".stripMargin,
     "x13_harmonic" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
