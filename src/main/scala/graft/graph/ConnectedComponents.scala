@@ -39,8 +39,11 @@ object ConnectedComponents {
     val base = g.edges.select(col("src").as("u"), col("dst").as("v"))
       .filter(col("u") =!= col("v"))
 
+    // duplicates are harmless to the min-aggregations, so the symmetric
+    // view skips its distinct and only each round's final output dedups
+    // — 3 fewer shuffles per round
     def sym(e: DataFrame): DataFrame =
-      e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
 
     // min(N(u) ∪ {u}) per node over a symmetric pair set
     def nbrMin(s: DataFrame): DataFrame =
@@ -52,7 +55,7 @@ object ConnectedComponents {
       val m = nbrMin(s)
       s.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {

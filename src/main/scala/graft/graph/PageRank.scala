@@ -47,6 +47,12 @@ object PageRank {
     // nodes with no out-edges: their rank is redistributed uniformly
     val sinks = nodes.join(outW.select("id"), Seq("id"), "left_anti").persist()
     val hasSinks = sinks.count() > 0
+    // nodes with no in-edges keep only the teleport term; when every
+    // node has an in-edge (any undirected graph) the per-iteration
+    // "nodes LEFT JOIN contrib" completion is pure overhead — skip it
+    val inCovered = nodes.join(
+      g.adjacency.select(col("dst").as("id")).distinct(),
+      Seq("id"), "left_anti").isEmpty
 
     val result = Fixpoint.loop(init, maxIter) { (ranks, _) =>
       val sinkMass =
@@ -56,10 +62,12 @@ object PageRank {
       val contrib = ranks.join(adj, ranks("id") === adj("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") * col("share")).as("contrib"))
-      nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
+      val completed =
+        if (inCovered) contrib
+        else nodes.join(contrib, Seq("id"), "left")
+      completed.select(col("id"),
+        (lit((1.0 - damping) / n) + lit(damping) *
+          (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
     } { (prev, next, _) =>
       tol > 0 && {
         val diff = prev.select(col("id"), col("rank").as("r0"))
