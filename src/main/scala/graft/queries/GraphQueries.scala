@@ -130,6 +130,48 @@ object GraphQueries {
       core.edges.select(col("src").as("id")).unionAll(core.edges.select(col("dst").as("id")))
         .distinct().orderBy("id")
     }),
+    // degree-distribution fit surface (reference
+    // PowerlawDegreeSequence.hpp:12): histogram + CDF via window cumsum
+    "g19_degdist" -> ((s, dir) => {
+      val deg = DerivedGraphs.partGraph(s, dir, 2).degrees
+      val hist = deg.groupBy("degree").agg(count(lit(1)).as("cnt"))
+      val win = org.apache.spark.sql.expressions.Window
+      val w = win.orderBy("degree").rowsBetween(win.unboundedPreceding, win.currentRow)
+      val n = deg.count().toDouble
+      hist.withColumn("cdf", round(sum("cnt").over(w) / n, 6))
+    }),
+    // missing links: 2-hop pairs that are NOT edges (reference
+    // MissingLinksFinder.hpp:26) — anti-join of wedges against edges
+    "g20_missinglinks" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val adj = g.adjacency.select("src", "dst")
+      val wedge = adj.as("a").join(adj.as("b"), col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("b.dst"))
+        .select(col("a.src").as("u"), col("b.dst").as("v")).distinct()
+      wedge.join(g.edges.select(col("src").as("u"), col("dst").as("v")),
+          Seq("u", "v"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+    }),
+    // graph difference → edit events (reference GraphDifference.hpp:22):
+    // thr≥2 graph vs thr≥3 graph = removals only
+    "g21_graphdiff" -> ((s, dir) => {
+      val e2 = DerivedGraphs.partGraph(s, dir, 2).edges.select("src", "dst")
+      val e3 = DerivedGraphs.partGraph(s, dir, 3).edges.select("src", "dst")
+      // aggregate each side separately: an empty side must still emit
+      // its zero row (a groupBy would drop the empty group, the oracle
+      // would not)
+      e2.except(e3).agg(count(lit(1)).as("n")).select(lit("EDGE_REMOVAL").as("type"), col("n"))
+        .unionAll(e3.except(e2).agg(count(lit(1)).as("n"))
+          .select(lit("EDGE_ADDITION").as("type"), col("n")))
+    }),
+    // partition intersection (reference PartitionIntersection.hpp:12):
+    // meet of id%8 and id%12 → number of non-empty joint blocks
+    "g22_partmeet" -> ((s, dir) => {
+      val v = DerivedGraphs.partGraph(s, dir, 2).vertices
+      v.select(pmod(col("id"), lit(8L)).as("c1"), pmod(col("id"), lit(12L)).as("c2"))
+        .groupBy("c1", "c2").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_blocks"), max("sz").as("max_block"))
+    }),
     "g18_subgraph" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       val small = Tables.load(s, dir, "part").filter(col("p_size") < 25)
@@ -230,6 +272,33 @@ object GraphQueries {
       s"""WITH ${graphCte(2)}
          |SELECT src AS id, round(sum(c*1.0), 6) AS wdegree FROM symw GROUP BY src""".stripMargin,
     "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
+    "g19_degdist" ->
+      s"""WITH ${graphCte(2)},
+         |h AS (SELECT d AS degree, count(*) AS cnt FROM deg GROUP BY d),
+         |n AS (SELECT count(*)*1.0 AS n FROM deg)
+         |SELECT degree, cnt,
+         | round(sum(cnt) OVER (ORDER BY degree
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / (SELECT n FROM n), 6) AS cdf
+         |FROM h""".stripMargin,
+    "g20_missinglinks" ->
+      s"""WITH ${graphCte(2)},
+         |wedge AS (SELECT DISTINCT a.src AS u, b.dst AS v FROM sym a
+         |          JOIN sym b ON a.dst = b.src WHERE a.src < b.dst)
+         |SELECT count(*) AS n_missing FROM wedge
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = wedge.u AND e.dst = wedge.v)""".stripMargin,
+    "g21_graphdiff" ->
+      s"""WITH ${graphCte(2)},
+         |e3 AS (SELECT src, dst FROM e WHERE c >= 3),
+         |rem AS (SELECT 'EDGE_REMOVAL' AS type, count(*) AS n FROM
+         |        (SELECT src, dst FROM e EXCEPT SELECT src, dst FROM e3)),
+         |a AS (SELECT 'EDGE_ADDITION' AS type, count(*) AS n FROM
+         |        (SELECT src, dst FROM e3 EXCEPT SELECT src, dst FROM e))
+         |SELECT type, n FROM rem UNION ALL SELECT type, n FROM a""".stripMargin,
+    "g22_partmeet" ->
+      s"""WITH ${graphCte(2)},
+         |v AS (SELECT DISTINCT src AS id FROM sym),
+         |b AS (SELECT id % 8 AS c1, id % 12 AS c2, count(*) AS sz FROM v GROUP BY 1, 2)
+         |SELECT count(*) AS n_blocks, max(sz) AS max_block FROM b""".stripMargin,
     "g18_subgraph" ->
       s"""WITH ${graphCte(2)},
          |small AS (SELECT p_partkey AS id FROM part WHERE p_size < 25)
