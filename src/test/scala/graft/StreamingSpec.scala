@@ -37,6 +37,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch graph updater maintains state across micro-batches") {
+    // reference GraphUpdater.update: events drive an evolving graph;
+    // here each micro-batch folds into a driver-held running edge count
+    // (the DynAlgorithm.updateBatch analog)
+    val dir = java.nio.file.Files.createTempDirectory("graft-updater").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = EventStreams.readEvents(spark, sf001)
+    val q = EventStreams.graphUpdater(stream, dir) { (batch, _) =>
+      seen.addAndGet(batch.count())
+    }
+    try {
+      q.processAllAvailable()
+      val total = Tables.load(spark, sf001, "events").count()
+      assert(seen.get() == total, s"updater saw ${seen.get()} of $total events")
+    } finally q.stop()
+  }
+
   test("sliding windows emit more buckets than tumbling") {
     val stream = EventStreams.readEvents(spark, sf001)
     val q = EventStreams.slidingCounts(stream)
