@@ -24,17 +24,24 @@ object DerivedGraphs {
   def partGraph(s: SparkSession, dir: String, minShared: Int): PropertyGraph = {
     val key = (s.sparkContext.applicationId, dir, minShared)
     val edges = memo.getOrElseUpdate(key, {
-      val op = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      op.as("a")
-        .join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") >= minShared)
-        .select(col("src"), col("dst"), col("c").cast("double").as("weight"))
-        .localCheckpoint(true)
+      if (minShared > 1)
+        // every thresholded graph is a filter of the base derivation —
+        // one lineitem self-join per session, not one per threshold
+        partGraph(s, dir, 1).edges
+          .filter(col("weight") >= minShared)
+          .localCheckpoint(true)
+      else {
+        val op = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        op.as("a")
+          .join(op.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("src"), col("dst"), col("c").cast("double").as("weight"))
+          .localCheckpoint(true)
+      }
     })
     PropertyGraph(edges, directed = false)
   }
