@@ -126,6 +126,16 @@ object ExtendedQueries {
       scc.agg(count(lit(1)).as("n_nodes"),
         countDistinct(col("component")).as("n_components"))
     }),
+    // hub-labeling distances (reference PrunedLandmarkLabeling): top-5
+    // degree hubs, queried on all pairs of the 10 smallest node ids
+    "x17_hublabel" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val labels = HubLabeling.build(g, 5)
+      val ids = g.vertices.orderBy("id").limit(10)
+      val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("u"), col("b.id").as("v"))
+      HubLabeling.query(labels, pairs)
+    }),
     // eccentricity of 5 sources (recursive-CTE oracle)
     "x14_ecc" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -183,6 +193,20 @@ object ExtendedQueries {
          |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id)
          |SELECT s AS id, round(sum(1.0/dist), 6) AS harmonic
          |FROM d WHERE id <> s GROUP BY s""".stripMargin,
+    "x17_hublabel" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |hubs AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 5),
+         |reach(h, id, dist) AS (
+         |  SELECT id, id, 0 FROM hubs
+         |  UNION
+         |  SELECT r.h, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 20),
+         |lab AS (SELECT h, id, min(dist) AS d FROM reach GROUP BY h, id),
+         |ids AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+         |pairs AS (SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON a.id < b.id)
+         |SELECT u, v, min(la.d + lb.d)::BIGINT AS dist
+         |FROM pairs JOIN lab la ON la.id = u JOIN lab lb ON lb.id = v AND la.h = lb.h
+         |GROUP BY u, v""".stripMargin,
     "x14_ecc" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),

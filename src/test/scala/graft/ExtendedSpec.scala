@@ -124,6 +124,23 @@ class ExtendedSpec extends SparkSpec {
     assert(v.getBoolean(2), "MIS not maximal")
   }
 
+  test("hub labeling: exact with all-node hubs, upper bound with few hubs") {
+    import spark.implicits._
+    val pairs = Seq((0L, 26L), (11L, 33L), (16L, 25L), (4L, 9L)).toDF("u", "v")
+    val exact = graph.HubLabeling.query(graph.HubLabeling.build(karate, 34), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ground truth via BFS from the pair sources
+    val bfs = graph.ShortestPaths.bfs(karate,
+        graph.ShortestPaths.sourcesOf(karate, Seq(0L, 11L, 16L, 4L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exact((0L, 26L)) == bfs((0L, 26L)))
+    assert(exact((11L, 33L)) == bfs((11L, 33L)))
+    assert(exact((16L, 25L)) == bfs((16L, 25L)))
+    val approx = graph.HubLabeling.query(graph.HubLabeling.build(karate, 5), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    approx.foreach { case (p, d) => assert(d >= bfs(p), s"$p: $d < ${bfs(p)}") }
+  }
+
   test("sparsification: triangle score of karate edge (32,33) is high; threshold filters") {
     val scored = Sparsification.triangleScore(karate)
     val strong = scored.filter(col("src") === 32 && col("dst") === 33)
