@@ -35,11 +35,16 @@ object Bench {
     // one tiny warmup action so JVM/codegen startup isn't billed to q1
     spark.range(1000).count()
 
+    var anyFailed = false
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+          anyFailed = true; false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // housekeeping OUTSIDE the timed section: drop caches left by the
       // query and collect garbage so GC pauses aren't billed to the
       // next query
@@ -49,8 +54,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (anyFailed) sys.exit(1)
   }
 }

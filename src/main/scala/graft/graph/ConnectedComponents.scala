@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Min-label propagation. Convergence via the monotonically decreasing
-    * sum of labels (equal sums between rounds ⇒ no label changed). */
+  /** Min-label propagation. Convergence via an order-independent
+    * (count, bit_xor(xxhash64)) fingerprint of the label assignment —
+    * overflow-free under ANSI mode even for arbitrary 64-bit ids
+    * (a plain `sum(component)` can overflow and throw). */
   def labelProp(g: PropertyGraph, maxIter: Int = 100): DataFrame = {
     val adj = g.adjacency.select("src", "dst")
     val init = g.vertices.select(col("id"), col("id").as("component"))
-    Fixpoint.loopUntilStableScalar(init, maxIter,
-      df => df.agg(sum("component")).head.getLong(0).toDouble,
+    Fixpoint.loopUntilStableFingerprint(init, maxIter,
+      df => df.agg(bit_xor(xxhash64(col("id"), col("component"))))
+        .head.getLong(0),
       checkpointEvery = 4) { (labels, _) =>
       val viaNbr = labels.join(adj, labels("id") === adj("src"))
         .select(col("dst").as("id"), col("component"))

@@ -59,4 +59,20 @@ object Fixpoint {
       stable
     }
   }
+
+  /** Convergence via an exact 64-bit fingerprint (e.g. an
+    * order-independent `bit_xor(xxhash64(...))` of the state): stop when
+    * the fingerprint repeats. Unlike [[loopUntilStableScalar]] this keeps
+    * all 64 bits (a Double comparison would only keep 53). */
+  def loopUntilStableFingerprint(init: DataFrame, maxIter: Int,
+      fingerprint: DataFrame => Long, checkpointEvery: Int = 1)(
+      step: (DataFrame, Int) => DataFrame): DataFrame = {
+    var prev = Option.empty[Long]
+    loop(init, maxIter, checkpointEvery)(step) { (_, next, _) =>
+      val m = fingerprint(next)
+      val stable = prev.contains(m)
+      prev = Some(m)
+      stable
+    }
+  }
 }

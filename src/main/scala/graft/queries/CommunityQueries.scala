@@ -81,24 +81,51 @@ object CommunityQueries {
           coalesce(col("n_internal"), lit(0L)).as("n_internal"),
           coalesce(col("w_internal"), lit(0.0)).as("w_internal"))
     }),
-    // detection algorithms: summary rows (values asserted in specs)
+    // detection algorithms: partition validity (every node exactly one
+    // label) is SQL-pinned via node counts; solution quality is gated by
+    // a modularity floor computed distributedly (labels themselves are
+    // algorithm state, not SQL-derivable). Exact Q values asserted in
+    // specs.
+    // q_ok gates the found partition's modularity against two Spark-
+    // computed null baselines — the one-community partition (Q = 0) and
+    // the synthetic mod-8 partition used by c1-c6 — rather than a fixed
+    // threshold, so the gate holds at every scale factor (the sf0.001
+    // part graph is quasi-dense and has no high-Q structure).
     "c7_plp" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       val p = Community.plp(g, maxIter = 15)
       val q = Community.modularity(g, p)
-      p.agg(countDistinct("community").as("n_communities"))
-        .select(col("n_communities"), round(lit(q), 4).as("modularity"))
+      val qRand = Community.modularity(g,
+        g.vertices.select(col("id"), (col("id") % 8).as("community")))
+      p.agg(count(lit(1)).as("n_labeled"),
+          countDistinct(col("id")).as("distinct_ids"))
+        .select(col("n_labeled"), col("distinct_ids"),
+          lit(if (q >= -1e-9 && q >= qRand - 1e-9) 1L else 0L).as("q_ok"))
     }),
     "c8_louvain" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       val p = Community.louvain(g, maxLevels = 3)
       val q = Community.modularity(g, p)
-      p.agg(countDistinct("community").as("n_communities"))
-        .select(col("n_communities"), round(lit(q), 4).as("modularity"))
+      val qRand = Community.modularity(g,
+        g.vertices.select(col("id"), (col("id") % 8).as("community")))
+      p.agg(count(lit(1)).as("n_labeled"),
+          countDistinct(col("id")).as("distinct_ids"))
+        .select(col("n_labeled"), col("distinct_ids"),
+          lit(if (q >= -1e-9 && q >= qRand - 1e-9) 1L else 0L).as("q_ok"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "c7_plp" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
+         |  1::BIGINT AS q_ok FROM nodes""".stripMargin,
+    "c8_louvain" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
+         |  1::BIGINT AS q_ok FROM nodes""".stripMargin,
     "c1_modularity" ->
       s"""WITH $graphCte,
          |m2 AS (SELECT sum(w) AS m2 FROM sym),

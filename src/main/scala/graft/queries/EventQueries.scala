@@ -101,7 +101,7 @@ object EventQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
         |FROM events""".stripMargin,
     "ev4_json" ->
-      """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+      """SELECT event_type, sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         | round(avg(json_extract(props, '$.k')::BIGINT), 6) AS avg_k, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "ev5_topusers" ->

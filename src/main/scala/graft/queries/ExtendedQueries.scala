@@ -52,30 +52,113 @@ object ExtendedQueries {
       scored.filter(col("score") >= 1)
         .agg(count(lit(1)).as("kept_edges"), round(sum("weight"), 2).as("kept_weight"))
     }),
-    // MSF: total weight + edge count (weight multiset of any MSF is
-    // unique, but not SQL-derivable → rows-only, invariants in spec)
-    "x5_msf" -> ((s, dir) =>
-      SpanningForest.totalWeight(DerivedGraphs.partGraph(s, dir, 2))),
-    // suitor matching: summary (rows-only; validity in spec)
-    "x6_matching" -> ((s, dir) => {
-      val m = Matching.suitor(DerivedGraphs.partGraph(s, dir, 2))
-      m.agg(count(lit(1)).as("n_pairs"), round(sum("weight"), 2).as("total_weight"))
+    // MSF validity + objective. The forest's own component structure and
+    // total weight are both independently SQL-derivable: components via
+    // recursive label-prop, and MSF weight via the threshold identity
+    // W = Σ_{t≥0} (#comp(edges ≤ t) − #comp(all)) — the weight multiset
+    // of any MSF is unique, so Borůvka's total must match it exactly.
+    "x5_msf" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val forest = SpanningForest.boruvka(g)
+      val nNodes = g.vertices.count()
+      // components implied by the forest itself — equals the graph's
+      // component count iff the forest spans every component
+      val nComp = ConnectedComponents
+        .run(PropertyGraph(forest, directed = false))
+        .agg(countDistinct(col("component"))).head.getLong(0)
+      forest.agg(count(lit(1)).as("n_forest_edges"),
+          sum(col("weight").cast("long")).as("total_weight"))
+        .select(lit(nNodes).as("n_nodes"), lit(nComp).as("n_components"),
+          col("n_forest_edges"), col("total_weight"))
     }),
-    // Luby MIS: members (rows-only; validity in spec)
-    "x7_mis" -> ((s, dir) =>
-      IndependentSet.luby(DerivedGraphs.partGraph(s, dir, 2)).orderBy("id")),
-    // ANF sketch neighborhood function (approximate → rows-only;
-    // accuracy asserted vs exact BFS in spec)
-    "x8_anf" -> ((s, dir) =>
-      NeighborhoodFunction.approximate(DerivedGraphs.partGraph(s, dir, 2), maxH = 12)),
-    // generator determinism surface (hash-based → rows-only)
+    // suitor matching: validity gates (disjointness, edges-only,
+    // maximality), each computed distributedly and emitted as counts the
+    // oracle pins to zero
+    "x6_matching" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val m = Matching.suitor(g)
+      val adj = g.adjacency.select("src", "dst").filter(col("src") =!= col("dst"))
+      val matchedNodes = m.select(col("u").as("id"))
+        .unionAll(m.select(col("v").as("id")))
+      val dupNodes = matchedNodes.groupBy("id").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+      val nonEdgePairs = m.select(col("u").as("src"), col("v").as("dst"))
+        .join(adj, Seq("src", "dst"), "left_anti").count()
+      val unmatchedEdges = adj
+        .join(matchedNodes.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(matchedNodes.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .count()
+      g.vertices.agg(count(lit(1)).as("n_nodes")).select(
+        col("n_nodes"), lit(dupNodes).as("dup_nodes"),
+        lit(nonEdgePairs).as("non_edge_pairs"),
+        lit(unmatchedEdges).as("unmatched_edge_pairs"))
+    }),
+    // Luby MIS: independence (no internal edges) + maximality (every
+    // non-member has a member neighbor), emitted as violation counts
+    "x7_mis" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val mis = IndependentSet.luby(g)
+      val adj = g.adjacency.select("src", "dst").filter(col("src") =!= col("dst"))
+      val internalEdges = adj
+        .join(mis.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(mis.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .count()
+      val covered = adj
+        .join(mis.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src").as("id")).distinct()
+      val uncovered = g.vertices.select("id")
+        .join(mis, Seq("id"), "left_anti")
+        .join(covered, Seq("id"), "left_anti")
+        .count()
+      g.vertices.agg(count(lit(1)).as("n_nodes")).select(
+        col("n_nodes"), lit(internalEdges).as("independence_violations"),
+        lit(uncovered).as("uncovered_nodes"))
+    }),
+    // ANF: exact neighborhood function for h ≤ 3 (multi-source BFS —
+    // SQL-derivable by recursive CTE) + FM-sketch estimate gated to ±35%
+    "x8_anf" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val sources = g.vertices.select(col("id").as("source"))
+      val dist = ShortestPaths.bfs(g, sources, maxIter = 3)
+      val win = org.apache.spark.sql.expressions.Window.orderBy("dist")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val exact = dist.groupBy(col("dist")).agg(count(lit(1)).as("cnt"))
+        .withColumn("exact_nf", sum("cnt").over(win))
+        .select(col("dist").cast("long").as("h"), col("exact_nf"))
+      val sketch = NeighborhoodFunction.approximate(g, maxH = 3)
+        .select(col("h").cast("long").as("h"), col("nf"))
+      // h = 0 exempt: FM sketches of cardinality-1 sets carry the well-
+      // known small-range bias (estimate ≈ 2.6 per node); the gate is
+      // the multi-hop estimates
+      exact.join(sketch, Seq("h"), "left")
+        .select(col("h"), col("exact_nf"),
+          (col("h") === 0 ||
+            coalesce(abs(col("nf") - col("exact_nf")) / col("exact_nf"), lit(1.0))
+            <= 0.35).cast("long").as("sketch_ok"))
+        .orderBy("h")
+    }),
+    // generator structural invariants + expected-count intervals
+    // (deterministic seeded hashes → flags are stable run to run)
     "x9_generators" -> ((s, dir) => {
+      def row(name: String, g: PropertyGraph, badRows: Long, lo: Long, hi: Long) = {
+        val m = g.edges.count()
+        g.edges.agg(count(lit(1)).as("m")).select(
+          lit(name).as("gen"), lit(badRows).as("bad_rows"),
+          lit(m >= lo && m <= hi).cast("long").as("m_in_range"))
+      }
       val er = Generators.erdosRenyi(s, 500, 0.02)
+      val erBad = er.edges.filter(col("src") === col("dst")).count() +
+        (er.edges.count() - er.edges.select("src", "dst").distinct().count())
       val ws = Generators.wattsStrogatz(s, 500, 4, 0.1)
+      val wsBad = ws.edges.filter(col("src") === col("dst")).count()
       val rm = Generators.rmat(s, 9, 4)
-      er.edges.agg(count(lit(1)).as("n")).select(lit("er").as("gen"), col("n"))
-        .unionAll(ws.edges.agg(count(lit(1)).as("n")).select(lit("ws").as("gen"), col("n")))
-        .unionAll(rm.edges.agg(count(lit(1)).as("n")).select(lit("rmat").as("gen"), col("n")))
+      val rmBad = rm.edges.filter(col("src") < 0 || col("src") >= 512 ||
+        col("dst") < 0 || col("dst") >= 512).count()
+      // E[er] = C(500,2)·0.02 ≈ 2495 (±5σ ≈ 250); ws ≤ n·k/2 = 1000 after
+      // self-loop/dup removal; rmat = exactly 4·512 sampled rows
+      row("er", er, erBad, 2245, 2745)
+        .unionAll(row("ws", ws, wsBad, 900, 1000))
+        .unionAll(row("rmat", rm, rmBad, 2048, 2048))
     }),
     // multimodal: media stats per kind (byte lengths SQL-checkable)
     "x10_media" -> ((s, dir) => {
@@ -91,10 +174,18 @@ object ExtendedQueries {
       Multimodal.sampleFrames(media, 1000L)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
     }),
-    // multimodal: stub decode features (deterministic fake → rows-only)
+    // multimodal: stub decode plumbing — byte counts are SQL-derivable;
+    // feature-shape validity (8 floats, each in the stub's [0,2) range)
+    // is checked distributedly and pinned to 1 by the oracle
     "x12_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
-      Multimodal.featureStats(Multimodal.extractFeatures(media))
+      Multimodal.extractFeatures(media)
+        .select(col("kind"), col("byte_len"),
+          (size(col("features")) === 8 &&
+            expr("forall(features, x -> x >= 0.0 AND x <= 2.0)")).cast("long").as("ok"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum("byte_len").as("total_bytes"),
+          min("ok").as("features_ok"))
     }),
     // harmonic closeness for 5 sources (recursive-CTE oracle)
     "x13_harmonic" -> ((s, dir) => {
@@ -103,14 +194,23 @@ object ExtendedQueries {
       ShortestPaths.harmonicCloseness(ShortestPaths.bfs(g, sources))
         .select(col("id"), round(col("harmonic"), 6).as("harmonic"))
     }),
-    // hashed random walks: per-step node-visit counts (hash-determined
-    // transitions → deterministic, but not SQL-derivable → rows-only;
-    // edge-validity of every transition is spec-checked)
+    // hashed random walks: every node walks every step (no sinks in the
+    // undirected part graph ⇒ n per step = |V|, SQL-derivable) and every
+    // step transition must be a real edge (violation count pinned to 0)
     "x15_walks" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
-      Walks.randomWalks(g, walksPerNode = 1, len = 4)
-        .groupBy("step").agg(count(lit(1)).as("n"),
-          countDistinct(col("node")).as("n_distinct"))
+      val w = Walks.randomWalks(g, walksPerNode = 1, len = 4)
+      val trans = w.as("a")
+        .join(w.as("b"), col("a.walk_id") === col("b.walk_id") &&
+          col("b.step") === col("a.step") + 1)
+        .select(col("a.node").as("src"), col("b.node").as("dst"))
+      val invalid = trans
+        .join(g.adjacency.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .count()
+      w.groupBy(col("step").cast("long").as("step"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("invalid_transitions", lit(invalid))
+        .orderBy("step")
     }),
     // SCC on the directed customer→supplier purchase graph (bipartite ⇒
     // every SCC is a singleton — exact oracle on the component count)
@@ -166,12 +266,76 @@ object ExtendedQueries {
          |       FROM adj a JOIN adj b ON a.src=b.src AND a.dst < b.dst GROUP BY 1,2)
          |SELECT count(*) AS kept_edges, round(sum(e.c*1.0), 2) AS kept_weight
          |FROM e JOIN cn ON cn.u=e.src AND cn.v=e.dst WHERE cn.score >= 1""".stripMargin,
+    // MSF weight via the threshold identity: W = Σ_{t=0}^{maxW-1}
+    // (#comp(edges with c ≤ t) − #comp(all edges)). One recursive
+    // label-prop CTE carries the threshold t as a key.
+    "x5_msf" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |maxw AS MATERIALIZED (SELECT max(c) AS w FROM e),
+         |thr AS (SELECT g.t FROM generate_series(0, 63) AS g(t)
+         |        WHERE g.t <= (SELECT w FROM maxw)),
+         |lblt(t, id, comp) AS (
+         |  SELECT thr.t, n.id, n.id FROM nodes n, thr
+         |  UNION
+         |  SELECT l.t, s.dst, l.comp FROM lblt l JOIN sym s
+         |    ON s.src = l.id AND s.c <= l.t WHERE l.comp < s.dst),
+         |cct AS MATERIALIZED (SELECT t, id, min(comp) AS comp FROM lblt GROUP BY t, id),
+         |ct AS MATERIALIZED (SELECT t, count(DISTINCT comp) AS c FROM cct GROUP BY t),
+         |cfull AS MATERIALIZED (SELECT c FROM ct WHERE t = (SELECT w FROM maxw))
+         |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+         |  (SELECT c FROM cfull)::BIGINT AS n_components,
+         |  ((SELECT count(*) FROM nodes) - (SELECT c FROM cfull))::BIGINT AS n_forest_edges,
+         |  (SELECT sum(ct.c - (SELECT c FROM cfull))
+         |   FROM ct WHERE ct.t < (SELECT w FROM maxw))::BIGINT AS total_weight""".stripMargin,
+    "x6_matching" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_nodes, 0::BIGINT AS dup_nodes,
+         |  0::BIGINT AS non_edge_pairs, 0::BIGINT AS unmatched_edge_pairs
+         |FROM nodes""".stripMargin,
+    "x7_mis" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_nodes, 0::BIGINT AS independence_violations,
+         |  0::BIGINT AS uncovered_nodes
+         |FROM nodes""".stripMargin,
+    "x8_anf" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM nodes
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 3),
+         |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+         |hh AS (SELECT g.h FROM generate_series(0, 3) AS g(h))
+         |SELECT hh.h, (SELECT count(*) FROM d WHERE d.dist <= hh.h)::BIGINT AS exact_nf,
+         |  1::BIGINT AS sketch_ok
+         |FROM hh""".stripMargin,
+    "x9_generators" ->
+      """SELECT * FROM (VALUES
+        | ('er', 0::BIGINT, 1::BIGINT),
+        | ('ws', 0::BIGINT, 1::BIGINT),
+        | ('rmat', 0::BIGINT, 1::BIGINT)) AS t(gen, bad_rows, m_in_range)""".stripMargin,
+    "x12_features" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        | count(*) AS n,
+        | sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
+        | 1::BIGINT AS features_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x15_walks" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT g.s::BIGINT AS step, (SELECT count(*) FROM nodes) AS n,
+         |  0::BIGINT AS invalid_transitions
+         |FROM generate_series(0, 3) AS g(s)""".stripMargin,
     "x10_media" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         | count(*) AS n,
-        | sum(octet_length(text::BLOB)) AS total_bytes,
-        | sum(n_chars * 10) AS total_ms
+        | sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
+        | sum(n_chars * 10)::BIGINT AS total_ms
         |FROM documents GROUP BY 1""".stripMargin,
     "x11_frames" ->
       """SELECT doc_id AS media_id, count(*) AS n_frames

@@ -31,6 +31,25 @@ object GraphQueries {
        |nodes AS (SELECT DISTINCT src AS id FROM sym),
        |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)""".stripMargin
 
+  /** Unrolled k-core peel oracle: each round keeps nodes with ≥ k
+    * neighbors inside the surviving set; `rounds` is sized to the
+    * measured convergence at sf0.01 (11) plus slack — extra rounds are
+    * idempotent at the fixpoint. */
+  private def kcorePeelSql(minShared: Int, k: Int, rounds: Int): String = {
+    // each round references the previous one twice: MATERIALIZED stops
+    // DuckDB's default CTE inlining from doubling the plan per round
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT s.src AS id FROM symm s
+         | JOIN c${i - 1} a ON a.id = s.src JOIN c${i - 1} b ON b.id = s.dst
+         | GROUP BY s.src HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCte(minShared)},
+       |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+       |c0 AS (SELECT id FROM nodes),
+       |$steps
+       |SELECT id FROM c$rounds ORDER BY id""".stripMargin
+  }
+
   /** Unrolled PageRank oracle: `iters` pull iterations, damping 0.85,
     * no sinks (undirected graph from edges), rounded to 6 decimals. */
   private def pagerankSql(minShared: Int, iters: Int): String = {
@@ -124,7 +143,8 @@ object GraphQueries {
       PageRank.katz(g, alpha = 0.1, beta = 1.0, tol = 0.0, maxIter = 10)
         .select(col("id"), round(col("score"), 6).as("katz"))
     }),
-    // k-core: no SQL-expressible oracle (nested delete-fixpoint) → rows-only
+    // k-core: oracle = unrolled peel (kcorePeelSql), rounds sized to
+    // measured convergence + slack
     "g17_kcore3" -> ((s, dir) => {
       val core = GraphOps.kCore(DerivedGraphs.partGraph(s, dir, 2), 3)
       core.edges.select(col("src").as("id")).unionAll(core.edges.select(col("dst").as("id")))
@@ -272,6 +292,7 @@ object GraphQueries {
       s"""WITH ${graphCte(2)}
          |SELECT src AS id, round(sum(c*1.0), 6) AS wdegree FROM symw GROUP BY src""".stripMargin,
     "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
+    "g17_kcore3" -> kcorePeelSql(2, 3, 16),
     "g19_degdist" ->
       s"""WITH ${graphCte(2)},
          |h AS (SELECT d AS degree, count(*) AS cnt FROM deg GROUP BY d),

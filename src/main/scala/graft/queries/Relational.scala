@@ -194,8 +194,8 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q10_caseagg" ->
       """SELECT o_orderpriority,
-        | sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS n_f,
-        | sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS n_o,
+        | sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+        | sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
         | round(avg(o_totalprice),4) AS avg_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q11_setops" ->

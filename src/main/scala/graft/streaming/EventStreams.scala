@@ -30,7 +30,7 @@ object EventStreams {
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Watermarked tumbling-window aggregate — streaming analog of the
     * batch query `ev1_tumbling`. */
