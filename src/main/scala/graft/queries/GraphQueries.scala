@@ -31,6 +31,56 @@ object GraphQueries {
        |nodes AS (SELECT DISTINCT src AS id FROM sym),
        |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)""".stripMargin
 
+  /** Brandes betweenness oracle: BFS distances by recursive CTE, then
+    * the layered DP unrolled per level — σ(w) = Σ_{v∈N(w), d(v)=d(w)−1}
+    * σ(v) forward, δ(v) = Σ_{w∈N(v), d(w)=d(v)+1} σ(v)/σ(w)(1+δ(w))
+    * backward. Validated cell-exact against an in-memory Brandes.
+    * Every level CTE is referenced more than once → MATERIALIZED. */
+  private def brandesSql(minShared: Int, nSources: Int, depth: Int): String = {
+    val sigLevels = (1 to depth).map { k =>
+      s"""sig$k AS MATERIALIZED (
+         |  SELECT d.s, d.id, sum(sp.sigma) AS sigma
+         |  FROM dm d JOIN symm e ON e.dst = d.id
+         |  JOIN sig${k - 1} sp ON sp.s = d.s AND sp.id = e.src
+         |  JOIN dm dp ON dp.s = d.s AND dp.id = e.src AND dp.dist = ${k - 1}
+         |  WHERE d.dist = $k GROUP BY d.s, d.id)""".stripMargin
+    }.mkString(",\n")
+    val delLevels = (s"delL$depth AS MATERIALIZED (SELECT s, id, 0.0 AS delta FROM dm WHERE dist = $depth)" +:
+      (depth - 1 to 0 by -1).map { k =>
+        s"""delL$k AS MATERIALIZED (
+           |  SELECT v.s, v.id,
+           |    coalesce(sum(sv.sigma / sw.sigma * (1.0 + dw.delta)), 0.0) AS delta
+           |  FROM dm v
+           |  JOIN sig sv ON sv.s = v.s AND sv.id = v.id
+           |  LEFT JOIN symm e ON e.src = v.id
+           |  LEFT JOIN dm w ON w.s = v.s AND w.id = e.dst AND w.dist = ${k + 1}
+           |  LEFT JOIN sig sw ON sw.s = v.s AND sw.id = w.id
+           |  LEFT JOIN delL${k + 1} dw ON dw.s = v.s AND dw.id = w.id
+           |  WHERE v.dist = $k
+           |  GROUP BY v.s, v.id)""".stripMargin
+      }).mkString(",\n")
+    val allDel = (0 to depth).map(k => s"SELECT * FROM delL$k").mkString(" UNION ALL ")
+    val allSig = (0 to depth).map(k => s"SELECT * FROM sig$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${graphCte(minShared)},
+       |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+       |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT $nSources),
+       |reach(s, id, dist) AS (
+       |  SELECT id, id, 0 FROM srcs
+       |  UNION
+       |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src=r.id
+       |  WHERE r.dist < $depth),
+       |dm AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+       |sig0 AS MATERIALIZED (SELECT s, id, 1.0 AS sigma FROM dm WHERE dist = 0),
+       |$sigLevels,
+       |sig AS MATERIALIZED ($allSig),
+       |$delLevels,
+       |alldel AS ($allDel)
+       |SELECT n.id,
+       |  round(coalesce(sum(CASE WHEN a.id <> a.s THEN a.delta END), 0.0) / 2.0, 4) AS score
+       |FROM nodes n LEFT JOIN alldel a ON a.id = n.id
+       |GROUP BY n.id""".stripMargin
+  }
+
   /** Unrolled k-core peel oracle: each round keeps nodes with ≥ k
     * neighbors inside the surviving set; `rounds` is sized to the
     * measured convergence at sf0.01 (11) plus slack — extra rounds are
@@ -152,6 +202,16 @@ object GraphQueries {
     }),
     // degree-distribution fit surface (reference
     // PowerlawDegreeSequence.hpp:12): histogram + CDF via window cumsum
+    // Brandes betweenness from the 5 smallest node ids, unscaled (the
+    // oracle replays the exact layered σ/δ DP in SQL)
+    "x18_betweenness" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val ids = g.vertices.orderBy("id").limit(5).select("id").as[Long].collect().toSeq
+      Betweenness.run(g, sourceIds = Some(ids))
+        .select(col("id"), round(col("score"), 4).as("score"))
+    }),
     "g19_degdist" -> ((s, dir) => {
       val deg = DerivedGraphs.partGraph(s, dir, 2).degrees
       val hist = deg.groupBy("degree").agg(count(lit(1)).as("cnt"))
@@ -293,6 +353,7 @@ object GraphQueries {
          |SELECT src AS id, round(sum(c*1.0), 6) AS wdegree FROM symw GROUP BY src""".stripMargin,
     "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
     "g17_kcore3" -> kcorePeelSql(2, 3, 16),
+    "x18_betweenness" -> brandesSql(2, 5, 12),
     "g19_degdist" ->
       s"""WITH ${graphCte(2)},
          |h AS (SELECT d AS degree, count(*) AS cnt FROM deg GROUP BY d),

@@ -169,9 +169,11 @@ object TextQueries {
     },
     "t7_ngramjaccard" ->
       s"""WITH $shingleCte,
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+         |shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-         |          FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+         |          FROM shf x JOIN shf y ON x.sh = y.sh AND x.doc_id < y.doc_id
          |          GROUP BY x.doc_id, y.doc_id)
          |SELECT a, b, round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
          |FROM inter JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
