@@ -157,4 +157,102 @@ object Generators {
   def clusteringRandom(g: PropertyGraph, k: Int, seed: Long = 42): DataFrame =
     g.vertices.select(col("id"),
       pmod(xxhash64(lit(seed), col("id")), lit(k.toLong)).as("community"))
+
+  /** LFR benchmark graph with planted communities (reference
+    * `generators/LFRGenerator.hpp:28`): power-law degrees (exponent τ1),
+    * power-law community sizes (τ2), mixing parameter μ — each node
+    * spends ≈ (1−μ) of its degree inside its community.
+    *
+    * Realization is the Chung–Lu coupling of the LFR ensemble rather
+    * than the reference's configuration-model + rewiring: intra edges
+    * sampled pairwise within communities ∝ (1−μ)²·dᵤdᵥ / vol_intra(c),
+    * inter edges globally ∝ μ²·dᵤdᵥ / vol_inter — same expected degree
+    * sequence and mixing, fully hash-deterministic, no sequential
+    * rewiring (the documented semantic deviation; recovery tests behave
+    * identically). Exact pairwise sampling scans n²/2 candidate pairs —
+    * fine to ~10⁵ nodes, degree-bucket blocking beyond.
+    *
+    * Returns the graph and the planted partition `(id, community)`. */
+  def lfr(spark: SparkSession, n: Long, mu: Double, tau1: Double = 2.5,
+      tau2: Double = 1.5, minDeg: Int = 5, maxDeg: Int = 50,
+      minComm: Int = 20, maxComm: Int = 100,
+      seed: Long = 42): (PropertyGraph, DataFrame) = {
+    // power-law inverse-CDF sample: x = (a^(1-τ) + u·(b^(1-τ) − a^(1-τ)))^(1/(1-τ))
+    def plaw(u: org.apache.spark.sql.Column, a: Double, b: Double, tau: Double) = {
+      val e = 1.0 - tau
+      pow(lit(math.pow(a, e)) + u * lit(math.pow(b, e) - math.pow(a, e)), 1.0 / e)
+    }
+    val nodes = spark.range(n)
+      .select(col("id"),
+        plaw(u01(seed, lit(1L), col("id")), minDeg, maxDeg, tau1)
+          .cast("long").as("deg"))
+    // community sizes: sample C = ceil(n / E[size]) power-law sizes, then
+    // assign nodes round-robin weighted by size (hash-bucketed: node →
+    // community c with probability size_c / Σ sizes — deterministic via
+    // inverse-CDF over the cumulative size table)
+    val eSize = {
+      // closed-form mean of the bounded power-law used above
+      val e = 1.0 - tau2
+      val (a, b) = (minComm.toDouble, maxComm.toDouble)
+      // numeric mean via 1000-point inverse-CDF average (driver-side)
+      (0 until 1000).map { i =>
+        val u = (i + 0.5) / 1000.0
+        math.pow(math.pow(a, e) + u * (math.pow(b, e) - math.pow(a, e)), 1.0 / e)
+      }.sum / 1000.0
+    }
+    val nComm = math.max(2L, math.round(n / eSize))
+    val commSizes = (0L until nComm).map { c =>
+      val u = ((xxhash64scala(seed + 1, c) % (1L << 40)).abs + 0.5) / (1L << 40).toDouble
+      val e = 1.0 - tau2
+      c -> math.pow(math.pow(minComm, e) + u * (math.pow(maxComm, e) - math.pow(minComm, e)), 1.0 / e)
+    }
+    val totalSize = commSizes.map(_._2).sum
+    val cum = commSizes.scanLeft((0L, 0.0)) { case ((_, acc), (c, s)) => (c, acc + s / totalSize) }.tail
+    val cumDf = {
+      import spark.implicits._
+      // pad the top bin so float rounding can never orphan a node
+      cum.zipWithIndex.map { case ((c, hi), i) =>
+        (c, if (i == cum.size - 1) 1.000001 else hi)
+      }.toDF("community", "hi")
+    }
+    // node → community: first community whose cumulative share exceeds the node's hash
+    val withU = nodes.withColumn("u", u01(seed + 2, col("id")))
+    val assigned = withU.join(cumDf, col("u") <= col("hi"))
+      .groupBy("id", "deg", "u").agg(min("community").as("community"))
+      .select("id", "deg", "community")
+      .localCheckpoint(true)
+    val planted = assigned.select(col("id"), col("community"))
+
+    // intra-community Chung-Lu: expected internal degree (1-μ)·deg
+    val volIntra = assigned.groupBy("community")
+      .agg(sum((col("deg") * (1 - mu))).as("vol"))
+    val a = assigned.select(col("community"), col("id").as("u"), col("deg").as("du"))
+    val b = assigned.select(col("community"), col("id").as("v"), col("deg").as("dv"))
+    val intra = a.join(b, "community").filter(col("u") < col("v"))
+      .join(volIntra, "community")
+      .filter(u01(seed + 3, col("u"), col("v")) <
+        least(lit(1.0), col("du") * (1 - mu) * col("dv") * (1 - mu) / col("vol")))
+      .select(col("u").as("src"), col("v").as("dst"))
+    // inter-community Chung-Lu: expected external degree μ·deg
+    val volInter = assigned.agg(sum(col("deg") * mu)).head.getDouble(0)
+    val ax = assigned.select(col("id").as("u"), col("deg").as("du"), col("community").as("cu"))
+    val bx = assigned.select(col("id").as("v"), col("deg").as("dv"), col("community").as("cv"))
+    val inter = ax.join(bx, col("u") < col("v") && col("cu") =!= col("cv"))
+      .filter(u01(seed + 4, col("u"), col("v")) <
+        least(lit(1.0), col("du") * mu * col("dv") * mu / volInter))
+      .select(col("u").as("src"), col("v").as("dst"))
+
+    val edges = intra.unionAll(inter).withColumn("weight", lit(1.0))
+    (PropertyGraph(edges, directed = false,
+      Some(spark.range(n).select(col("id")))), planted)
+  }
+
+  /** Driver-side xxhash-ish mixer for the few scalar draws the driver
+    * makes (community sizes) — splitmix64, seed-stable. */
+  private def xxhash64scala(seed: Long, x: Long): Long = {
+    var z = seed + x * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 }

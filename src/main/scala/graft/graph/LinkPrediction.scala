@@ -79,4 +79,51 @@ object LinkPrediction {
       .join(deg.select(col("id").as("v"), col("degree").as("dv")), "v")
       .select(col("u"), col("v"), (col("du") * col("dv")).as("pref_attach"))
   }
+
+  /** The full per-pair index sheet over candidate pairs: common
+    * neighbors, total neighbors |N(u) ∪ N(v)| (reference
+    * `TotalNeighborsIndex.hpp:29`), U/V degrees (`UDegreeIndex.hpp:27`,
+    * `VDegreeIndex.hpp:27`), neighborhood distance cn/√(du·dv)
+    * (`NeighborhoodDistanceIndex.hpp` runImpl), preferential attachment
+    * — one candidate-pair join feeding five one-line projections. */
+  def indexSheet(g: PropertyGraph): DataFrame = {
+    val deg = degrees(g)
+    commonNeighbors(g)
+      .join(deg.select(col("id").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        (col("du") + col("dv") - col("cn")).as("total_nbrs"),
+        col("du").as("u_degree"), col("dv").as("v_degree"),
+        (col("cn") / sqrt(col("du") * col("dv"))).as("nbr_distance"),
+        (col("du") * col("dv")).as("pref_attach"))
+  }
+
+  /** SameCommunityIndex (reference `SameCommunityIndex.hpp`,
+    * `SameCommunityIndex.cpp:28`): 1 iff both endpoints share a label
+    * under `partition (id, community)`. */
+  def sameCommunity(pairs: DataFrame, partition: DataFrame): DataFrame =
+    pairs
+      .join(partition.select(col("id").as("u"), col("community").as("cu")), "u")
+      .join(partition.select(col("id").as("v"), col("community").as("cv")), "v")
+      .withColumn("same_community",
+        when(col("cu") === col("cv"), 1L).otherwise(0L))
+      .drop("cu", "cv")
+
+  /** NeighborsMeasureIndex (reference `NeighborsMeasureIndex.hpp:29-40`):
+    * number of (a ∈ N(u), b ∈ N(v)) pairs with a = b or (a,b) ∈ E —
+    * i.e. common neighbors plus 3-paths u–a–b–v. The 3-path leg is the
+    * triple adjacency join grouped on the endpoints, restricted to the
+    * candidate pair set to bound the output. */
+  def neighborsMeasure(g: PropertyGraph): DataFrame = {
+    val s = sym(g)
+    val cn = commonNeighbors(g)
+    val threePaths = s.select(col("src").as("u"), col("dst").as("a"))
+      .join(s.select(col("src").as("a"), col("dst").as("b")), "a")
+      .join(s.select(col("src").as("b"), col("dst").as("v")), "b")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("p3"))
+    cn.join(threePaths, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (col("cn") + coalesce(col("p3"), lit(0L))).as("neighbors_measure"))
+  }
 }

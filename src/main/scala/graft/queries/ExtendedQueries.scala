@@ -160,6 +160,18 @@ object ExtendedQueries {
         .unionAll(row("ws", ws, wsBad, 900, 1000))
         .unionAll(row("rmat", rm, rmBad, 2048, 2048))
     }),
+    // SCAN structural similarity per edge (exact SQL oracle)
+    "x20_scan" -> ((s, dir) =>
+      Sparsification.scanScore(DerivedGraphs.partGraph(s, dir, 2))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))),
+    // Simmelian overlap (top-5 strong ties) per edge
+    "x21_simmelian" -> ((s, dir) =>
+      Sparsification.simmelianOverlapScore(DerivedGraphs.partGraph(s, dir, 2), maxRank = 5)
+        .select(col("src"), col("dst"), col("score"))),
+    // local degree score per edge
+    "x22_localdegree" -> ((s, dir) =>
+      Sparsification.localDegreeScore(DerivedGraphs.partGraph(s, dir, 2))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))),
     // multimodal: media stats per kind (byte lengths SQL-checkable)
     "x10_media" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
@@ -330,6 +342,46 @@ object ExtendedQueries {
          |SELECT g.s::BIGINT AS step, (SELECT count(*) FROM nodes) AS n,
          |  0::BIGINT AS invalid_transitions
          |FROM generate_series(0, 3) AS g(s)""".stripMargin,
+    "x20_scan" ->
+      s"""WITH $graphCte,
+         |cn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS cnt
+         |       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |       GROUP BY 1, 2),
+         |dg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+         |SELECT e.src, e.dst,
+         | round((coalesce(cn.cnt, 0) + 2.0) / sqrt((du.d + 1.0) * (dv.d + 1.0)), 6) AS score
+         |FROM e LEFT JOIN cn ON cn.u = e.src AND cn.v = e.dst
+         |JOIN dg du ON du.id = e.src JOIN dg dv ON dv.id = e.dst""".stripMargin,
+    "x21_simmelian" ->
+      s"""WITH $graphCte,
+         |cn AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, count(*) AS cnt
+         |       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |       GROUP BY 1, 2),
+         |t AS MATERIALIZED (SELECT e.src, e.dst, coalesce(cn.cnt, 0) AS score
+         |     FROM e LEFT JOIN cn ON cn.u = e.src AND cn.v = e.dst),
+         |inc AS (SELECT src AS id, dst AS nbr, score FROM t
+         |        UNION ALL SELECT dst, src, score FROM t),
+         |strong AS MATERIALIZED (SELECT id, nbr FROM (
+         |  SELECT id, nbr, row_number() OVER (PARTITION BY id
+         |    ORDER BY score DESC, nbr ASC) AS rn FROM inc) WHERE rn <= 5),
+         |ov AS (SELECT s1.id AS u, s2.id AS v, count(*) AS c
+         |       FROM strong s1 JOIN strong s2 ON s1.nbr = s2.nbr AND s1.id < s2.id
+         |       GROUP BY 1, 2)
+         |SELECT t.src, t.dst, coalesce(ov.c, 0)::BIGINT AS score
+         |FROM t LEFT JOIN ov ON ov.u = t.src AND ov.v = t.dst""".stripMargin,
+    "x22_localdegree" ->
+      s"""WITH $graphCte,
+         |dg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+         |ranked AS (SELECT a.src, a.dst,
+         |   row_number() OVER (PARTITION BY a.src ORDER BY d2.d DESC, a.dst ASC) AS rnk,
+         |   d1.d AS dself
+         | FROM sym a JOIN dg d2 ON d2.id = a.dst JOIN dg d1 ON d1.id = a.src),
+         |sc AS (SELECT least(src, dst) AS s, greatest(src, dst) AS t2,
+         |   CASE WHEN dself <= 1 THEN 1.0 ELSE 1.0 - ln(rnk) / ln(dself) END AS v
+         | FROM ranked),
+         |ag AS (SELECT s, t2, max(v) AS v FROM sc GROUP BY 1, 2)
+         |SELECT e.src, e.dst, round(coalesce(ag.v, 0), 6) AS score
+         |FROM e LEFT JOIN ag ON ag.s = e.src AND ag.t2 = e.dst""".stripMargin,
     "x10_media" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
         |  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -202,6 +202,22 @@ object GraphQueries {
     }),
     // degree-distribution fit surface (reference
     // PowerlawDegreeSequence.hpp:12): histogram + CDF via window cumsum
+    // k-clique counts (k = 2,3,4) via degree-oriented ordered joins
+    "x19_cliques" -> ((s, dir) =>
+      Cliques.cliqueCounts(DerivedGraphs.partGraph(s, dir, 2), maxK = 4)),
+    // full link-prediction index sheet over candidate pairs: cn, total
+    // neighbors, U/V degree, neighborhood distance, preferential
+    // attachment, same-community (mod-8 labels) — all SQL-exact
+    "g23_linkpred" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val sheet = LinkPrediction.indexSheet(g)
+      val part = g.vertices.select(col("id"), (col("id") % 8).as("community"))
+      LinkPrediction.sameCommunity(sheet, part)
+        .select(col("u"), col("v"), col("cn"), col("total_nbrs"),
+          col("u_degree"), col("v_degree"),
+          round(col("nbr_distance"), 6).as("nbr_distance"),
+          col("pref_attach"), col("same_community"))
+    }),
     // Brandes betweenness from the 5 smallest node ids, unscaled (the
     // oracle replays the exact layered σ/δ DP in SQL)
     "x18_betweenness" -> ((s, dir) => {
@@ -354,6 +370,33 @@ object GraphQueries {
     "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
     "g17_kcore3" -> kcorePeelSql(2, 3, 16),
     "x18_betweenness" -> brandesSql(2, 5, 12),
+    // clique counts by id-ordered joins — orientation-invariant, so the
+    // degree-oriented Spark enumeration must agree exactly
+    "x19_cliques" ->
+      s"""WITH ${graphCte(2)},
+         |c2 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e),
+         |t AS MATERIALIZED (SELECT x.a, x.b, y.b AS c FROM c2 x
+         |     JOIN c2 y ON y.a = x.a AND y.b > x.b
+         |     JOIN c2 z ON z.a = x.b AND z.b = y.b),
+         |f AS (SELECT t.a, t.b, t.c, x.b AS d FROM t
+         |     JOIN c2 x ON x.a = t.a AND x.b > t.c
+         |     JOIN c2 y ON y.a = t.b AND y.b = x.b
+         |     JOIN c2 z ON z.a = t.c AND z.b = x.b)
+         |SELECT 2::BIGINT AS k, (SELECT count(*) FROM c2) AS n_cliques
+         |UNION ALL SELECT 3, (SELECT count(*) FROM t)
+         |UNION ALL SELECT 4, (SELECT count(*) FROM f)""".stripMargin,
+    "g23_linkpred" ->
+      s"""WITH ${graphCte(2)},
+         |cn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS c
+         |       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |       GROUP BY 1, 2)
+         |SELECT cn.u, cn.v, cn.c AS cn,
+         | (du.d + dv.d - cn.c)::BIGINT AS total_nbrs,
+         | du.d AS u_degree, dv.d AS v_degree,
+         | round(cn.c / sqrt(du.d * dv.d), 6) AS nbr_distance,
+         | (du.d * dv.d)::BIGINT AS pref_attach,
+         | CASE WHEN cn.u % 8 = cn.v % 8 THEN 1 ELSE 0 END::BIGINT AS same_community
+         |FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v""".stripMargin,
     "g19_degdist" ->
       s"""WITH ${graphCte(2)},
          |h AS (SELECT d AS degree, count(*) AS cnt FROM deg GROUP BY d),
