@@ -64,4 +64,60 @@ object Matching {
       Seq.empty[(Long, Long, Double)].toDF("u", "v", "weight")
     } else matched
   }
+
+  /** b-matching via rounds of mutual-best proposals with residual
+    * capacities (reference `matching/BSuitorMatcher.hpp` semantics):
+    * each node proposes to its best remaining neighbor while it has
+    * capacity; mutual proposals lock the edge and decrement both
+    * capacities. Same tie-break discipline as [[suitor]]
+    * (weight desc, partner id asc). Returns matched pairs `(u, v,
+    * weight)`, u < v, at most `b` per node. */
+  def bSuitor(g: PropertyGraph, b: Int, maxIter: Int = 60): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    var remaining = g.adjacency
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint(true)
+    var cap = remaining.select(col("src").as("id")).distinct()
+      .withColumn("cap", lit(b.toLong)).localCheckpoint(true)
+    var matched = Seq.empty[(Long, Long, Double)].toDF("u", "v", "weight")
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val eligible = remaining
+        .join(cap.filter(col("cap") > 0).select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(cap.filter(col("cap") > 0).select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val best = eligible.groupBy("src")
+        .agg(max(struct(col("weight"), (-col("dst")).as("negDst"), col("dst"))).as("b"))
+        .select(col("src"), col("b.dst").as("dst"), col("b.weight").as("weight"))
+        .localCheckpoint(true)
+      val mutual = best.as("a")
+        .join(best.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"),
+          col("a.weight").as("weight"))
+        .localCheckpoint(true)
+      if (mutual.isEmpty) done = true
+      else {
+        matched = matched.unionAll(mutual).localCheckpoint(true)
+        val used = mutual.select(col("u").as("id"))
+          .unionAll(mutual.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("used"))
+        cap = cap.join(used, Seq("id"), "left")
+          .select(col("id"), (col("cap") - coalesce(col("used"), lit(0L))).as("cap"))
+          .localCheckpoint(true)
+        remaining = remaining
+          .join(mutual.select(col("u").as("src"), col("v").as("dst")),
+            Seq("src", "dst"), "left_anti")
+          .join(mutual.select(col("v").as("src"), col("u").as("dst")),
+            Seq("src", "dst"), "left_anti")
+          .localCheckpoint(true)
+        if (remaining.isEmpty) done = true
+      }
+      i += 1
+    }
+    matched
+  }
 }

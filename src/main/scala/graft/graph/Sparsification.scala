@@ -104,6 +104,34 @@ object Sparsification {
         coalesce(col("overlap"), lit(0L)).as("score"))
   }
 
+  /** Prefix-Jaccard per edge (reference
+    * `edgescores/PrefixJaccardScore.cpp`, fixed-k prefix — documented
+    * simplification of the reference's rank-adaptive prefix): Jaccard of
+    * the endpoints' top-`maxRank` strongest ties, ties ranked by
+    * (triangle score desc, neighbor id). */
+  def prefixJaccardScore(g: PropertyGraph, maxRank: Int = 10): DataFrame = {
+    val t = triangleScore(g)
+    val incident = t.select(col("src").as("id"), col("dst").as("nbr"), col("score"))
+      .unionAll(t.select(col("dst").as("id"), col("src").as("nbr"), col("score")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("nbr").asc)
+    val strong = incident.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxRank)
+      .select(col("id"), col("nbr"))
+    val sizes = strong.groupBy("id").agg(count(lit(1)).as("k"))
+    val overlap = strong.select(col("id").as("u"), col("nbr").as("w2"))
+      .join(strong.select(col("id").as("v"), col("nbr").as("w2")), "w2")
+      .filter(col("u") < col("v"))
+      .groupBy(col("u").as("src"), col("v").as("dst"))
+      .agg(count(lit(1)).as("ov"))
+    t.join(overlap, Seq("src", "dst"), "left")
+      .join(sizes.select(col("id").as("src"), col("k").as("ku")), "src")
+      .join(sizes.select(col("id").as("dst"), col("k").as("kv")), "dst")
+      .select(col("src"), col("dst"), col("weight"),
+        (coalesce(col("ov"), lit(0L)) /
+          (col("ku") + col("kv") - coalesce(col("ov"), lit(0L)))).as("score"))
+  }
+
   /** Local degree score (reference `LocalDegreeScore.cpp`): for edge
     * (u,v) seen from u, 1 − log(rank of v among N(u) by degree)/log(d(u))
     * — keeps hub-to-hub edges; the per-edge score is the max over both

@@ -82,6 +82,45 @@ object Triangles {
   def averageClusteringCoefficient(g: PropertyGraph): DataFrame =
     localClusteringCoefficient(g).agg(avg("lcc").as("avg_lcc"))
 
+  /** Local square clustering coefficient `(id, sqcc)` (reference
+    * `centrality/LocalSquareClusteringCoefficient.cpp:19-47`, exact
+    * per-wedge recurrence): per unordered neighbor pair (v,w) of u,
+    * squares += cn(v,w) − 1 and potential += deg(v) + deg(w) − cn(v,w)
+    * − 1 − 2·[v~w]; score = squares / potential (0 when potential ≤ 0).
+    * Wedge enumeration and the cn lookup are the same oriented joins as
+    * triangle counting — one shuffle pipeline, no n² anywhere. */
+  def localSquareClusteringCoefficient(g: PropertyGraph): DataFrame = {
+    val e = simpleEdges(g)
+    val adj = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = simpleDegrees(g)
+    // all common-neighbor pair counts (v<w sharing ≥1 neighbor)
+    val cn = adj.select(col("dst").as("v"), col("src").as("m"))
+      .join(adj.select(col("src").as("m"), col("dst").as("w")), "m")
+      .filter(col("v") < col("w"))
+      .groupBy("v", "w").agg(count(lit(1)).as("cn"))
+    // wedges centered at u: (u, v, w), v < w both neighbors of u
+    val wedges = adj.select(col("src").as("u"), col("dst").as("v"))
+      .join(adj.select(col("src").as("u"), col("dst").as("w")), "u")
+      .filter(col("v") < col("w"))
+    val terms = wedges
+      .join(cn, Seq("v", "w"), "left") // cn ≥ 1 always (u is common) but keep safe
+      .join(e.select(col("src").as("v"), col("dst").as("w"))
+          .withColumn("adjVW", lit(1)), Seq("v", "w"), "left")
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")), "v")
+      .join(deg.select(col("id").as("w"), col("degree").as("dw")), "w")
+      .select(col("u"),
+        (coalesce(col("cn"), lit(1L)) - 1).as("sq"),
+        (col("dv") + col("dw") - coalesce(col("cn"), lit(1L)) - 1
+          - when(col("adjVW").isNotNull, 2).otherwise(0)).as("pot"))
+    val agg0 = terms.groupBy(col("u").as("id"))
+      .agg(sum("sq").as("squares"), sum("pot").as("potential"))
+    g.vertices.select("id").join(agg0, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("potential"), lit(0L)) > 0,
+          col("squares").cast("double") / col("potential"))
+          .otherwise(lit(0.0)).as("sqcc"))
+  }
+
   /** Global clustering coefficient 3·triangles/wedges, 1-row `(gcc)`
     * (reference `global/GlobalClusteringCoefficient.hpp:17`). */
   def globalClusteringCoefficient(g: PropertyGraph): DataFrame = {

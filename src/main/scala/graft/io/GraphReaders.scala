@@ -129,6 +129,97 @@ object GraphReaders {
       .select(col("u").as("src"), col("v").as("dst"), col("w").as("weight"))
   }
 
+  /** GML reader (reference `io/GMLGraphReader.hpp:18`): `graph [ node
+    * [ id N ] … edge [ source A target B ] ]`, optional `directed 1`
+    * header key. GML files are unsplittable interchange fixtures, so
+    * each file is parsed in one executor task via `wholeTextFiles`. */
+  def readGml(spark: SparkSession, path: String): PropertyGraph = {
+    import spark.implicits._
+    val text = spark.sparkContext.wholeTextFiles(path).map(_._2)
+    val parsed = text.flatMap { content =>
+      val tokens = content.split("[\\s\\[\\]]+").filter(_.nonEmpty)
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Double)]()
+      var directed = 0L
+      var i = 0
+      while (i < tokens.length) {
+        tokens(i) match {
+          case "directed" if i + 1 < tokens.length =>
+            directed = tokens(i + 1).toLong; i += 2
+          case "node" =>
+            // scan forward for the id key of this block
+            var j = i + 1
+            while (j < tokens.length && tokens(j) != "id") j += 1
+            if (j + 1 < tokens.length) buf += (("n", tokens(j + 1).toLong, -1L, 0.0))
+            i = j + 2
+          case "edge" =>
+            var (src, dst, w) = (-1L, -1L, 1.0)
+            var j = i + 1
+            var done = false
+            while (j + 1 < tokens.length && !done) {
+              tokens(j) match {
+                case "source" => src = tokens(j + 1).toLong; j += 2
+                case "target" => dst = tokens(j + 1).toLong; j += 2
+                case "value" | "weight" => w = tokens(j + 1).toDouble; j += 2
+                case "node" | "edge" => done = true
+                case _ => j += 1
+              }
+            }
+            buf += (("e", src, dst, w))
+            i = j
+          case _ => i += 1
+        }
+      }
+      buf.iterator.map { case (k, u, v, w) => (k, u, v, w, directed) }
+    }.toDF("kind", "u", "v", "w", "directed").persist()
+    val directed = parsed.agg(max("directed")).head.getLong(0) == 1L
+    val vertices = parsed.filter(col("kind") === "n").select(col("u").as("id"))
+    val edges = parsed.filter(col("kind") === "e")
+      .select(col("u").as("src"), col("v").as("dst"), col("w").as("weight"))
+    PropertyGraph(
+      if (directed) edges else PropertyGraph.canonicalizeUndirected(edges),
+      directed = directed, Some(vertices))
+  }
+
+  /** GML writer (reference `io/GMLGraphWriter.hpp`): size-bounded —
+    * the interchange format is a single sequential text file, so the
+    * edge list is collected to the driver (document: n+m rows). */
+  def writeGml(g: PropertyGraph, path: String): Unit = {
+    val sb = new StringBuilder("graph [\n")
+    if (g.directed) sb ++= "  directed 1\n"
+    g.vertices.select("id").collect().foreach { r =>
+      sb ++= s"  node [\n    id ${r.getLong(0)}\n  ]\n"
+    }
+    g.edges.select("src", "dst").collect().foreach { r =>
+      sb ++= s"  edge [\n    source ${r.getLong(0)}\n    target ${r.getLong(1)}\n  ]\n"
+    }
+    sb ++= "]\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  /** KONECT reader with header directives (reference
+    * `io/KONECTGraphReader.hpp`): the first `%` line declares
+    * `sym|asym|bip` (symmetry) and the weight class
+    * (`unweighted|posweighted|signed|…`); remaining `%` lines are
+    * comments. Node ids are 1-based. */
+  def readKonect(spark: SparkSession, path: String): PropertyGraph = {
+    import spark.implicits._
+    val lines = spark.sparkContext.textFile(path)
+    val header = lines.filter(_.startsWith("%")).take(1).headOption.getOrElse("%")
+    val directives = header.stripPrefix("%").trim.split("\\s+")
+    val directed = directives.headOption.contains("asym")
+    val weighted = directives.length > 1 && directives(1) != "unweighted"
+    val edges = lines
+      .filter(l => !l.startsWith("%") && l.trim.nonEmpty)
+      .map { l =>
+        val p = l.trim.split("\\s+")
+        (p(0).toLong - 1, p(1).toLong - 1,
+          if (weighted && p.length > 2) p(2).toDouble else 1.0)
+      }.toDF("src", "dst", "weight")
+    PropertyGraph(
+      if (directed) edges else PropertyGraph.canonicalizeUndirected(edges),
+      directed = directed)
+  }
+
   /** Partition file (reference `PartitionReader.hpp:21`): line i is the
     * community of node i. `(id, community)` */
   def readPartition(spark: SparkSession, path: String): DataFrame = {

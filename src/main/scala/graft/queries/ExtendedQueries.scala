@@ -93,6 +93,21 @@ object ExtendedQueries {
         lit(nonEdgePairs).as("non_edge_pairs"),
         lit(unmatchedEdges).as("unmatched_edge_pairs"))
     }),
+    // b-matching (b = 2): capacity, edge-validity and duplicate gates
+    // pinned to zero by the oracle
+    "x28_bmatching" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val m = Matching.bSuitor(g, b = 2)
+      val adj = g.adjacency.select("src", "dst").filter(col("src") =!= col("dst"))
+      val overCap = m.select(col("u").as("id")).unionAll(m.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n")).filter(col("n") > 2).count()
+      val nonEdge = m.select(col("u").as("src"), col("v").as("dst"))
+        .join(adj, Seq("src", "dst"), "left_anti").count()
+      val dups = m.count() - m.select("u", "v").distinct().count()
+      g.vertices.agg(count(lit(1)).as("n_nodes")).select(
+        col("n_nodes"), lit(overCap).as("over_capacity"),
+        lit(nonEdge).as("non_edge_pairs"), lit(dups).as("duplicate_pairs"))
+    }),
     // Luby MIS: independence (no internal edges) + maximality (every
     // non-member has a member neighbor), emitted as violation counts
     "x7_mis" -> ((s, dir) => {
@@ -160,6 +175,34 @@ object ExtendedQueries {
         .unionAll(row("ws", ws, wsBad, 900, 1000))
         .unionAll(row("rmat", rm, rmBad, 2048, 2048))
     }),
+    // degree-preserving randomization: the randomized graph's degree
+    // histogram must equal the original's (SQL re-derives the original
+    // histogram exactly), edge count invariant, and some edges must
+    // actually have moved
+    "x26_edgeswitch" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val orig = PropertyGraph.canonicalizeUndirected(
+        g.edges.filter(col("src") =!= col("dst"))).select("src", "dst").distinct()
+      val rnd = Randomization.edgeSwitching(g, rounds = 5)
+      val changed = rnd.edges.select("src", "dst")
+        .join(orig, Seq("src", "dst"), "left_anti").count()
+      val adj = rnd.edges.select("src", "dst")
+        .unionAll(rnd.edges.select(col("dst").as("src"), col("src").as("dst")))
+      adj.groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .withColumn("some_edges_changed", lit(if (changed > 0) 1L else 0L))
+    }),
+    // max-flow between the two smallest node ids with the min-cut
+    // optimality certificate verified distributedly (cut capacity must
+    // equal the flow value — weak duality makes that a proof)
+    "x25_maxflow" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val ids = g.vertices.orderBy("id").limit(2).collect().map(_.getLong(0))
+      MaxFlow.maxFlowCertified(g, ids(0), ids(1))
+        .select(col("s"), col("t"),
+          (col("flow_value") > 0).cast("long").as("positive_flow"),
+          col("certificate_ok"))
+    }),
     // SCAN structural similarity per edge (exact SQL oracle)
     "x20_scan" -> ((s, dir) =>
       Sparsification.scanScore(DerivedGraphs.partGraph(s, dir, 2))
@@ -171,6 +214,10 @@ object ExtendedQueries {
     // local degree score per edge
     "x22_localdegree" -> ((s, dir) =>
       Sparsification.localDegreeScore(DerivedGraphs.partGraph(s, dir, 2))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))),
+    // prefix-Jaccard (top-5 strong ties) per edge
+    "x27_prefixjaccard" -> ((s, dir) =>
+      Sparsification.prefixJaccardScore(DerivedGraphs.partGraph(s, dir, 2), maxRank = 5)
         .select(col("src"), col("dst"), round(col("score"), 6).as("score"))),
     // multimodal: media stats per kind (byte lengths SQL-checkable)
     "x10_media" -> ((s, dir) => {
@@ -312,6 +359,12 @@ object ExtendedQueries {
          |SELECT count(*) AS n_nodes, 0::BIGINT AS independence_violations,
          |  0::BIGINT AS uncovered_nodes
          |FROM nodes""".stripMargin,
+    "x28_bmatching" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_nodes, 0::BIGINT AS over_capacity,
+         |  0::BIGINT AS non_edge_pairs, 0::BIGINT AS duplicate_pairs
+         |FROM nodes""".stripMargin,
     "x8_anf" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -342,6 +395,18 @@ object ExtendedQueries {
          |SELECT g.s::BIGINT AS step, (SELECT count(*) FROM nodes) AS n,
          |  0::BIGINT AS invalid_transitions
          |FROM generate_series(0, 3) AS g(s)""".stripMargin,
+    "x26_edgeswitch" ->
+      s"""WITH $graphCte,
+         |dg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+         |SELECT d AS degree, count(*) AS n_nodes, 1::BIGINT AS some_edges_changed
+         |FROM dg GROUP BY d""".stripMargin,
+    "x25_maxflow" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |two AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM nodes)
+         |SELECT (SELECT id FROM two WHERE rn = 1) AS s,
+         |  (SELECT id FROM two WHERE rn = 2) AS t,
+         |  1::BIGINT AS positive_flow, 1::BIGINT AS certificate_ok""".stripMargin,
     "x20_scan" ->
       s"""WITH $graphCte,
          |cn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS cnt
@@ -369,6 +434,27 @@ object ExtendedQueries {
          |       GROUP BY 1, 2)
          |SELECT t.src, t.dst, coalesce(ov.c, 0)::BIGINT AS score
          |FROM t LEFT JOIN ov ON ov.u = t.src AND ov.v = t.dst""".stripMargin,
+    "x27_prefixjaccard" ->
+      s"""WITH $graphCte,
+         |cn AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, count(*) AS cnt
+         |       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |       GROUP BY 1, 2),
+         |t AS MATERIALIZED (SELECT e.src, e.dst, coalesce(cn.cnt, 0) AS score
+         |     FROM e LEFT JOIN cn ON cn.u = e.src AND cn.v = e.dst),
+         |inc AS (SELECT src AS id, dst AS nbr, score FROM t
+         |        UNION ALL SELECT dst, src, score FROM t),
+         |strong AS MATERIALIZED (SELECT id, nbr FROM (
+         |  SELECT id, nbr, row_number() OVER (PARTITION BY id
+         |    ORDER BY score DESC, nbr ASC) AS rn FROM inc) WHERE rn <= 5),
+         |ks AS MATERIALIZED (SELECT id, count(*) AS k FROM strong GROUP BY id),
+         |ov AS (SELECT s1.id AS u, s2.id AS v, count(*) AS c
+         |       FROM strong s1 JOIN strong s2 ON s1.nbr = s2.nbr AND s1.id < s2.id
+         |       GROUP BY 1, 2)
+         |SELECT t.src, t.dst,
+         |  round(coalesce(ov.c, 0) * 1.0 /
+         |    (ku.k + kv.k - coalesce(ov.c, 0)), 6) AS score
+         |FROM t LEFT JOIN ov ON ov.u = t.src AND ov.v = t.dst
+         |JOIN ks ku ON ku.id = t.src JOIN ks kv ON kv.id = t.dst""".stripMargin,
     "x22_localdegree" ->
       s"""WITH $graphCte,
          |dg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),

@@ -202,6 +202,20 @@ object GraphQueries {
     }),
     // degree-distribution fit surface (reference
     // PowerlawDegreeSequence.hpp:12): histogram + CDF via window cumsum
+    // local square clustering coefficient — exact per-wedge oracle
+    "g24_squarecc" -> ((s, dir) =>
+      Triangles.localSquareClusteringCoefficient(DerivedGraphs.partGraph(s, dir, 2))
+        .select(col("id"), round(col("sqcc"), 6).as("sqcc"))),
+    // greedy group-degree members (k = 3), exact unrolled-greedy oracle
+    "x23_groupdegree" -> ((s, dir) =>
+      GroupCentrality.groupDegree(DerivedGraphs.partGraph(s, dir, 2), 3)
+        .select(col("rank").cast("long").as("rank"), col("id"),
+          col("marginal_gain"))),
+    // greedy group harmonic closeness (k = 3, top-16 degree candidates)
+    "x24_groupharmonic" -> ((s, dir) =>
+      GroupCentrality.groupHarmonicCloseness(DerivedGraphs.partGraph(s, dir, 2), 3)
+        .select(col("rank").cast("long").as("rank"), col("id"),
+          round(col("group_score"), 6).as("group_score"))),
     // k-clique counts (k = 2,3,4) via degree-oriented ordered joins
     "x19_cliques" -> ((s, dir) =>
       Cliques.cliqueCounts(DerivedGraphs.partGraph(s, dir, 2), maxK = 4)),
@@ -370,6 +384,81 @@ object GraphQueries {
     "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
     "g17_kcore3" -> kcorePeelSql(2, 3, 16),
     "x18_betweenness" -> brandesSql(2, 5, 12),
+    "g24_squarecc" ->
+      s"""WITH ${graphCte(2)},
+         |cn AS MATERIALIZED (SELECT a.dst AS v, b.dst AS w, count(*) AS c
+         |  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst GROUP BY 1, 2),
+         |wedges AS (SELECT a.src AS u, a.dst AS v, b.dst AS w
+         |  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
+         |terms AS (SELECT wg.u,
+         |    coalesce(cn.c, 1) - 1 AS sq,
+         |    du.d + dw.d - coalesce(cn.c, 1) - 1
+         |      - CASE WHEN ex.src IS NOT NULL THEN 2 ELSE 0 END AS pot
+         |  FROM wedges wg
+         |  LEFT JOIN cn ON cn.v = wg.v AND cn.w = wg.w
+         |  LEFT JOIN e ex ON ex.src = wg.v AND ex.dst = wg.w
+         |  JOIN deg du ON du.id = wg.v JOIN deg dw ON dw.id = wg.w),
+         |agg AS (SELECT u AS id, sum(sq) AS squares, sum(pot) AS potential
+         |  FROM terms GROUP BY u)
+         |SELECT n.id, round(CASE WHEN coalesce(a.potential, 0) > 0
+         |  THEN a.squares * 1.0 / a.potential ELSE 0.0 END, 6) AS sqcc
+         |FROM nodes n LEFT JOIN agg a ON a.id = n.id""".stripMargin,
+    // unrolled 3-step greedy group degree — each step: gain = uncovered
+    // out-neighbors, argmax (gain desc, id asc), cover the pick + nbrs
+    "x23_groupdegree" ->
+      s"""WITH ${graphCte(2)},
+         |b1 AS MATERIALIZED (SELECT id, d AS gain FROM deg ORDER BY d DESC, id LIMIT 1),
+         |cov1 AS MATERIALIZED (SELECT s.dst AS id FROM sym s JOIN b1 ON s.src = b1.id
+         |  UNION SELECT id FROM b1),
+         |g2 AS (SELECT s.src AS id, count(*) AS gain FROM sym s
+         |  LEFT JOIN cov1 c ON c.id = s.dst WHERE c.id IS NULL GROUP BY s.src),
+         |b2 AS MATERIALIZED (SELECT id, gain FROM g2
+         |  WHERE id NOT IN (SELECT id FROM b1) ORDER BY gain DESC, id LIMIT 1),
+         |cov2 AS MATERIALIZED (SELECT id FROM cov1
+         |  UNION SELECT s.dst FROM sym s JOIN b2 ON s.src = b2.id
+         |  UNION SELECT id FROM b2),
+         |g3 AS (SELECT s.src AS id, count(*) AS gain FROM sym s
+         |  LEFT JOIN cov2 c ON c.id = s.dst WHERE c.id IS NULL GROUP BY s.src),
+         |b3 AS MATERIALIZED (SELECT id, gain FROM g3
+         |  WHERE id NOT IN (SELECT id FROM b1 UNION SELECT id FROM b2)
+         |  ORDER BY gain DESC, id LIMIT 1)
+         |SELECT 1::BIGINT AS rank, id, gain::BIGINT AS marginal_gain FROM b1
+         |UNION ALL SELECT 2, id, gain::BIGINT FROM b2
+         |UNION ALL SELECT 3, id, gain::BIGINT FROM b3""".stripMargin,
+    // unrolled 3-step greedy group harmonic closeness over the top-16
+    // degree candidates; distances by one recursive multi-source BFS
+    "x24_groupharmonic" ->
+      s"""WITH RECURSIVE ${graphCte(2)},
+         |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+         |cand AS MATERIALIZED (SELECT id FROM deg ORDER BY d DESC, id LIMIT 16),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM cand
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src = r.id
+         |  WHERE r.dist < 20),
+         |dm AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+         |s1 AS (SELECT s, sum(1.0/dist) AS score FROM dm WHERE dist > 0 GROUP BY s),
+         |b1 AS MATERIALIZED (SELECT s, score FROM s1 ORDER BY score DESC, s ASC LIMIT 1),
+         |d1 AS MATERIALIZED (SELECT dm.id, dm.dist AS d FROM dm JOIN b1 ON dm.s = b1.s),
+         |s2 AS (SELECT dm.s, sum(1.0/least(dm.dist, coalesce(d1.d, 1000000))) AS score
+         |  FROM dm LEFT JOIN d1 ON d1.id = dm.id
+         |  WHERE dm.s NOT IN (SELECT s FROM b1)
+         |    AND least(dm.dist, coalesce(d1.d, 1000000)) > 0
+         |  GROUP BY dm.s),
+         |b2 AS MATERIALIZED (SELECT s, score FROM s2 ORDER BY score DESC, s ASC LIMIT 1),
+         |dn2 AS MATERIALIZED (SELECT dm.id, dm.dist FROM dm JOIN b2 ON dm.s = b2.s),
+         |d2 AS MATERIALIZED (SELECT coalesce(d1.id, dn2.id) AS id,
+         |    least(coalesce(d1.d, 1000000), coalesce(dn2.dist, 1000000)) AS d
+         |  FROM d1 FULL JOIN dn2 ON dn2.id = d1.id),
+         |s3 AS (SELECT dm.s, sum(1.0/least(dm.dist, coalesce(d2.d, 1000000))) AS score
+         |  FROM dm LEFT JOIN d2 ON d2.id = dm.id
+         |  WHERE dm.s NOT IN (SELECT s FROM b1 UNION SELECT s FROM b2)
+         |    AND least(dm.dist, coalesce(d2.d, 1000000)) > 0
+         |  GROUP BY dm.s),
+         |b3 AS MATERIALIZED (SELECT s, score FROM s3 ORDER BY score DESC, s ASC LIMIT 1)
+         |SELECT 1::BIGINT AS rank, s AS id, round(score, 6) AS group_score FROM b1
+         |UNION ALL SELECT 2, s, round(score, 6) FROM b2
+         |UNION ALL SELECT 3, s, round(score, 6) FROM b3""".stripMargin,
     // clique counts by id-ordered joins — orientation-invariant, so the
     // degree-oriented Spark enumeration must agree exactly
     "x19_cliques" ->

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph._
+import graft.io.GraphReaders
+
+/** Round-2 operator batch: max-flow, edge-switching randomization,
+  * b-matching, square clustering, group centralities — golden-graph
+  * checks on karate plus hand-computable micrographs.
+  */
+class Extended2Spec extends SparkSpec {
+  lazy val karate: PropertyGraph =
+    GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
+
+  private def graphOf(edges: Seq[(Long, Long, Double)], n: Long): PropertyGraph = {
+    import spark.implicits._
+    PropertyGraph(edges.toDF("src", "dst", "weight"),
+      directed = false, Some(spark.range(n).select(col("id"))))
+  }
+
+  test("maxflow: two parallel 2-paths s->t carry flow 2; certificate holds") {
+    // s=0, t=3; paths 0-1-3 and 0-2-3, unit capacities
+    val g = graphOf(Seq((0L, 1L, 1.0), (1L, 3L, 1.0), (0L, 2L, 1.0), (2L, 3L, 1.0)), 4)
+    val (flow, cut) = MaxFlow.edmondsKarp(g, 0L, 3L)
+    assert(math.abs(flow - 2.0) < 1e-9, s"flow $flow")
+    assert(cut.contains(0L) && !cut.contains(3L))
+    val r = MaxFlow.maxFlowCertified(g, 0L, 3L).head()
+    assert(r.getAs[Long]("certificate_ok") == 1L)
+  }
+
+  test("maxflow: bottleneck edge bounds the flow") {
+    // 0-1 capacity 5, 1-2 capacity 1 → flow(0,2) = 1
+    val g = graphOf(Seq((0L, 1L, 5.0), (1L, 2L, 1.0)), 3)
+    val (flow, _) = MaxFlow.edmondsKarp(g, 0L, 2L)
+    assert(math.abs(flow - 1.0) < 1e-9, s"flow $flow")
+  }
+
+  test("edge switching: preserves degree sequence and edge count on karate") {
+    val rnd = Randomization.edgeSwitching(karate, rounds = 5)
+    assert(rnd.edges.count() == 78, s"${rnd.edges.count()} edges")
+    def hist(g: PropertyGraph) = {
+      val adj = g.edges.select("src", "dst")
+        .unionAll(g.edges.select(col("dst").as("src"), col("src").as("dst")))
+      adj.groupBy("src").agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n"))
+        .orderBy("d").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(hist(rnd) == hist(karate), "degree histogram must be invariant")
+    val moved = rnd.edges.select("src", "dst")
+      .join(karate.edges.select("src", "dst"), Seq("src", "dst"), "left_anti").count()
+    assert(moved > 0, "five rounds must move at least one edge")
+  }
+
+  test("b-matching (b=2): valid capacities, larger than 1-matching") {
+    val m2 = Matching.bSuitor(karate, b = 2)
+    val counts = m2.select(col("u").as("id")).unionAll(m2.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    assert(counts.filter(col("n") > 2).count() == 0, "capacity violated")
+    val m1 = Matching.suitor(karate)
+    assert(m2.count() >= m1.count(), s"${m2.count()} vs ${m1.count()}")
+  }
+
+  test("square clustering: C4 of a 4-cycle corner is 1, star center is 0") {
+    val square = graphOf(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 0L, 1.0)), 4)
+    val sq = Triangles.localSquareClusteringCoefficient(square)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sq.values.forall(v => math.abs(v - 1.0) < 1e-9), s"$sq")
+    val star = graphOf(Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0)), 4)
+    val st = Triangles.localSquareClusteringCoefficient(star)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(st(0L) == 0.0, s"$st")
+  }
+
+  test("group degree: k=1 picks the max-degree node; gains decrease") {
+    val gd = GroupCentrality.groupDegree(karate, 3)
+      .orderBy("rank").collect()
+    assert(gd(0).getLong(1) == 33L || gd(0).getLong(1) == 0L) // degree 17 node 33
+    val gains = gd.map(_.getLong(2))
+    assert(gains.sameElements(gains.sorted.reverse), "marginal gains must be non-increasing")
+  }
+
+  test("group harmonic closeness: 3 members, scores increase with set size") {
+    val gh = GroupCentrality.groupHarmonicCloseness(karate, 3, nCandidates = 8)
+      .orderBy("rank").collect()
+    assert(gh.length == 3)
+    val scores = gh.map(_.getDouble(2))
+    assert(scores(1) >= scores(0) && scores(2) >= scores(1),
+      s"group score must be monotone: ${scores.mkString(",")}")
+  }
+}
