@@ -22,12 +22,19 @@ object Community {
   private def sym(g: PropertyGraph): DataFrame = g.adjacency
 
   /** Synchronous PLP: adopt the most frequent neighbor label
-    * (ties → smallest label); stop when < `threshold` nodes change. */
+    * (ties → smallest label); stop when < `threshold` nodes change.
+    * The per-round changed-count rides a `changed` flag column inside
+    * the step, so convergence costs one aggregate on the state being
+    * materialized anyway — not an extra join+count job per round. */
   def plp(g: PropertyGraph, maxIter: Int = 30, threshold: Long = 0): DataFrame = {
     val adj = sym(g).select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    val init = g.vertices.select(col("id"), col("id").as("community"))
-    var changed = Long.MaxValue
-    val res = Fixpoint.loop(init, maxIter, checkpointEvery = 4) { (labels, _) =>
+    var cur = g.vertices.select(col("id"), col("id").as("community"))
+      .withColumn("changed", lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val labels = cur.select("id", "community")
       val freq = labels.join(adj, labels("id") === adj("src"))
         .groupBy(col("dst").as("id"), col("community"))
         .agg(count(lit(1)).as("cnt"))
@@ -35,14 +42,22 @@ object Community {
       val best = freq.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id"), col("community").as("newCommunity"))
-      labels.join(best, Seq("id"), "left")
+      val stepped = labels.join(best, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("newCommunity"), col("community")).as("community"))
-    } { (prev, next, _) =>
-      changed = prev.select(col("id"), col("community").as("c0"))
-        .join(next, "id").filter(col("c0") =!= col("community")).count()
-      changed <= threshold
+          coalesce(col("newCommunity"), col("community")).as("community"),
+          (coalesce(col("newCommunity"), col("community")) =!= col("community"))
+            .cast("long").as("changed"))
+      val next =
+        if ((i + 1) % 4 == 0) stepped.localCheckpoint(true)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // one action: materializes the round AND reads the changed count
+      val changed = next.agg(sum("changed")).head.getLong(0)
+      cur.unpersist(blocking = false)
+      cur = next
+      done = changed <= threshold
+      i += 1
     }
+    val res = cur.select("id", "community")
     adj.unpersist(false)
     res
   }

@@ -247,6 +247,38 @@ object Generators {
       Some(spark.range(n).select(col("id")))), planted)
   }
 
+  /** Erased configuration model (reference
+    * `generators/ConfigurationModel.hpp:16`,
+    * `EdgeSwitchingMarkovChainGenerator`): realize a degree sequence by
+    * hash-shuffling the half-edge multiset and pairing consecutive
+    * stubs; self-loops and duplicate edges are erased (the documented
+    * "erased" variant — exact stub matching needs the sequential
+    * Havel-Hakimi the reference also implements; degrees here are met
+    * up to the erased stubs). One explode + one ranked pairing — no
+    * sequential stub list. */
+  def configurationModel(spark: SparkSession, degrees: DataFrame,
+      seed: Long = 42): PropertyGraph = {
+    val stubs = degrees.select(col("id"), col("deg"))
+      .filter(col("deg") > 0)
+      .select(col("id"), explode(sequence(lit(1L), col("deg"))).as("k"))
+      .withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(xxhash64(lit(seed), col("id"), col("k")), col("id"), col("k")))
+          .cast("long") - 1)
+    val evens = stubs.filter(col("r") % 2 === 0)
+      .select(expr("r div 2").as("p"), col("id").as("src"))
+    val odds = stubs.filter(col("r") % 2 === 1)
+      .select(expr("r div 2").as("p"), col("id").as("dst"))
+    val paired = evens.join(odds, "p")
+      .filter(col("src") =!= col("dst")) // erase self-loops
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct() // erase multi-edges
+      .withColumn("weight", lit(1.0))
+    PropertyGraph(paired, directed = false,
+      Some(degrees.select(col("id"))))
+  }
+
   /** Driver-side xxhash-ish mixer for the few scalar draws the driver
     * makes (community sizes) — splitmix64, seed-stable. */
   private def xxhash64scala(seed: Long, x: Long): Long = {

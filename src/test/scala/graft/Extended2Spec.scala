@@ -79,6 +79,24 @@ class Extended2Spec extends SparkSpec {
     assert(gains.sameElements(gains.sorted.reverse), "marginal gains must be non-increasing")
   }
 
+  test("configuration model: realizes a degree sequence up to erased stubs, deterministic") {
+    import spark.implicits._
+    val degs = (0L until 60L).map(i => (i, 2L + i % 4)).toDF("id", "deg")
+    val g1 = Generators.configurationModel(spark, degs, seed = 5)
+    val g2 = Generators.configurationModel(spark, degs, seed = 5)
+    assert(g1.edges.count() == g2.edges.count(), "deterministic per seed")
+    val want = degs.agg(sum("deg")).head.getLong(0) / 2
+    val got = g1.edges.count()
+    assert(got <= want && got >= (want * 0.85).toLong,
+      s"$got edges vs $want stubs/2 (erasure should be small)")
+    // realized degree never exceeds the requested degree
+    val adj = g1.edges.select("src", "dst")
+      .unionAll(g1.edges.select(col("dst").as("src"), col("src").as("dst")))
+    val over = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .join(degs, "id").filter(col("d") > col("deg")).count()
+    assert(over == 0, "realized degree must not exceed requested")
+  }
+
   test("group harmonic closeness: 3 members, scores increase with set size") {
     val gh = GroupCentrality.groupHarmonicCloseness(karate, 3, nCandidates = 8)
       .orderBy("rank").collect()

@@ -54,6 +54,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental CC: union-find state across micro-batches == batch recompute") {
+    // karate streamed as edge additions: the final component count must
+    // equal the batch ConnectedComponents result (1 component), and the
+    // incremental path must process every batch without recomputation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val karate = graft.io.GraphReaders
+      .readMetis(spark, "/root/reference/input/karate.graph")
+    val edges = karate.edges.select("src", "dst")
+      .as[(Long, Long)].collect().toSeq
+    val src = MemoryStream[(Long, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-dyncc").toString
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = EventStreams.incrementalCC(
+      src.toDF().toDF("src", "dst"), dir) { (b, n, c) =>
+      results.synchronized { results += ((b, n, c)) }
+    }
+    try {
+      // three growing batches
+      src.addData(edges.take(30))
+      q.processAllAvailable()
+      src.addData(edges.slice(30, 60))
+      q.processAllAvailable()
+      src.addData(edges.drop(60))
+      q.processAllAvailable()
+      val fin = results.synchronized(results.maxBy(_._1))
+      assert(fin._2 == 34, s"${fin._2} nodes tracked")
+      assert(fin._3 == 1, s"${fin._3} components (karate is connected)")
+      assert(results.size >= 3, "must have processed each micro-batch incrementally")
+    } finally q.stop()
+  }
+
   test("sliding windows emit more buckets than tumbling") {
     val stream = EventStreams.readEvents(spark, sf001)
     val q = EventStreams.slidingCounts(stream)
