@@ -311,6 +311,52 @@ object Community {
       .select(col("id"), coalesce(col("component"), col("id")).as("community"))
   }
 
+  /** Selective community detection: greedy conductance expansion around
+    * a seed (reference `scd/` family — GCE/LFM-style local expansion,
+    * `scd/GCE.hpp`): repeatedly absorb the boundary node that minimizes
+    * the expanded set's conductance, stop when no candidate improves it
+    * or `maxSize` is reached. Per step: one join + aggregate over the
+    * boundary and a 1-row argmin to the driver. Returns `(id)` members. */
+  def expandSeed(g: PropertyGraph, seed: Long, maxSize: Int = 30): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val adj = sym(g).filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degs = adj.groupBy(col("src").as("id")).agg(sum("weight").as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degOf = degs.filter(col("id") === seed).head(1)
+    if (degOf.isEmpty) { adj.unpersist(false); degs.unpersist(false); return Seq(seed).toDF("id") }
+    var members = Seq(seed)
+    var vol = degOf(0).getDouble(1)
+    var cut = vol
+    var grow = true
+    while (grow && members.size < maxSize) {
+      val sDf = members.toDF("id")
+      // boundary candidates with their weight into S
+      val wIn = adj.join(sDf.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .join(sDf.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .groupBy(col("src").as("id")).agg(sum("weight").as("wIn"))
+        .join(degs, "id")
+        .withColumn("newCut", lit(cut) + col("d") - lit(2.0) * col("wIn"))
+        .withColumn("newVol", lit(vol) + col("d"))
+        .withColumn("score", col("newCut") / col("newVol"))
+      val best = wIn.orderBy(col("score").asc, col("id").asc).limit(1).collect()
+      if (best.isEmpty) grow = false
+      else {
+        val row = best(0)
+        val (id, score) = (row.getLong(0), row.getAs[Double]("score"))
+        if (score >= cut / vol - 1e-12) grow = false
+        else {
+          members = members :+ id
+          cut = row.getAs[Double]("newCut")
+          vol = row.getAs[Double]("newVol")
+        }
+      }
+    }
+    adj.unpersist(false); degs.unpersist(false)
+    members.toDF("id")
+  }
+
   /** Compact community ids to 0..k-1 (reference `Partition::compact`,
     * `structures/Partition.hpp:190`). */
   def compact(partition: DataFrame): DataFrame = {

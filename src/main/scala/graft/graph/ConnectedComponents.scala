@@ -77,17 +77,13 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // checkpointEvery = 1: each round references its input ~16× (sym,
-    // nbrMin, both stars), so lineage grows 16^k without truncation
-    var prevSum: Option[(Long, Long)] = None
-    val stars = Fixpoint.loop(base, maxIter, checkpointEvery = 1) {
+    // lineage cut every round: each round references its input ~16×
+    // (sym, nbrMin, both stars), so the plan grows 16^k without
+    // truncation. Fused loop: the (count, xor) checksum IS the
+    // materializing action — one job per round.
+    val stars = Fixpoint.loopFusedFingerprint(base, maxIter) {
       (e, _) => smallStar(largeStar(e))
-    } { (_, next, _) =>
-      val s = checksum(next)
-      val stable = prevSum.contains(s)
-      prevSum = Some(s)
-      stable
-    }
+    } { e => checksum(e) }
 
     // star forest: every non-root points at its root; add the roots
     val members = stars.select(col("u").as("id"), col("v").as("component"))

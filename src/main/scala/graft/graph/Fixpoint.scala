@@ -60,6 +60,33 @@ object Fixpoint {
     }
   }
 
+  /** One job per round: the state is lineage-cut lazily and the
+    * fingerprint aggregate doubles as the materializing action, so a
+    * round costs exactly one Spark job (plus the step's own shuffles)
+    * instead of a count job + a fingerprint job. `fingerprint` may
+    * return any equality-comparable value (a Long, a tuple…). */
+  def loopFusedFingerprint(init: DataFrame, maxIter: Int)(
+      step: (DataFrame, Int) => DataFrame)(
+      fingerprint: DataFrame => Any): DataFrame = {
+    val debug = sys.env.contains("GRAFT_FIXPOINT_DEBUG")
+    var cur = init.localCheckpoint(true)
+    var prev = Option.empty[Any]
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val t0 = System.nanoTime()
+      val next = step(cur, i).localCheckpoint(false) // lazy cut
+      val f = fingerprint(next) // materializes the checkpoint + aggregates
+      if (debug) System.err.println(
+        f"[fixpoint-fused] iter $i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      done = prev.contains(f)
+      prev = Some(f)
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
   /** Convergence via an exact 64-bit fingerprint (e.g. an
     * order-independent `bit_xor(xxhash64(...))` of the state): stop when
     * the fingerprint repeats. Unlike [[loopUntilStableScalar]] this keeps

@@ -247,6 +247,39 @@ object Generators {
       Some(spark.range(n).select(col("id")))), planted)
   }
 
+  /** Hyperbolic random graph, threshold (T = 0) variant (reference
+    * `generators/HyperbolicGenerator.hpp:24`, Krioukov et al.): node i
+    * gets polar coordinates (rᵢ, θᵢ) — θ uniform, r from the
+    * quasi-uniform hyperbolic radial CDF with dispersion α = (γ−1)/2 —
+    * and i~j iff their hyperbolic distance ≤ R. Pairwise evaluation
+    * scans n²/2 candidate pairs (fine to ~10⁵ nodes; the reference's
+    * quadtree prunes the same predicate — band-partitioned pruning is
+    * the scale path, documented deviation). Power-law degrees with
+    * exponent γ emerge from the geometry. */
+  def hyperbolic(spark: SparkSession, n: Long, radius: Double,
+      gamma: Double = 3.0, seed: Long = 42): PropertyGraph = {
+    val alpha = (gamma - 1.0) / 2.0
+    val coshAR = math.cosh(alpha * radius)
+    val nodes = spark.range(n)
+      .withColumn("theta", u01(seed, col("id")) * (2 * math.Pi))
+      .withColumn("r",
+        acosh(lit(1.0) + u01(seed + 1, col("id")) * (coshAR - 1.0)) / alpha)
+    val a = nodes.select(col("id").as("u"), col("theta").as("tu"), col("r").as("ru"))
+    val b = nodes.select(col("id").as("v"), col("theta").as("tv"), col("r").as("rv"))
+    val edges = a.join(b, col("u") < col("v"))
+      .withColumn("dTheta", abs(col("tu") - col("tv")))
+      .withColumn("dTheta",
+        when(col("dTheta") > math.Pi, lit(2 * math.Pi) - col("dTheta"))
+          .otherwise(col("dTheta")))
+      .withColumn("coshD",
+        cosh(col("ru")) * cosh(col("rv")) -
+          sinh(col("ru")) * sinh(col("rv")) * cos(col("dTheta")))
+      .filter(col("coshD") <= math.cosh(radius))
+      .select(col("u").as("src"), col("v").as("dst"), lit(1.0).as("weight"))
+    PropertyGraph(edges, directed = false,
+      Some(spark.range(n).select(col("id"))))
+  }
+
   /** Erased configuration model (reference
     * `generators/ConfigurationModel.hpp:16`,
     * `EdgeSwitchingMarkovChainGenerator`): realize a degree sequence by

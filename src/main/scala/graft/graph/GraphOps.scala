@@ -123,15 +123,15 @@ object GraphOps {
       .agg(count(lit(1)).as("h"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("nh").desc, col("dst"))
-    val fin = Fixpoint.loopUntilStableFingerprint(init, maxIter,
-      df => df.agg(bit_xor(xxhash64(col("id"), col("h")))).head.getLong(0),
-      checkpointEvery = 1) { (h, _) =>
+    val fin = Fixpoint.loopFusedFingerprint(init, maxIter) { (h, _) =>
       // H-index of the neighbor multiset: rank neighbors by h desc,
       // H = max over ranks of min(rank, h)
       adj.join(h.select(col("id").as("dst"), col("h").as("nh")), "dst")
         .withColumn("rn", row_number().over(win))
         .groupBy(col("src").as("id"))
         .agg(max(least(col("rn"), col("nh"))).as("h"))
+    } { df =>
+      df.agg(bit_xor(xxhash64(col("id"), col("h")))).head.getLong(0)
     }
     val cores = fin.select(col("id"), col("h").cast("int").as("core"))
     // isolated / zero-degree vertices keep core 0

@@ -93,6 +93,31 @@ object ExtendedQueries {
         lit(nonEdgePairs).as("non_edge_pairs"),
         lit(unmatchedEdges).as("unmatched_edge_pairs"))
     }),
+    // SCD seed expansion from the smallest node id: membership,
+    // connectivity and conductance-improvement gates pinned by the oracle
+    "x29_scd" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val seed = g.vertices.agg(min("id")).head.getLong(0)
+      val comm = Community.expandSeed(g, seed)
+      val lbl = comm.withColumnRenamed("id", "member")
+      val containsSeed = comm.filter(col("id") === seed).count()
+      // connected: CC over the induced subgraph must be one component
+      val intra = g.adjacency.select("src", "dst")
+        .join(lbl.withColumnRenamed("member", "src"), Seq("src"), "left_semi")
+        .join(lbl.withColumnRenamed("member", "dst"), Seq("dst"), "left_semi")
+        .withColumn("weight", lit(1.0))
+      val nComp = ConnectedComponents.run(PropertyGraph(intra, directed = false))
+        .agg(countDistinct("component")).head.getLong(0)
+      val size = comm.count()
+      Seq((seed, containsSeed, size > 1 && size <= 30,
+        nComp == 1L || size == 1L)).toDF(
+        "seed", "contains_seed", "size_ok", "connected")
+        .select(col("seed"), col("contains_seed"),
+          col("size_ok").cast("long").as("size_ok"),
+          col("connected").cast("long").as("connected"))
+    }),
     // b-matching (b = 2): capacity, edge-validity and duplicate gates
     // pinned to zero by the oracle
     "x28_bmatching" -> ((s, dir) => {
@@ -359,6 +384,11 @@ object ExtendedQueries {
          |SELECT count(*) AS n_nodes, 0::BIGINT AS independence_violations,
          |  0::BIGINT AS uncovered_nodes
          |FROM nodes""".stripMargin,
+    "x29_scd" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT (SELECT min(id) FROM nodes) AS seed, 1::BIGINT AS contains_seed,
+         |  1::BIGINT AS size_ok, 1::BIGINT AS connected""".stripMargin,
     "x28_bmatching" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym)

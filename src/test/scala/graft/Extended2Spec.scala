@@ -79,6 +79,30 @@ class Extended2Spec extends SparkSpec {
     assert(gains.sameElements(gains.sorted.reverse), "marginal gains must be non-increasing")
   }
 
+  test("scd seed expansion: karate seed 33 grows a connected low-conductance set") {
+    val comm = Community.expandSeed(karate, 33L, maxSize = 18)
+    val members = comm.collect().map(_.getLong(0)).toSet
+    assert(members.contains(33L))
+    assert(members.size > 3 && members.size <= 18, s"size ${members.size}")
+    // the instructor faction (around node 0) should be mostly absent
+    assert(!members.contains(0L) || members.size > 12,
+      s"seed-33 community unexpectedly swallowed node 0 early: $members")
+  }
+
+  test("hyperbolic generator: deterministic, connected-ish core, heavy-tailed degrees") {
+    val g = Generators.hyperbolic(spark, 500, radius = 6.0, gamma = 3.0)
+    val g2 = Generators.hyperbolic(spark, 500, radius = 6.0, gamma = 3.0)
+    assert(g.edges.count() == g2.edges.count(), "deterministic per seed")
+    val m = g.edges.count()
+    assert(m > 250, s"too sparse: $m edges")
+    val deg = g.edges.select(col("src").as("id"))
+      .unionAll(g.edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val r = deg.agg(max("d"), avg("d")).head
+    assert(r.getLong(0) >= 4 * r.getDouble(1),
+      s"hyperbolic geometry should give hubs: max ${r.getLong(0)} avg ${r.getDouble(1)}")
+  }
+
   test("configuration model: realizes a degree sequence up to erased stubs, deterministic") {
     import spark.implicits._
     val degs = (0L until 60L).map(i => (i, 2L + i % 4)).toDF("id", "deg")
