@@ -79,6 +79,79 @@ object MaxFlow {
     (flow, cut.toSet)
   }
 
+  /** Cut clustering (reference `community/CutClustering.hpp:13`, Flake
+    * et al.): augment the graph with an artificial sink t connected to
+    * every node with weight α, then each unassigned node's community is
+    * the source side of its min v-t cut. α = 0 → one cluster;
+    * α ≥ max edge weight → singletons. Driver-bounded like
+    * [[edmondsKarp]] (the reference implementation is sequential
+    * Edmonds-Karp too); one max-flow per discovered community, not per
+    * node. Returns `(id, community)`. */
+  def cutClustering(g: PropertyGraph, alpha: Double): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val arcs = g.adjacency.select(col("src"), col("dst"), col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("weight").as("cap"))
+      .as[(Long, Long, Double)].collect()
+    val nodes = g.vertices.select("id").as[Long].collect().sorted
+    val sink = nodes.max + 1
+
+    // local EK on the augmented adjacency
+    val cap = scala.collection.mutable.HashMap[(Long, Long), Double]()
+    val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def link(u: Long, v: Long): Unit =
+      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer()) += v
+    def addArc(u: Long, v: Long, c: Double): Unit = {
+      if (!cap.contains((u, v))) { cap((u, v)) = 0.0; link(u, v) }
+      if (!cap.contains((v, u))) { cap((v, u)) = 0.0; link(v, u) }
+      cap((u, v)) += c
+    }
+    arcs.foreach { case (u, v, c) => addArc(u, v, c) }
+    nodes.foreach { v => addArc(v, sink, alpha); addArc(sink, v, alpha) }
+    adj.values.foreach(b => { val d = b.distinct.sorted; b.clear(); b ++= d })
+    val baseCap = cap.toMap // pristine capacities per community run
+
+    val community = scala.collection.mutable.HashMap[Long, Long]()
+    for (s <- nodes if !community.contains(s)) {
+      // fresh residual capacities
+      cap.clear(); baseCap.foreach { case (k, c) => cap(k) = c }
+      var augmenting = true
+      while (augmenting) {
+        val parent = scala.collection.mutable.HashMap[Long, Long](s -> s)
+        val q = scala.collection.mutable.Queue[Long](s)
+        while (q.nonEmpty && !parent.contains(sink)) {
+          val u = q.dequeue()
+          for (v <- adj.getOrElse(u, Nil) if !parent.contains(v) && cap((u, v)) > 1e-12) {
+            parent(v) = u; q.enqueue(v)
+          }
+        }
+        if (!parent.contains(sink)) augmenting = false
+        else {
+          var bottleneck = Double.MaxValue
+          var v = sink
+          while (v != s) { val u = parent(v); bottleneck = math.min(bottleneck, cap((u, v))); v = u }
+          v = sink
+          while (v != s) {
+            val u = parent(v); cap((u, v)) -= bottleneck; cap((v, u)) += bottleneck; v = u
+          }
+        }
+      }
+      // source side of the min cut = s's community
+      val side = scala.collection.mutable.Set[Long](s)
+      val q2 = scala.collection.mutable.Queue[Long](s)
+      while (q2.nonEmpty) {
+        val u = q2.dequeue()
+        for (v <- adj.getOrElse(u, Nil)
+             if v != sink && !side.contains(v) && cap((u, v)) > 1e-12) {
+          side += v; q2.enqueue(v)
+        }
+      }
+      side.foreach(v => if (!community.contains(v)) community(v) = s)
+    }
+    community.toSeq.toDF("id", "community")
+  }
+
   /** Max-flow with its optimality certificate verified distributedly:
     * `(s, t, flow_value, cut_size, certificate_ok)` where
     * certificate_ok = 1 iff the capacity of the returned cut equals the

@@ -80,6 +80,25 @@ object PageRank {
     result
   }
 
+  /** Laplacian centrality (reference `centrality/LaplacianCentrality.hpp:24`,
+    * Qi et al.): the drop in Laplacian energy when v is removed — for
+    * unweighted graphs the closed form ΔE(v) = d(v)² + d(v) +
+    * 2·Σ_{u∈N(v)} d(u). One degree aggregate + one neighbor join. */
+  def laplacianCentrality(g: PropertyGraph): DataFrame = {
+    val adj = g.adjacency.select("src", "dst").filter(col("src") =!= col("dst"))
+    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val nbrDegSum = adj
+      .join(deg.select(col("id").as("dst"), col("d").as("dNbr")), "dst")
+      .groupBy(col("src").as("id")).agg(sum("dNbr").as("s"))
+    g.vertices.select("id")
+      .join(deg, Seq("id"), "left")
+      .join(nbrDegSum, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("d"), lit(0L)) * coalesce(col("d"), lit(0L)) +
+          coalesce(col("d"), lit(0L)) +
+          lit(2L) * coalesce(col("s"), lit(0L))).as("lap_centrality"))
+  }
+
   /** Eigenvector centrality: power iteration on the (weighted) adjacency
     * matrix with L2 normalization each round (reference
     * `centrality/EigenvectorCentrality.hpp:20`). */

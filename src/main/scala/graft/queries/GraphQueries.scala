@@ -202,6 +202,9 @@ object GraphQueries {
     }),
     // degree-distribution fit surface (reference
     // PowerlawDegreeSequence.hpp:12): histogram + CDF via window cumsum
+    // Laplacian centrality — exact closed-form oracle
+    "g25_laplacian" -> ((s, dir) =>
+      PageRank.laplacianCentrality(DerivedGraphs.partGraph(s, dir, 2))),
     // local square clustering coefficient — exact per-wedge oracle
     "g24_squarecc" -> ((s, dir) =>
       Triangles.localSquareClusteringCoefficient(DerivedGraphs.partGraph(s, dir, 2))
@@ -384,6 +387,12 @@ object GraphQueries {
     "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
     "g17_kcore3" -> kcorePeelSql(2, 3, 16),
     "x18_betweenness" -> brandesSql(2, 5, 12),
+    "g25_laplacian" ->
+      s"""WITH ${graphCte(2)},
+         |nd AS (SELECT s.src AS id, sum(dg.d) AS sn FROM sym s
+         |       JOIN deg dg ON dg.id = s.dst GROUP BY s.src)
+         |SELECT deg.id, (deg.d * deg.d + deg.d + 2 * nd.sn)::BIGINT AS lap_centrality
+         |FROM deg JOIN nd ON nd.id = deg.id""".stripMargin,
     "g24_squarecc" ->
       s"""WITH ${graphCte(2)},
          |cn AS MATERIALIZED (SELECT a.dst AS v, b.dst AS w, count(*) AS c

@@ -79,6 +79,20 @@ class Extended2Spec extends SparkSpec {
     assert(gains.sameElements(gains.sorted.reverse), "marginal gains must be non-increasing")
   }
 
+  test("cut clustering: alpha=0 -> one cluster, alpha >= max weight -> singletons") {
+    val one = MaxFlow.cutClustering(karate, 0.0)
+    assert(one.select("community").distinct().count() == 1, "alpha=0 must give one cluster")
+    val singles = MaxFlow.cutClustering(karate, 2.0)
+    assert(singles.select("community").distinct().count() == 34,
+      "alpha >= max edge weight must give singletons")
+    // cluster count is monotone in alpha (Flake et al. hierarchy);
+    // karate's alpha breakpoints are abrupt, so only monotonicity is
+    // asserted for the middle value
+    val mid = MaxFlow.cutClustering(karate, 0.5)
+    val k = mid.select("community").distinct().count()
+    assert(k >= 1 && k <= 34, s"mid alpha gave $k clusters")
+  }
+
   test("scd seed expansion: karate seed 33 grows a connected low-conductance set") {
     val comm = Community.expandSeed(karate, 33L, maxSize = 18)
     val members = comm.collect().map(_.getLong(0)).toSet
