@@ -48,7 +48,7 @@ object Community {
           (coalesce(col("newCommunity"), col("community")) =!= col("community"))
             .cast("long").as("changed"))
       val next =
-        if ((i + 1) % 4 == 0) stepped.localCheckpoint(true)
+        if ((i + 1) % 4 == 0) stepped.localCheckpoint(false) // lazy cut
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       // one action: materializes the round AND reads the changed count
       val changed = next.agg(sum("changed")).head.getLong(0)
@@ -155,11 +155,14 @@ object Community {
     val adj = sym(g).persist(StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.agg(sum("weight")).head.getDouble(0) // = 2m
     val ku = adj.groupBy(col("src").as("id")).agg(sum("weight").as("ku"))
-    val init = initPartition.getOrElse(
-      g.vertices.select(col("id"), col("id").as("community")))
+    var cur = initPartition.getOrElse(
+        g.vertices.select(col("id"), col("id").as("community")))
+      .withColumn("moved", lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var quietRounds = 0
-
-    val res = Fixpoint.loop(init, maxRounds, checkpointEvery = 2) { (labels, round) =>
+    var round = 0
+    while (round < maxRounds && quietRounds < 2) {
+      val labels = cur.select("id", "community")
       // community volumes under current labels
       val vol = labels.join(ku, Seq("id"), "left")
         .groupBy("community").agg(sum(coalesce(col("ku"), lit(0.0))).as("tot"))
@@ -170,9 +173,9 @@ object Community {
         .groupBy(col("src").as("id"), col("cNbr"))
         .agg(sum("weight").as("wuc"))
       // candidate gain for u → C (staying = re-entering current community)
-      val cur = labels.withColumnRenamed("community", "cCur")
+      val curLbl = labels.withColumnRenamed("community", "cCur")
       val cand = w2c
-        .join(cur, "id")
+        .join(curLbl, "id")
         .join(ku, "id")
         .join(vol.withColumnRenamed("community", "cNbr").withColumnRenamed("tot", "totC"), "cNbr")
         // remove u's own contribution from its current community volume
@@ -187,15 +190,22 @@ object Community {
         .filter(col("rn") === 1 && col("gain") > 1e-12)
         .filter(pmod(xxhash64(col("id"), lit(round)), lit(2)) === 0)
         .select(col("id"), col("cNbr").as("newCommunity"))
-      labels.join(best, Seq("id"), "left")
+      val stepped = labels.join(best, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("newCommunity"), col("community")).as("community"))
-    } { (prev, next, _) =>
-      val moved = prev.select(col("id"), col("community").as("c0"))
-        .join(next, "id").filter(col("c0") =!= col("community")).count()
+          coalesce(col("newCommunity"), col("community")).as("community"),
+          (col("newCommunity").isNotNull &&
+            col("newCommunity") =!= col("community")).cast("long").as("moved"))
+      val next =
+        if ((round + 1) % 2 == 0) stepped.localCheckpoint(false)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // one action: materializes the round AND reads the moved count
+      val moved = next.agg(sum("moved")).head.getLong(0)
       quietRounds = if (moved == 0) quietRounds + 1 else 0
-      quietRounds >= 2
+      cur.unpersist(blocking = false)
+      cur = next
+      round += 1
     }
+    val res = cur.select("id", "community")
     adj.unpersist(false)
     res
   }
