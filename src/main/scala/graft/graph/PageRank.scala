@@ -54,28 +54,42 @@ object PageRank {
       g.adjacency.select(col("dst").as("id")).distinct(),
       Seq("id"), "left_anti").isEmpty
 
-    val result = Fixpoint.loop(init, maxIter) { (ranks, _) =>
+    // fused iteration: the previous rank rides along as a column, so the
+    // L1-convergence aggregate is the same job that materializes the
+    // round — one action per iteration (plus the sink-mass aggregate only
+    // when sinks exist)
+    var cur = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
       val sinkMass =
         if (!hasSinks) 0.0
-        else ranks.join(sinks, Seq("id"), "left_semi")
+        else cur.join(sinks, Seq("id"), "left_semi")
           .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
-      val contrib = ranks.join(adj, ranks("id") === adj("src"))
+      val contrib = cur.join(adj, cur("id") === adj("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") * col("share")).as("contrib"))
       val completed =
         if (inCovered) contrib
         else nodes.join(contrib, Seq("id"), "left")
-      completed.select(col("id"),
-        (lit((1.0 - damping) / n) + lit(damping) *
-          (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
-    } { (prev, next, _) =>
-      tol > 0 && {
-        val diff = prev.select(col("id"), col("rank").as("r0"))
-          .join(next.select(col("id"), col("rank").as("r1")), "id")
-          .agg(sum(abs(col("r1") - col("r0")))).head.getDouble(0)
-        diff < tol
-      }
+      val stepped = completed
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
+        .join(cur.select(col("id"), col("rank").as("prev")), "id")
+      val next =
+        if ((i + 1) % 4 == 0) stepped.localCheckpoint(false)
+        else stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (tol > 0) {
+        val diff = next.agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
+        done = diff < tol
+      } else next.count()
+      cur.unpersist(blocking = false)
+      cur = next
+      i += 1
     }
+    val result = cur.select("id", "rank")
     adj.unpersist(false); sinks.unpersist(false); nodes.unpersist(false)
     result
   }
