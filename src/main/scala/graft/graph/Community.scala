@@ -321,6 +321,51 @@ object Community {
       .select(col("id"), coalesce(col("component"), col("id")).as("community"))
   }
 
+  /** Permanence centrality (reference
+    * `centrality/PermanenceCentrality.cpp:109-157`, Chakraborty et al.):
+    * Perm(v) = I(v)/E_max(v) · 1/deg(v) − (1 − C_in(v)) where I = #
+    * same-community neighbors, E_max = the strongest single foreign
+    * community among the neighbors (1 when there is none — reference
+    * line 152), and C_in = clustering among the internal neighbors
+    * (0 when I < 2). Wedge/triangle legs reuse the oriented-join shape.
+    * Returns `(id, permanence)`. */
+  def permanence(g: PropertyGraph, partition: DataFrame): DataFrame = {
+    val adj = sym(g).select("src", "dst").filter(col("src") =!= col("dst")).distinct()
+    val lbl = partition.select(col("id"), col("community"))
+    val tagged = adj
+      .join(lbl.select(col("id").as("src"), col("community").as("cSelf")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cNbr")), "dst")
+    val strength = tagged.groupBy(col("src").as("id"), col("cSelf"), col("cNbr"))
+      .agg(count(lit(1)).as("s"))
+    val internal = strength.filter(col("cNbr") === col("cSelf"))
+      .select(col("id"), col("s").as("i"))
+    val eMax = strength.filter(col("cNbr") =!= col("cSelf"))
+      .groupBy("id").agg(max("s").as("emax"))
+    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    // internal triangles through v: connected pairs of internal neighbors
+    val intNbr = tagged.filter(col("cNbr") === col("cSelf"))
+      .select(col("src").as("v"), col("dst").as("n"))
+    val canonical = PropertyGraph.canonicalizeUndirected(
+      g.edges.filter(col("src") =!= col("dst"))).select("src", "dst")
+    val tri = intNbr.select(col("v"), col("n").as("a"))
+      .join(intNbr.select(col("v"), col("n").as("b")), "v")
+      .filter(col("a") < col("b"))
+      .join(canonical.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_semi")
+      .groupBy(col("v").as("id")).agg(count(lit(1)).as("tri"))
+    g.vertices.select("id")
+      .join(internal, Seq("id"), "left")
+      .join(eMax, Seq("id"), "left")
+      .join(deg, Seq("id"), "left")
+      .join(tri, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("i"), lit(0L)) / greatest(coalesce(col("emax"), lit(0L)), lit(1L))
+          / greatest(coalesce(col("d"), lit(0L)), lit(1L))
+          - (lit(1.0) -
+            when(coalesce(col("i"), lit(0L)) < 2, lit(0.0))
+              .otherwise(coalesce(col("tri"), lit(0L)) /
+                (lit(0.5) * col("i") * (col("i") - 1))))).as("permanence"))
+  }
+
   /** Selective community detection: greedy conductance expansion around
     * a seed (reference `scd/` family — GCE/LFM-style local expansion,
     * `scd/GCE.hpp`): repeatedly absorb the boundary node that minimizes

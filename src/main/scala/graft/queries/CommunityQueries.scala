@@ -153,6 +153,12 @@ object CommunityQueries {
         math.rint(Community.jaccardMeasure(pa, pb) * 1e6) / 1e6,
         math.rint(Community.randIndex(pa, pb) * 1e6) / 1e6
       )).toDF("nmi", "ari", "jaccard", "rand_index")
+    }),
+    // permanence centrality of every node under the id%8 partition
+    "c11_permanence" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      Community.permanence(g, modPartition(g, 8))
+        .select(col("id"), round(col("permanence"), 6).as("permanence"))
     })
   )
 
@@ -198,6 +204,27 @@ object CommunityQueries {
          | round(bth / (a1 + a2 - bth), 6) AS jaccard,
          | round((tot + 2*bth - a1 - a2) / tot, 6) AS rand_index
          |FROM pc""".stripMargin,
+    "c11_permanence" ->
+      s"""WITH $graphCte,
+         |str AS MATERIALIZED (SELECT src AS id, cs, cd, count(*) AS s FROM el GROUP BY 1,2,3),
+         |intl AS (SELECT id, s AS i FROM str WHERE cd = cs),
+         |ex AS (SELECT id, max(s) AS emax FROM str WHERE cd <> cs GROUP BY id),
+         |dg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+         |intnbr AS MATERIALIZED (SELECT src AS v, dst AS n FROM el WHERE cs = cd),
+         |tri AS (SELECT a.v AS id, count(*) AS tri
+         |        FROM intnbr a JOIN intnbr b ON a.v = b.v AND a.n < b.n
+         |        JOIN e ON e.src = a.n AND e.dst = b.n
+         |        GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT nodes.id,
+         |  round(coalesce(intl.i, 0)*1.0
+         |      / greatest(coalesce(ex.emax, 0), 1)
+         |      / greatest(coalesce(dg.d, 0), 1)
+         |    - (1.0 - CASE WHEN coalesce(intl.i, 0) < 2 THEN 0.0
+         |        ELSE coalesce(tri.tri, 0) / (0.5 * intl.i * (intl.i - 1)) END),
+         |    6) AS permanence
+         |FROM nodes LEFT JOIN intl USING (id) LEFT JOIN ex USING (id)
+         |LEFT JOIN dg USING (id) LEFT JOIN tri USING (id)""".stripMargin,
     "c1_modularity" ->
       s"""WITH $graphCte,
          |m2 AS (SELECT sum(w) AS m2 FROM sym),

@@ -43,6 +43,22 @@ class CommunitySpec extends SparkSpec {
     assert(math.abs(before - after) < 1e-9)
   }
 
+  test("permanence matches hand-computed values on a 4-node graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // triangle {1,2,3} in community 0, pendant 4 in community 1 via edge 3-4
+    val g = PropertyGraph.fromEdges(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
+      directed = false)
+    val part = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)).toDF("id", "community")
+    val got = Community.permanence(g, part)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-9)          // 2/1/2 - (1-1)
+    assert(math.abs(got(2L) - 1.0) < 1e-9)
+    assert(math.abs(got(3L) - 2.0 / 3.0) < 1e-9)    // 2/1/3 - (1-1)
+    assert(math.abs(got(4L) - (-1.0)) < 1e-9)       // 0 - (1-0)
+  }
+
   test("compact relabels to 0..k-1; rand index of identical partitions = 1") {
     val part = Community.louvain(karate)
     val cp = Community.compact(part)
