@@ -321,6 +321,25 @@ object Community {
       .select(col("id"), coalesce(col("component"), col("id")).as("community"))
   }
 
+  /** Local partition coverage (reference
+    * `centrality/LocalPartitionCoverage.cpp:11-33`): the weighted share
+    * of each node's incident edges that stay inside its own community.
+    * 0 for nodes with no neighbors. `(id, lpc)` */
+  def localPartitionCoverage(g: PropertyGraph, partition: DataFrame): DataFrame = {
+    val lbl = partition.select(col("id"), col("community"))
+    val agg = g.adjacency
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(sum(when(col("cs") === col("cd"), col("weight"))
+          .otherwise(lit(0.0))).as("inw"),
+        sum("weight").as("wdeg"))
+    g.vertices.select("id").join(agg, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("inw"), lit(0.0)) > 0, col("inw") / col("wdeg"))
+          .otherwise(lit(0.0)).as("lpc"))
+  }
+
   /** Permanence centrality (reference
     * `centrality/PermanenceCentrality.cpp:109-157`, Chakraborty et al.):
     * Perm(v) = I(v)/E_max(v) · 1/deg(v) − (1 − C_in(v)) where I = #

@@ -289,6 +289,46 @@ object Generators {
     * Havel-Hakimi the reference also implements; degrees here are met
     * up to the erased stubs). One explode + one ranked pairing — no
     * sequential stub list. */
+  /** Fit a power-law exponent to a degree sequence by matching the
+    * average degree (reference `generators/PowerlawDegreeSequence.cpp`:
+    * the `setGammaFromAverageDegree` binary search at lines 104-145,
+    * invoked by the from-graph constructor at lines 34-49). The degree
+    * table is reduced to (min, max, avg) in one distributed aggregate;
+    * the 13-step bisection over γ ∈ [−6, −1] with expected average
+    * E[d] = Σ k^(γ+1) / Σ k^γ for k ∈ [minDeg, maxDeg] is driver-side
+    * scalar math, stopping at the reference's 0.001 precision and
+    * picking the closer endpoint. Returns one row
+    * `(min_deg, max_deg, avg_deg, gamma)`. */
+  def powerlawFit(degrees: DataFrame): DataFrame = {
+    val r = degrees.agg(min("degree"), max("degree"), avg("degree")).head
+    val (mn, mx, av) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def expectedAvg(gamma: Double): Double = {
+      var num = 0.0; var den = 0.0
+      var k = mn
+      while (k <= mx) {
+        val p = math.pow(k.toDouble, gamma)
+        num += k * p; den += p; k += 1
+      }
+      num / den
+    }
+    var (gl, gr) = (-6.0, -1.0)
+    var (al, ar) = (expectedAvg(gl), expectedAvg(gr))
+    val gamma =
+      if (av > ar) gr
+      else if (av < al) gl
+      else {
+        while (gl + 0.001 < gr) {
+          val mid = (gl + gr) * 0.5
+          val m = expectedAvg(mid)
+          if (m > av) { ar = m; gr = mid } else { al = m; gl = mid }
+        }
+        if (av - al < ar - av) gl else gr
+      }
+    val spark = degrees.sparkSession
+    spark.range(1).select(lit(mn).as("min_deg"), lit(mx).as("max_deg"),
+      round(lit(av), 6).as("avg_deg"), round(lit(gamma), 3).as("gamma"))
+  }
+
   def configurationModel(spark: SparkSession, degrees: DataFrame,
       seed: Long = 42): PropertyGraph = {
     val stubs = degrees.select(col("id"), col("deg"))

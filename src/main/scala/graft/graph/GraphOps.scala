@@ -87,6 +87,24 @@ object GraphOps {
       .agg(corr(col("ds").cast("double"), col("dd").cast("double")).as("assortativity"))
   }
 
+  /** Sfigality (reference `centrality/Sfigality.cpp:14-28`): the
+    * fraction of a node's incident edges leading to a strictly
+    * higher-degree neighbor. 0 for isolated nodes. `(id, sfigality)` */
+  def sfigality(g: PropertyGraph): DataFrame = {
+    val adj = g.adjacency.select("src", "dst")
+    val deg = g.degrees
+    val cnt = adj
+      .join(deg.select(col("id").as("src"), col("degree").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dd")), "dst")
+      .groupBy(col("src").as("id"))
+      .agg(sum(when(col("ds") < col("dd"), 1L).otherwise(0L)).as("sf"),
+        count(lit(1)).as("d"))
+    g.vertices.select("id").join(cnt, Seq("id"), "left")
+      .select(col("id"),
+        when(coalesce(col("d"), lit(0L)) > 0, col("sf") / col("d"))
+          .otherwise(lit(0.0)).as("sfigality"))
+  }
+
   /** k-core subgraph: iteratively peel nodes with degree < k
     * (reference `centrality/CoreDecomposition.hpp:26`). */
   def kCore(g: PropertyGraph, k: Int, maxIter: Int = 100): PropertyGraph = {

@@ -159,6 +159,88 @@ object Sparsification {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** Multiscale / disparity-filter significance (reference
+    * `sparsification/MultiscaleScore.cpp:26-67`, Serrano et al.
+    * backbones): each endpoint normalizes its incident attribute values
+    * (p = a/Σ_u a) and scores the edge 1 − (1−p)^(d(u)−1) — the
+    * probability of seeing a weight that large under uniform splitting;
+    * the per-edge score is the max over both endpoints. `scored` is any
+    * `(src, dst, weight, score)` edge-attribute table. */
+  def multiscaleScore(scored: DataFrame): DataFrame = {
+    val inc = scored.select(col("src").as("id"), col("dst").as("nbr"),
+        col("score").as("a"))
+      .unionAll(scored.select(col("dst").as("id"), col("src").as("nbr"),
+        col("score").as("a")))
+    val stats = inc.groupBy("id").agg(sum("a").as("s"), count(lit(1)).as("d"))
+    val p = inc.join(stats, "id")
+      .select(least(col("id"), col("nbr")).as("src"),
+        greatest(col("id"), col("nbr")).as("dst"),
+        (lit(1.0) - pow(lit(1.0) - col("a") / col("s"),
+          col("d").cast("double") - lit(1.0))).as("p"))
+      .groupBy("src", "dst").agg(max("p").as("ms"))
+    scored.join(p, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("weight"),
+        coalesce(col("ms"), lit(0.0)).as("score"))
+  }
+
+  /** Chance-corrected triangle score (reference
+    * `sparsification/ChanceCorrectedTriangleScore.cpp:23-31`):
+    * t·(n−2)/((d(u)−1)(d(v)−1)) when the edge closes a triangle, 1 for
+    * pendant edges, else 0. */
+  def chanceCorrectedTriangleScore(g: PropertyGraph): DataFrame = {
+    val n = g.vertices.count()
+    val t = triangleScore(g)
+    val deg = g.degrees
+    t.join(deg.select(col("id").as("src"), col("degree").as("ds")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dd")), "dst")
+      .select(col("src"), col("dst"), col("weight"),
+        when(col("score") > 0,
+          col("score") * lit((n - 2).toDouble) /
+            ((col("ds") - 1.0) * (col("dd") - 1.0)))
+          .when(col("ds") === 1 || col("dd") === 1, lit(1.0))
+          .otherwise(lit(0.0)).as("score"))
+  }
+
+  /** Geometric-mean normalization of an edge attribute (reference
+    * `edgescores/GeometricMeanScore.cpp:18-40`): a / √(Σ_u a · Σ_v a)
+    * where the sums run over each endpoint's incident attributes;
+    * 0 where the attribute is 0. */
+  def geometricMeanScore(scored: DataFrame): DataFrame = {
+    val inc = scored.select(col("src").as("id"), col("score").as("a"))
+      .unionAll(scored.select(col("dst").as("id"), col("score").as("a")))
+    val sums = inc.groupBy("id").agg(sum("a").as("s"))
+    scored
+      .join(sums.select(col("id").as("src"), col("s").as("su")), "src")
+      .join(sums.select(col("id").as("dst"), col("s").as("sv")), "dst")
+      .select(col("src"), col("dst"), col("weight"),
+        when(col("score") > 0,
+          col("score") / sqrt(col("su") * col("sv")))
+          .otherwise(lit(0.0)).as("score"))
+  }
+
+  /** Quadrangles per edge (reference
+    * `edgescores/ChibaNishizekiQuadrangleEdgeScore.cpp`): the number of
+    * 4-cycles through each edge. A 4-cycle u–x–w–v–u through edge (u,v)
+    * is a length-3 path u→x→w→v with x≠v, w≠u, so the count is a triple
+    * adjacency join grouped on the endpoints — the same shuffle shape as
+    * `LinkPrediction.neighborsMeasure`, restricted to actual edges. */
+  def quadrangleScore(g: PropertyGraph): DataFrame = {
+    val e = PropertyGraph.canonicalizeUndirected(
+      g.edges.filter(col("src") =!= col("dst")))
+    val adj = e.select("src", "dst")
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val p3 = adj.select(col("src").as("u"), col("dst").as("x"))
+      .join(adj.select(col("src").as("x"), col("dst").as("w")), "x")
+      .join(adj.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("x") =!= col("v") && col("w") =!= col("u") &&
+        col("u") < col("v"))
+      .groupBy(col("u").as("src"), col("v").as("dst"))
+      .agg(count(lit(1)).as("quad"))
+    e.join(p3, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("weight"),
+        coalesce(col("quad"), lit(0L)).as("score"))
+  }
+
   /** Min-max normalize a score column to [lo, hi] (reference
     * `EdgeScoreNormalizer.hpp:17`). */
   def normalizeScore(scored: DataFrame, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {

@@ -244,6 +244,34 @@ object ExtendedQueries {
     "x27_prefixjaccard" -> ((s, dir) =>
       Sparsification.prefixJaccardScore(DerivedGraphs.partGraph(s, dir, 2), maxRank = 5)
         .select(col("src"), col("dst"), round(col("score"), 6).as("score"))),
+    // edge-attribute score sheet: multiscale/disparity (on weight),
+    // chance-corrected triangle, geometric-mean(triangle), quadrangles
+    "x30_edgescores" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val ms = Sparsification.multiscaleScore(
+        g.edges.withColumn("score", col("weight")))
+      val cc = Sparsification.chanceCorrectedTriangleScore(g)
+      val gm = Sparsification.geometricMeanScore(Sparsification.triangleScore(g))
+      val quad = Sparsification.quadrangleScore(g)
+      ms.select(col("src"), col("dst"), round(col("score"), 6).as("ms"))
+        .join(cc.select(col("src"), col("dst"), round(col("score"), 6).as("cc")),
+          Seq("src", "dst"))
+        .join(gm.select(col("src"), col("dst"), round(col("score"), 6).as("gm")),
+          Seq("src", "dst"))
+        .join(quad.select(col("src"), col("dst"), col("score").as("quad")),
+          Seq("src", "dst"))
+    }),
+    // KatzIndex from the 8 smallest node ids (frontier-set semantics)
+    "x31_katz" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val sources = g.vertices.orderBy("id").limit(8).select("id")
+      LinkPrediction.katzIndex(g, sources)
+        .select(col("s"), col("v"), round(col("katz"), 12).as("katz"))
+    }),
+    // link-prediction evaluation: held-out 10%, common-neighbor scores,
+    // tie-averaged ROC AUC + precision@100
+    "x32_roc" -> ((s, dir) =>
+      LinkPrediction.rocEvaluation(DerivedGraphs.partGraph(s, dir, 2), k = 100)),
     // multimodal: media stats per kind (byte lengths SQL-checkable)
     "x10_media" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
@@ -485,6 +513,91 @@ object ExtendedQueries {
          |    (ku.k + kv.k - coalesce(ov.c, 0)), 6) AS score
          |FROM t LEFT JOIN ov ON ov.u = t.src AND ov.v = t.dst
          |JOIN ks ku ON ku.id = t.src JOIN ks kv ON kv.id = t.dst""".stripMargin,
+    "x30_edgescores" ->
+      s"""WITH $graphCte,
+         |nn AS MATERIALIZED (SELECT count(*)*1.0 AS n FROM deg),
+         |stats AS MATERIALIZED (SELECT src AS id, sum(c)*1.0 AS s2, count(*) AS d
+         |        FROM sym GROUP BY 1),
+         |msp AS (SELECT least(y.src, y.dst) AS src, greatest(y.src, y.dst) AS dst,
+         |        max(1 - power(1 - y.c/st.s2, st.d - 1.0)) AS ms
+         |        FROM sym y JOIN stats st ON st.id = y.src GROUP BY 1, 2),
+         |cn AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, count(*) AS cnt
+         |      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |      GROUP BY 1, 2),
+         |tri AS MATERIALIZED (SELECT e.src, e.dst, coalesce(cn.cnt, 0) AS t
+         |      FROM e LEFT JOIN cn ON cn.u = e.src AND cn.v = e.dst),
+         |ns AS MATERIALIZED (SELECT id, sum(t) AS st FROM
+         |      (SELECT src AS id, t FROM tri UNION ALL SELECT dst, t FROM tri)
+         |      GROUP BY 1),
+         |q AS (SELECT a.src AS u, c3.dst AS v, count(*) AS cnt
+         |      FROM sym a JOIN sym b ON b.src = a.dst
+         |      JOIN sym c3 ON c3.src = b.dst
+         |      WHERE a.dst <> c3.dst AND b.dst <> a.src AND a.src < c3.dst
+         |      GROUP BY 1, 2)
+         |SELECT e.src, e.dst,
+         | round(coalesce(msp.ms, 0), 6) AS ms,
+         | round(CASE WHEN tri.t > 0
+         |    THEN tri.t*((SELECT n FROM nn) - 2)/((du.d - 1.0)*(dv.d - 1.0))
+         |   WHEN du.d = 1 OR dv.d = 1 THEN 1.0 ELSE 0.0 END, 6) AS cc,
+         | round(CASE WHEN tri.t > 0 THEN tri.t/sqrt(nsu.st*nsv.st)
+         |   ELSE 0.0 END, 6) AS gm,
+         | coalesce(q.cnt, 0)::BIGINT AS quad
+         |FROM e JOIN tri ON tri.src = e.src AND tri.dst = e.dst
+         |LEFT JOIN msp ON msp.src = e.src AND msp.dst = e.dst
+         |JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst
+         |JOIN ns nsu ON nsu.id = e.src JOIN ns nsv ON nsv.id = e.dst
+         |LEFT JOIN q ON q.u = e.src AND q.v = e.dst""".stripMargin,
+    "x31_katz" -> {
+      val levels = (1 to 5).map { l =>
+        val prev = if (l == 1) "f0" else s"(SELECT DISTINCT s, v FROM c${l - 1})"
+        s"""c$l AS MATERIALIZED (SELECT f.s, y.dst AS v,
+           |  count(*)*power(0.005, $l) AS contrib
+           |  FROM $prev f JOIN sym y ON y.src = f.v GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |src8 AS MATERIALIZED (SELECT id FROM
+         |  (SELECT DISTINCT src AS id FROM sym) ORDER BY id LIMIT 8),
+         |f0 AS (SELECT id AS s, id AS v FROM src8),
+         |$levels
+         |SELECT s, v, round(sum(contrib), 12) AS katz FROM
+         | (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL
+         |  SELECT * FROM c3 UNION ALL SELECT * FROM c4 UNION ALL
+         |  SELECT * FROM c5)
+         |GROUP BY 1, 2""".stripMargin
+    },
+    "x32_roc" ->
+      s"""WITH $graphCte,
+         |h AS MATERIALIZED (SELECT src, dst,
+         |      ((src % 100003)*48271 + (dst % 100003)*16807) % 100003 AS hv
+         |     FROM e),
+         |test AS MATERIALIZED (SELECT src AS u, dst AS v FROM h WHERE hv < 10000),
+         |tr AS MATERIALIZED (SELECT src, dst FROM h WHERE hv >= 10000),
+         |trsym AS (SELECT src, dst FROM tr UNION ALL SELECT dst, src FROM tr),
+         |cn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS c
+         |       FROM trsym a JOIN trsym b ON a.src = b.src AND a.dst < b.dst
+         |       GROUP BY 1, 2),
+         |lab0 AS (SELECT coalesce(cn.u, t.u) AS u, coalesce(cn.v, t.v) AS v,
+         |         coalesce(cn.c, 0)*1.0 AS score,
+         |         CASE WHEN t.u IS NOT NULL THEN 1 ELSE 0 END AS pos
+         |        FROM cn FULL JOIN test t ON t.u = cn.u AND t.v = cn.v),
+         |lab AS MATERIALIZED (SELECT l.* FROM lab0 l
+         |       LEFT JOIN tr ON tr.src = l.u AND tr.dst = l.v
+         |       WHERE tr.src IS NULL),
+         |grp AS (SELECT score, count(*) AS cnt, sum(pos) AS npos
+         |        FROM lab GROUP BY score),
+         |rk AS (SELECT score, cnt, npos,
+         |        coalesce(sum(cnt) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |       FROM grp),
+         |tot AS MATERIALIZED (SELECT count(*) AS n, sum(pos) AS p FROM lab),
+         |aucv AS (SELECT (sum(npos*(below + (cnt + 1.0)/2))
+         |            - (SELECT p*(p + 1.0)/2 FROM tot))
+         |           / ((SELECT p FROM tot)*(SELECT n - p FROM tot)) AS v FROM rk),
+         |topk AS (SELECT pos FROM lab ORDER BY score DESC, u ASC, v ASC LIMIT 100)
+         |SELECT (SELECT p FROM tot)::BIGINT AS n_pos,
+         | (SELECT n - p FROM tot)::BIGINT AS n_neg,
+         | round((SELECT v FROM aucv), 6) AS auc,
+         | round((SELECT sum(pos)*1.0/count(*) FROM topk), 6) AS prec_at_k""".stripMargin,
     "x22_localdegree" ->
       s"""WITH $graphCte,
          |dg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),

@@ -235,6 +235,28 @@ object GraphQueries {
           round(col("nbr_distance"), 6).as("nbr_distance"),
           col("pref_attach"), col("same_community"))
     }),
+    // adjusted Rand link-prediction index over candidate pairs
+    "g26_adjustedrand" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      LinkPrediction.adjustedRand(g)
+        .select(col("u"), col("v"),
+          round(col("adjusted_rand"), 6).as("adjusted_rand"))
+    }),
+    // power-law exponent fitted to the degree sequence by average-degree
+    // bisection (the oracle replays the 13-step search in SQL)
+    "g27_powerlaw" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      Generators.powerlawFit(g.degrees)
+    }),
+    // sfigality + local partition coverage per node (id%8 partition)
+    "g28_sfigality" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val part = g.vertices.select(col("id"), (col("id") % 8).as("community"))
+      GraphOps.sfigality(g)
+        .join(Community.localPartitionCoverage(g, part), "id")
+        .select(col("id"), round(col("sfigality"), 6).as("sfigality"),
+          round(col("lpc"), 6).as("lpc"))
+    }),
     // Brandes betweenness from the 5 smallest node ids, unscaled (the
     // oracle replays the exact layered σ/δ DP in SQL)
     "x18_betweenness" -> ((s, dir) => {
@@ -495,6 +517,64 @@ object GraphQueries {
          | (du.d * dv.d)::BIGINT AS pref_attach,
          | CASE WHEN cn.u % 8 = cn.v % 8 THEN 1 ELSE 0 END::BIGINT AS same_community
          |FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v""".stripMargin,
+    "g26_adjustedrand" ->
+      s"""WITH ${graphCte(2)},
+         |cn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS c
+         |       FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |       GROUP BY 1, 2),
+         |nn AS MATERIALIZED (SELECT count(*)*1.0 AS n FROM nodes),
+         |t1 AS (SELECT cn.u, cn.v, cn.c*1.0 AS a,
+         |        (du.d + dv.d - cn.c)*1.0 AS un,
+         |        (SELECT n FROM nn) - (du.d + dv.d - cn.c) AS d2
+         |       FROM cn JOIN deg du ON du.id = cn.u
+         |       JOIN deg dv ON dv.id = cn.v),
+         |t2 AS (SELECT u, v, a, un, d2,
+         |        2*a*un + 2*a*d2 + 2*un*un + 2*un*d2 AS den FROM t1)
+         |SELECT u, v, round(CASE WHEN den = 0 THEN 0.0
+         |  ELSE 2*(a*d2 - un*un) / den END, 6) AS adjusted_rand
+         |FROM t2""".stripMargin,
+    "g27_powerlaw" -> {
+      // 13 bisection steps over γ ∈ [-6,-1]: gap 5/2^12 = 0.00122 still
+      // iterates, 5/2^13 = 0.00061 stops — mirrors the reference's
+      // `while (gamma_l + 0.001 < gamma_r)` exactly
+      val steps = (1 to 13).map { i =>
+        s"""b$i AS MATERIALIZED (SELECT
+           | CASE WHEN m.mavg > s.av THEN b.gl ELSE (b.gl+b.gr)/2 END AS gl,
+           | CASE WHEN m.mavg > s.av THEN (b.gl+b.gr)/2 ELSE b.gr END AS gr,
+           | CASE WHEN m.mavg > s.av THEN b.al ELSE m.mavg END AS al,
+           | CASE WHEN m.mavg > s.av THEN m.mavg ELSE b.ar END AS ar
+           |FROM b${i - 1} b CROSS JOIN st s CROSS JOIN LATERAL
+           | (SELECT sum(k*power(k,(b.gl+b.gr)/2))/sum(power(k,(b.gl+b.gr)/2))
+           |    AS mavg FROM ks) m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${graphCte(2)},
+         |st AS MATERIALIZED (SELECT min(d) AS mn, max(d) AS mx, avg(d) AS av FROM deg),
+         |ks AS MATERIALIZED (SELECT k FROM range(1, 1000000) t(k)
+         |      WHERE k >= (SELECT mn FROM st) AND k <= (SELECT mx FROM st)),
+         |b0 AS MATERIALIZED (SELECT -6.0 AS gl, -1.0 AS gr,
+         |  (SELECT sum(k*power(k,-6.0))/sum(power(k,-6.0)) FROM ks) AS al,
+         |  (SELECT sum(k*power(k,-1.0))/sum(power(k,-1.0)) FROM ks) AS ar),
+         |$steps
+         |SELECT (SELECT mn FROM st)::BIGINT AS min_deg,
+         | (SELECT mx FROM st)::BIGINT AS max_deg,
+         | round((SELECT av FROM st), 6) AS avg_deg,
+         | round(CASE WHEN s.av > z.ar THEN -1.0 WHEN s.av < z.al THEN -6.0
+         |   WHEN s.av - f.al < f.ar - s.av THEN f.gl ELSE f.gr END, 3) AS gamma
+         |FROM st s CROSS JOIN b0 z CROSS JOIN b13 f""".stripMargin
+    },
+    "g28_sfigality" ->
+      s"""WITH ${graphCte(2)},
+         |sf AS (SELECT a.src AS id,
+         |        sum(CASE WHEN du.d < dv.d THEN 1 ELSE 0 END)*1.0/count(*) AS s
+         |       FROM sym a JOIN deg du ON du.id = a.src
+         |       JOIN deg dv ON dv.id = a.dst GROUP BY 1),
+         |lp AS (SELECT src AS id,
+         |        sum(CASE WHEN src % 8 = dst % 8 THEN c ELSE 0 END)*1.0/sum(c) AS l
+         |       FROM symw GROUP BY 1)
+         |SELECT n.id, round(coalesce(sf.s, 0), 6) AS sfigality,
+         | round(coalesce(lp.l, 0), 6) AS lpc
+         |FROM nodes n LEFT JOIN sf ON sf.id = n.id
+         |LEFT JOIN lp ON lp.id = n.id""".stripMargin,
     "g19_degdist" ->
       s"""WITH ${graphCte(2)},
          |h AS (SELECT d AS degree, count(*) AS cnt FROM deg GROUP BY d),
