@@ -354,6 +354,31 @@ object ExtendedQueries {
       val sources = g.vertices.orderBy("id").limit(5).select(col("id").as("source"))
       ShortestPaths.eccentricity(ShortestPaths.bfs(g, sources))
         .select(col("source").as("id"), col("ecc"), col("reached"))
+    }),
+    // bidirectional BFS s-t distance between the two smallest node ids
+    // (same pair as x25; connected there, so a distance exists)
+    "x33_bidir" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val ids = g.vertices.orderBy("id").limit(2).collect().map(_.getLong(0))
+      Paths.bidirectionalBfs(g, ids(0), ids(1))
+    }),
+    // all simple paths (cutoff 4 edges) between the two smallest node ids
+    "x34_simplepaths" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val ids = g.vertices.orderBy("id").limit(2).collect().map(_.getLong(0))
+      Paths.allSimplePaths(g, ids(0), ids(1), cutoff = 4)
+        .agg(count(lit(1)).as("n_paths"),
+          coalesce(sum("len"), lit(0L)).as("total_len"))
+    }),
+    // biconnected decomposition: distributed bridge certificate + a
+    // labels-cover-edges invariant (constants-if-valid gate)
+    "x35_bicc" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val (labels, _, bridges) = Biconnected.run(g)
+      val nEdges = g.edges.filter(col("src") =!= col("dst")).distinct().count()
+      val labelsOk = if (labels.count() == nEdges) 1L else 0L
+      Biconnected.bridgeCertificate(g, bridges)
+        .withColumn("labels_ok", lit(labelsOk))
     })
   )
 
@@ -662,6 +687,35 @@ object ExtendedQueries {
          |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 20),
          |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id)
          |SELECT s AS id, max(dist)::BIGINT AS ecc, count(*) AS reached
-         |FROM d GROUP BY s""".stripMargin
+         |FROM d GROUP BY s""".stripMargin,
+    "x33_bidir" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |two AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM nodes),
+         |reach(id, d) AS (
+         |  SELECT id, 0 FROM two WHERE rn = 1
+         |  UNION
+         |  SELECT e2.dst, r.d+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.d < 20)
+         |SELECT (SELECT id FROM two WHERE rn = 1) AS s,
+         |  (SELECT id FROM two WHERE rn = 2) AS t,
+         |  min(d)::BIGINT AS dist
+         |FROM reach WHERE id = (SELECT id FROM two WHERE rn = 2)""".stripMargin,
+    "x34_simplepaths" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |two AS (SELECT id, row_number() OVER (ORDER BY id) AS rn FROM nodes),
+         |paths(id, path, len) AS (
+         |  SELECT id, [id], 0 FROM two WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e2.dst, list_append(p.path, e2.dst), p.len + 1
+         |  FROM paths p JOIN sym e2 ON e2.src = p.id
+         |  WHERE NOT list_contains(p.path, e2.dst) AND p.len < 4
+         |    AND p.id <> (SELECT id FROM two WHERE rn = 2))
+         |SELECT count(*)::BIGINT AS n_paths,
+         |  coalesce(sum(len), 0)::BIGINT AS total_len
+         |FROM paths WHERE id = (SELECT id FROM two WHERE rn = 2)""".stripMargin,
+    "x35_bicc" ->
+      """SELECT 1::BIGINT AS n_bridges_ok, 1::BIGINT AS separated_ok,
+        |  1::BIGINT AS labels_ok""".stripMargin
   )
 }

@@ -36,6 +36,36 @@ object GraphQueries {
     * σ(v) forward, δ(v) = Σ_{w∈N(v), d(w)=d(v)+1} σ(v)/σ(w)(1+δ(w))
     * backward. Validated cell-exact against an in-memory Brandes.
     * Every level CTE is referenced more than once → MATERIALIZED. */
+  /** Exact σ path-count oracle (single source, HUGEINT arithmetic —
+    * DuckDB's 128-bit integer mirrors our DECIMAL(38,0)): BFS levels by
+    * recursive CTE, then σ(w) = Σ_{v∈N(w), d(v)=d(w)−1} σ(v) unrolled
+    * per level. */
+  private def pathCountSql(minShared: Int, depth: Int): String = {
+    val sigLevels = (1 to depth).map { k =>
+      s"""sig$k AS MATERIALIZED (
+         |  SELECT d.id, sum(sp.sigma) AS sigma
+         |  FROM dm d JOIN symm e ON e.dst = d.id
+         |  JOIN sig${k - 1} sp ON sp.id = e.src
+         |  JOIN dm dp ON dp.id = e.src AND dp.dist = ${k - 1}
+         |  WHERE d.dist = $k GROUP BY d.id)""".stripMargin
+    }.mkString(",\n")
+    val allSig = (0 to depth).map(k => s"SELECT * FROM sig$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${graphCte(minShared)},
+       |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+       |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 1),
+       |reach(id, dist) AS (
+       |  SELECT id, 0 FROM srcs
+       |  UNION
+       |  SELECT e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src=r.id
+       |  WHERE r.dist < $depth),
+       |dm AS MATERIALIZED (SELECT id, min(dist) AS dist FROM reach GROUP BY id),
+       |sig0 AS MATERIALIZED (SELECT id, 1::HUGEINT AS sigma FROM dm WHERE dist = 0),
+       |$sigLevels,
+       |sig AS ($allSig)
+       |SELECT dm.id, dm.dist::BIGINT AS dist, sig.sigma::VARCHAR AS sigma
+       |FROM dm JOIN sig ON sig.id = dm.id""".stripMargin
+  }
+
   private def brandesSql(minShared: Int, nSources: Int, depth: Int): String = {
     val sigLevels = (1 to depth).map { k =>
       s"""sig$k AS MATERIALIZED (
@@ -313,6 +343,15 @@ object GraphQueries {
         .select(col("p_partkey").as("id"))
       val sub = GraphOps.subgraphFromNodes(g, small)
       sub.edges.agg(count(lit(1)).as("n_edges"), round(sum("weight"), 2).as("w"))
+    }),
+    // shortest-path counts σ from the smallest node id in DECIMAL(38,0)
+    // (reference bigfloat `SSSP.hpp:66`); emitted as VARCHAR so the
+    // compare is digit-exact on both sides
+    "g29_pathcounts" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val src = g.vertices.orderBy("id").limit(1).select(col("id").as("source"))
+      Paths.bfsCounted(g, src)
+        .select(col("id"), col("dist"), col("sigma").cast("string").as("sigma"))
     })
   )
 
@@ -409,6 +448,7 @@ object GraphQueries {
     "g16_katz" -> katzSql(2, 10, 0.1, 1.0),
     "g17_kcore3" -> kcorePeelSql(2, 3, 16),
     "x18_betweenness" -> brandesSql(2, 5, 12),
+    "g29_pathcounts" -> pathCountSql(2, 16),
     "g25_laplacian" ->
       s"""WITH ${graphCte(2)},
          |nd AS (SELECT s.src AS id, sum(dg.d) AS sn FROM sym s
