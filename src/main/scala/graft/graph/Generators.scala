@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object Generators {
 
   /** uniform [0,1) from a hashed key — deterministic per (seed, keys) */
-  private def u01(seed: Long, keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+  private[graph] def u01(seed: Long, keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     (pmod(xxhash64(lit(seed) +: keys: _*), lit(1L << 40)) / lit((1L << 40).toDouble))
 
   /** Erdős–Rényi G(n, p) (reference `ErdosRenyiGenerator.hpp:20`):
@@ -350,6 +350,130 @@ object Generators {
       .withColumn("weight", lit(1.0))
     PropertyGraph(paired, directed = false,
       Some(degrees.select(col("id"))))
+  }
+
+  /** Regular ring lattice (reference `RegularRingLatticeGenerator.hpp:18`):
+    * node i ~ i±1..±k mod n. Fully deterministic — one range scan, no
+    * shuffle, no randomness. */
+  def regularRingLattice(spark: SparkSession, n: Long, k: Int): PropertyGraph = {
+    val edges = spark.range(n)
+      .select(col("id").as("src"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("o"))
+      .select(col("src"), pmod(col("src") + col("o"), lit(n)).as("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct() // n ≤ 2k would duplicate rings
+      .withColumn("weight", lit(1.0))
+    PropertyGraph(edges, directed = false)
+  }
+
+  /** Dorogovtsev–Mendes growth (reference
+    * `DorogovtsevMendesGenerator.hpp:18`): start from a triangle; each
+    * new node attaches to BOTH endpoints of a uniformly random existing
+    * edge. Inherently sequential (each step's edge pool depends on all
+    * prior steps — the reference is sequential too), so the growth runs
+    * driver-side with splitmix64 draws, O(n) memory, and ships the final
+    * edge list as a DataFrame. Returns edges tagged with their creation
+    * step for the dynamic-stream variant. */
+  def dorogovtsevMendes(spark: SparkSession, n: Long, seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    require(n >= 3, "DM needs n >= 3")
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+      (0L, 1L, 0L), (0L, 2L, 0L), (1L, 2L, 0L))
+    var t = 3L
+    while (t < n) {
+      val j = java.lang.Long.remainderUnsigned(xxhash64scala(seed, t), edges.length.toLong).toInt
+      val (u, v, _) = edges(j)
+      edges += ((u, t, t)); edges += ((v, t, t))
+      t += 1
+    }
+    edges.toSeq.toDF("src", "dst", "step")
+  }
+
+  /** Havel–Hakimi realization of a degree sequence (reference
+    * `HavelHakimiGenerator.hpp:30`): repeatedly connect the highest-
+    * degree node to the next-highest ones. Exact when the sequence is
+    * graphical; unrealizable leftovers are dropped (the reference's
+    * `ignoreIfRealizable`). Sequential greedy (reference likewise), so
+    * driver-side over the collected sequence — O(n+m). */
+  def havelHakimi(spark: SparkSession, degrees: Seq[(Long, Int)]): PropertyGraph = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var rem = degrees.filter(_._2 > 0).sortBy(d => (-d._2, d._1)).toVector
+    while (rem.nonEmpty) {
+      val (id, d) = rem.head
+      val take = math.min(d, rem.length - 1)
+      val targets = rem.tail.take(take)
+      out ++= targets.map(t => (math.min(id, t._1), math.max(id, t._1)))
+      rem = (rem.tail.take(take).map(t => (t._1, t._2 - 1)) ++ rem.tail.drop(take))
+        .filter(_._2 > 0).sortBy(t => (-t._2, t._1))
+    }
+    val df = out.toSeq.toDF("src", "dst").withColumn("weight", lit(1.0))
+    PropertyGraph(df, directed = false,
+      Some(degrees.map(_._1).toDF("id")))
+  }
+
+  /** Dynamic Dorogovtsev–Mendes event stream (reference
+    * `DynamicDorogovtsevMendesGenerator.hpp`): the growth above emitted
+    * as timestamped NODE_ADDITION/EDGE_ADDITION events, replayable by
+    * the streaming graph updater. */
+  def dynamicDorogovtsevMendes(spark: SparkSession, n: Long, seed: Long = 42): DataFrame = {
+    val e = dorogovtsevMendes(spark, n, seed)
+    val nodeEvents = e.select(col("dst").as("u"), col("step"))
+      .unionAll(e.select(col("src").as("u"), col("step")))
+      .groupBy("u").agg(min("step").as("step"))
+      .select(col("step"), lit("NODE_ADDITION").as("type"), col("u"), lit(null: java.lang.Long).as("v"))
+    val edgeEvents = e.select(col("step"), lit("EDGE_ADDITION").as("type"),
+      col("src").as("u"), col("dst").as("v"))
+    nodeEvents.unionAll(edgeEvents)
+  }
+
+  /** Dynamic forest-fire event stream (reference
+    * `DynamicForestFireGenerator.hpp:26`): each step a new node picks a
+    * random ambassador and "burns" outward — every burned node gets an
+    * edge; neighbors catch fire with geometric fan-out ~ p. Sequential
+    * process (each step reads the graph so far), driver-side like the
+    * reference, emitting timestamped edge events. */
+  def dynamicForestFire(spark: SparkSession, nSteps: Int, p: Double,
+      seed: Long = 42): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def link(u: Long, v: Long): Unit = {
+      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer()) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer()) += u
+    }
+    val events = scala.collection.mutable.ArrayBuffer[(Long, String, Long, java.lang.Long)]()
+    adj(0L) = scala.collection.mutable.ArrayBuffer()
+    events += ((0L, "NODE_ADDITION", 0L, null))
+    var draw = 0L
+    def u01d(): Double = {
+      draw += 1
+      (xxhash64scala(seed, draw) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    for (t <- 1 until nSteps) {
+      val tt = t.toLong
+      events += ((tt, "NODE_ADDITION", tt, null))
+      val ambassador = (u01d() * t).toLong.min(t - 1L)
+      val burned = scala.collection.mutable.LinkedHashSet[Long](ambassador)
+      val queue = scala.collection.mutable.Queue[Long](ambassador)
+      while (queue.nonEmpty) {
+        val w = queue.dequeue()
+        // geometric number of new neighbors to ignite: mean p/(1-p)
+        val fires = math.floor(math.log(math.max(u01d(), 1e-12)) / math.log(1.0 - p)).toInt
+        val nbrs = adj.getOrElse(w, scala.collection.mutable.ArrayBuffer())
+          .filterNot(burned.contains)
+        new scala.util.Random(xxhash64scala(seed ^ tt, w)).shuffle(nbrs.toSeq)
+          .take(math.max(fires, 0)).foreach { x =>
+            burned += x; queue.enqueue(x)
+          }
+      }
+      burned.foreach { b =>
+        link(tt, b)
+        events += ((tt, "EDGE_ADDITION", math.min(tt, b), math.max(tt, b)))
+      }
+      adj.getOrElseUpdate(tt, scala.collection.mutable.ArrayBuffer())
+    }
+    events.toSeq.toDF("step", "type", "u", "v")
   }
 
   /** Driver-side xxhash-ish mixer for the few scalar draws the driver

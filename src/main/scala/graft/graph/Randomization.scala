@@ -98,4 +98,90 @@ object Randomization {
     PropertyGraph(edges.withColumn("weight", lit(1.0)),
       directed = false, g.verticesOpt)
   }
+
+  /** One global curveball trade round, parallel-safe
+    * (reference `GlobalCurveball.hpp:24`): nodes are hash-paired; each
+    * pair (u,v) trades the neighbors adjacent to exactly one of them,
+    * re-dealing the disjoint pool uniformly while u keeps its count.
+    *
+    * Parallel-safety deviations from the sequential reference, same
+    * fixed-degree ensemble: (a) each edge is OWNED by one endpoint per
+    * round (hash bit), so two pairs never trade the same edge; (b) a
+    * pooled neighbor adjacent to the partner under *any* ownership is
+    * treated as common and kept — exactly curveball's common-neighbor
+    * rule, extended to unowned adjacency so re-deals cannot create
+    * multi-edges. All steps are keyed joins/group-bys. */
+  private def curveballRound(edges: DataFrame, seed: Long): DataFrame = {
+    // pair nodes by hashed rank: 2k with 2k+1 (odd one out keeps edges)
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+    val ranked = nodes.withColumn("r",
+      row_number().over(Window.orderBy(xxhash64(lit(seed), col("id")), col("id")))
+        .cast("long") - 1)
+    val pairAss = ranked.select(col("id"), expr("r div 2").as("p"), (col("r") % 2).as("side"))
+    val maxPair = pairAss.groupBy("p").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 2).select("p")
+    val inPair = pairAss.join(maxPair, "p") // drop the unpaired node
+
+    // edge ownership: one endpoint per round, hash bit
+    val owned = edges.withColumn("ownSrc",
+      pmod(xxhash64(lit(seed ^ 7), col("src"), col("dst")), lit(2L)) === 0)
+    val ownRows = owned.select(
+        when(col("ownSrc"), col("src")).otherwise(col("dst")).as("owner"),
+        when(col("ownSrc"), col("dst")).otherwise(col("src")).as("nbr"))
+
+    // owned rows of paired nodes, tagged with pair + side + partner
+    val partners = inPair.as("a").join(inPair.as("b"),
+        col("a.p") === col("b.p") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("a.p").as("p"),
+        col("a.side").as("side"), col("b.id").as("partner"))
+    val ownedOfPaired = ownRows.join(partners, ownRows("owner") === partners("id"))
+      .select(col("p"), col("side"), col("owner"), col("partner"), col("nbr"))
+    // the partner edge itself never trades
+    val partnerEdges = ownedOfPaired.filter(col("nbr") === col("partner"))
+    val tradable = ownedOfPaired.filter(col("nbr") =!= col("partner"))
+
+    // common rule: nbr adjacent (any ownership) to the partner → fixed
+    val sym = edges.select(col("src").as("x"), col("dst").as("y"))
+      .unionAll(edges.select(col("dst").as("x"), col("src").as("y")))
+    val fixedCommon = tradable.join(sym,
+      tradable("partner") === sym("x") && tradable("nbr") === sym("y"), "left_semi")
+    val pool = tradable.join(sym,
+      tradable("partner") === sym("x") && tradable("nbr") === sym("y"), "left_anti")
+
+    // re-deal the pool: side-0's member keeps its original slot count,
+    // slots assigned by hashed shuffle within the pair
+    val members = partners.filter(col("side") === 0)
+      .select(col("p"), col("id").as("m0"), col("partner").as("m1"))
+    val dealt = pool.withColumn("ku",
+        sum(when(col("side") === 0, 1L).otherwise(0L)).over(Window.partitionBy("p")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(xxhash64(lit(seed ^ 13), col("p"), col("nbr")), col("nbr"))))
+      .join(members, "p")
+      .select(when(col("rn") <= col("ku"), col("m0")).otherwise(col("m1")).as("owner"),
+        col("nbr"))
+
+    // rebuild: owned rows of unpaired nodes + partner edges + fixed
+    // common neighbors + the re-dealt pool
+    val untouched = ownRows.join(partners, ownRows("owner") === partners("id"), "left_anti")
+    val rebuilt = untouched.select("owner", "nbr")
+      .unionAll(partnerEdges.select("owner", "nbr"))
+      .unionAll(fixedCommon.select("owner", "nbr"))
+      .unionAll(dealt)
+    rebuilt.select(least(col("owner"), col("nbr")).as("src"),
+      greatest(col("owner"), col("nbr")).as("dst"))
+  }
+
+  /** `trades` global curveball rounds; degree sequence invariant. */
+  def globalCurveball(g: PropertyGraph, trades: Int = 5,
+      seed: Long = 42): PropertyGraph = {
+    var edges = PropertyGraph.canonicalizeUndirected(
+        g.edges.filter(col("src") =!= col("dst")))
+      .select("src", "dst").distinct()
+      .localCheckpoint(true)
+    for (r <- 0 until trades)
+      edges = curveballRound(edges, seed + 777L * r).localCheckpoint(true)
+    PropertyGraph(edges.withColumn("weight", lit(1.0)),
+      directed = false, g.verticesOpt)
+  }
 }

@@ -370,6 +370,55 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_paths"),
           coalesce(sum("len"), lit(0L)).as("total_len"))
     }),
+    // generator tail (ring lattice, Dorogovtsev-Mendes, Havel-Hakimi,
+    // PubWeb, Mocnik, forest fire) + curveball randomization: each row
+    // is (gen, ok1, ok2) with Spark-verified invariants, oracle-pinned
+    "x36_generators2" -> ((s, dir) => {
+      import s.implicits._
+      def row(gen: String, ok1: Boolean, ok2: Boolean) =
+        Seq((gen, if (ok1) 1L else 0L, if (ok2) 1L else 0L)).toDF("gen", "ok1", "ok2")
+
+      val ring = Generators.regularRingLattice(s, 200, 3)
+      val ringDeg = ring.degrees.select("degree").distinct().as[Long].collect()
+      val r1 = row("ring", ring.edges.count() == 600,
+        ringDeg.length == 1 && ringDeg.head == 6L)
+
+      val dm = PropertyGraph.fromEdges(
+        Generators.dorogovtsevMendes(s, 500), directed = false)
+      val r2 = row("dm", dm.vertices.count() == 500, dm.edges.count() == 997)
+
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val degSeq = g.degrees.select("id", "degree").as[(Long, Long)].collect()
+        .map { case (i, d) => (i, d.toInt) }.toSeq
+      val hh = Generators.havelHakimi(s, degSeq)
+      val hhMatch = hh.degrees
+        .join(g.degrees.withColumnRenamed("degree", "want"), "id")
+        .filter(col("degree") =!= col("want")).count() == 0
+      val r3 = row("havelhakimi", hhMatch, hh.edges.count() == g.edges.count())
+
+      val cb = Randomization.globalCurveball(g, trades = 3)
+      val degHist = (p: graft.graph.PropertyGraph) => p.degrees
+        .groupBy("degree").agg(count(lit(1)).as("n"))
+      val cbPreserved = degHist(cb).except(degHist(g)).isEmpty &&
+        degHist(g).except(degHist(cb)).isEmpty
+      val r4 = row("curveball", cbPreserved, cb.edges.count() == g.edges.count())
+
+      val pw = GeometricGenerators.pubWeb(s, 300, 5, 0.1, 8)
+      val pwMaxDeg = pw.degrees.agg(max("degree")).as[Long].head()
+      val r5 = row("pubweb", pw.vertices.count() == 300, pwMaxDeg <= 8L)
+
+      val mo = GeometricGenerators.mocnik(s, 400, 6.0)
+      val moAvg = mo.degrees.agg(avg("degree")).as[Double].head()
+      val r6 = row("mocnik", mo.vertices.count() == 400, moAvg > 3.0 && moAvg < 9.0)
+
+      val ff = Generators.dynamicForestFire(s, 200, 0.3)
+      val ffNodes = ff.filter(col("type") === "NODE_ADDITION").count()
+      val ffBadEdges = ff.filter(col("type") === "EDGE_ADDITION")
+        .filter(col("u") >= col("v") || col("v") > col("step")).count()
+      val r7 = row("forestfire", ffNodes == 200, ffBadEdges == 0)
+
+      r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6).unionAll(r7)
+    }),
     // biconnected decomposition: distributed bridge certificate + a
     // labels-cover-edges invariant (constants-if-valid gate)
     "x35_bicc" -> ((s, dir) => {
@@ -716,6 +765,10 @@ object ExtendedQueries {
          |FROM paths WHERE id = (SELECT id FROM two WHERE rn = 2)""".stripMargin,
     "x35_bicc" ->
       """SELECT 1::BIGINT AS n_bridges_ok, 1::BIGINT AS separated_ok,
-        |  1::BIGINT AS labels_ok""".stripMargin
+        |  1::BIGINT AS labels_ok""".stripMargin,
+    "x36_generators2" ->
+      """SELECT gen, 1::BIGINT AS ok1, 1::BIGINT AS ok2 FROM (VALUES
+        |  ('ring'), ('dm'), ('havelhakimi'), ('curveball'),
+        |  ('pubweb'), ('mocnik'), ('forestfire')) t(gen)""".stripMargin
   )
 }
