@@ -101,4 +101,145 @@ object GroupCentrality {
     dist.unpersist(blocking = false)
     chosen.toSeq.toDF("rank", "id", "group_score")
   }
+
+  /** Greedy group closeness (reference `GroupCloseness.hpp:24`,
+    * Bergamini et al. greedy): grow S minimizing group farness
+    * Σ_x d(x, S), where nodes unreachable from every member pay a fixed
+    * `penalty`. Candidate pool = top `nCandidates` by degree (same
+    * documented deviation as [[groupHarmonicCloseness]]). Farness of a
+    * candidate v given the partial group S decomposes as
+    * A(v) − C(v) + T(S) + penalty·(n − |R(v) ∪ R(S)|) with
+    * A = Σ_{x∈R(v)} min(d_v, d_S), C = Σ_{x∈R(v)∩R(S)} d_S,
+    * T = Σ_{x∈R(S)} d_S — all one grouped left join per step, so the
+    * oracle can replay it verbatim in SQL. Returns
+    * `(rank, id, farness)`. */
+  def groupCloseness(g: PropertyGraph, k: Int,
+      nCandidates: Int = 16, penalty: Long = 1000000L): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val n = g.vertices.count()
+    val cands = g.degrees.orderBy(col("degree").desc, col("id").asc)
+      .limit(nCandidates).select(col("id").as("source"))
+    val dist = ShortestPaths.bfs(g, cands) // (source, id, dist)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dist.count()
+
+    var dS = spark.emptyDataFrame // (id, d): distance to current S
+    var totalS = 0L // T(S)
+    var reachedS = 0L // |R(S)|
+    val chosen = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var first = true
+    for (rank <- 1 to k) {
+      val taken = chosen.map(_._2)
+      val remaining =
+        if (taken.isEmpty) dist
+        else dist.filter(!col("source").isin(taken.toList: _*))
+      val scored =
+        if (first)
+          remaining.groupBy("source")
+            .agg((sum("dist") + lit(penalty) * (lit(n) - count(lit(1))))
+              .as("farness"))
+        else {
+          val j = remaining.join(dS, Seq("id"), "left")
+          j.groupBy("source").agg(
+            (sum(least(col("dist"), coalesce(col("d"), lit(penalty)))) // A
+              - sum(when(col("d").isNotNull, col("d")).otherwise(0L)) // - C
+              + lit(totalS)
+              + lit(penalty) * (lit(n) - (count(lit(1)) + lit(reachedS)
+                - sum(when(col("d").isNotNull, 1L).otherwise(0L)))))
+              .as("farness"))
+        }
+      val best = scored.orderBy(col("farness").asc, col("source").asc).limit(1).collect()
+      if (best.nonEmpty) {
+        val (id, f) = (best(0).getLong(0), best(0).getLong(1))
+        chosen += ((rank, id, f))
+        val dNew = dist.filter(col("source") === id).select(col("id"), col("dist"))
+        dS =
+          (if (first) dNew.select(col("id"), col("dist").as("d"))
+           else dS.join(dNew, Seq("id"), "full")
+             .select(col("id"),
+               least(coalesce(col("d"), lit(penalty)),
+                 coalesce(col("dist"), lit(penalty))).as("d")))
+            .localCheckpoint(true)
+        val agg = dS.agg(sum("d"), count(lit(1))).head()
+        totalS = agg.getLong(0); reachedS = agg.getLong(1)
+        first = false
+      }
+    }
+    dist.unpersist(blocking = false)
+    chosen.toSeq.toDF("rank", "id", "farness")
+  }
+
+  /** GedWalk group centrality, greedy (reference
+    * `centrality/GedWalk.hpp:19`): φ(S) = Σ_{ℓ≥1} α^ℓ · #(ℓ-walks that
+    * touch S), computed exactly as total walks minus walks avoiding S,
+    * truncated at `maxLen` (the geometric tail the reference bounds
+    * with ε). Walks avoiding a set R satisfy the DP
+    * x_ℓ(u) = Σ_{w∈N(u)∖R} x_{ℓ-1}(w) on u ∉ R — every greedy step runs
+    * the DP once for S and once for ALL candidates simultaneously
+    * (state keyed by candidate), so the step cost is 2·maxLen keyed
+    * joins regardless of pool size. Candidate pool = top `nCandidates`
+    * by degree. Returns `(rank, id, gain)`. */
+  def gedWalk(g: PropertyGraph, k: Int, alpha: Double = 0.1,
+      maxLen: Int = 4, nCandidates: Int = 8): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val adj = g.adjacency.select("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val nodes = g.vertices.select("id").localCheckpoint(true)
+    val cands = g.degrees.orderBy(col("degree").desc, col("id").asc)
+      .limit(nCandidates).select(col("id").as("cand")).localCheckpoint(true)
+
+    // Σ_ℓ α^ℓ · #ℓ-walks avoiding R, for R = S (one scalar)
+    def avoidScoreS(s: Seq[Long]): Double = {
+      var x = nodes.filter(if (s.isEmpty) lit(true) else !col("id").isin(s: _*))
+        .select(col("id"), lit(1.0).as("x"))
+        .localCheckpoint(true)
+      var acc = 0.0
+      for (l <- 1 to maxLen) {
+        x = x.join(adj, x("id") === adj("dst"))
+          .filter(if (s.isEmpty) lit(true) else !col("src").isin(s: _*))
+          .groupBy(col("src").as("id")).agg(sum("x").as("x"))
+          .localCheckpoint(true)
+        acc += math.pow(alpha, l) * x.agg(coalesce(sum("x"), lit(0.0))).as[Double].head()
+      }
+      acc
+    }
+    // same, keyed per candidate with R = S ∪ {cand}: (cand, score)
+    def avoidScoreCands(s: Seq[Long], remaining: DataFrame): DataFrame = {
+      var x = remaining.join(nodes, col("id") =!= col("cand"))
+        .filter(if (s.isEmpty) lit(true) else !col("id").isin(s: _*))
+        .select(col("cand"), col("id"), lit(1.0).as("x"))
+        .localCheckpoint(true)
+      var acc = remaining.select(col("cand"), lit(0.0).as("score"))
+      for (l <- 1 to maxLen) {
+        x = x.join(adj, x("id") === adj("dst"))
+          .filter(col("src") =!= col("cand"))
+          .filter(if (s.isEmpty) lit(true) else !col("src").isin(s: _*))
+          .groupBy(col("cand"), col("src").as("id")).agg(sum("x").as("x"))
+          .localCheckpoint(true)
+        val lv = x.groupBy("cand").agg((sum("x") * math.pow(alpha, l)).as("lv"))
+        acc = acc.join(lv, Seq("cand"), "left")
+          .select(col("cand"), (col("score") + coalesce(col("lv"), lit(0.0))).as("score"))
+          .localCheckpoint(true)
+      }
+      acc
+    }
+
+    val chosen = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    for (rank <- 1 to k) {
+      val s = chosen.map(_._2).toSeq
+      val base = avoidScoreS(s)
+      val remaining = cands.filter(if (s.isEmpty) lit(true) else !col("cand").isin(s: _*))
+      val gains = avoidScoreCands(s, remaining)
+        .select(col("cand"), (lit(base) - col("score")).as("gain"))
+      val best = gains.orderBy(col("gain").desc, col("cand").asc).limit(1).collect()
+      if (best.nonEmpty)
+        chosen += ((rank, best(0).getLong(0), best(0).getDouble(1)))
+    }
+    adj.unpersist(blocking = false)
+    chosen.toSeq.toDF("rank", "id", "gain")
+  }
 }

@@ -370,6 +370,20 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_paths"),
           coalesce(sum("len"), lit(0L)).as("total_len"))
     }),
+    // KADABRA sampled betweenness vs exact Brandes: the (err=0.1)
+    // additive guarantee must hold on the normalized scores
+    // (constants-if-valid gate; sampling is seed-deterministic)
+    "x39_kadabra" -> ((s, dir) => {
+      import s.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val n = g.vertices.count().toDouble
+      val est = Betweenness.kadabra(g, err = 0.1, delta = 0.1)
+      val exact = Betweenness.run(g, sampleSources = None)
+        .select(col("id"), (col("score") * 2.0 / (n * (n - 1.0))).as("exact"))
+      val maxDev = est.join(exact, "id")
+        .agg(max(abs(col("kadabra") - col("exact")))).as[Double].head()
+      Seq((if (maxDev <= 0.1) 1L else 0L, 1L)).toDF("within_err", "ran")
+    }),
     // generator tail (ring lattice, Dorogovtsev-Mendes, Havel-Hakimi,
     // PubWeb, Mocnik, forest fire) + curveball randomization: each row
     // is (gen, ok1, ok2) with Spark-verified invariants, oracle-pinned
@@ -766,6 +780,8 @@ object ExtendedQueries {
     "x35_bicc" ->
       """SELECT 1::BIGINT AS n_bridges_ok, 1::BIGINT AS separated_ok,
         |  1::BIGINT AS labels_ok""".stripMargin,
+    "x39_kadabra" ->
+      "SELECT 1::BIGINT AS within_err, 1::BIGINT AS ran",
     "x36_generators2" ->
       """SELECT gen, 1::BIGINT AS ok1, 1::BIGINT AS ok2 FROM (VALUES
         |  ('ring'), ('dm'), ('havelhakimi'), ('curveball'),

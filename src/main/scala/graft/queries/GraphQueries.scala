@@ -66,6 +66,108 @@ object GraphQueries {
        |FROM dm JOIN sig ON sig.id = dm.id""".stripMargin
   }
 
+  /** Unrolled 3-step greedy group-closeness oracle (farness with
+    * unreachable penalty P): replays GroupCentrality.groupCloseness's
+    * A − C + T + P·uncovered decomposition per step. */
+  private def groupClosenessSql(minShared: Int, pool: Int): String = {
+    val P = 1000000L
+    s"""WITH RECURSIVE ${graphCte(minShared)},
+       |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+       |cand AS MATERIALIZED (SELECT id FROM deg ORDER BY d DESC, id LIMIT $pool),
+       |reach(s, id, dist) AS (
+       |  SELECT id, id, 0 FROM cand
+       |  UNION
+       |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src = r.id
+       |  WHERE r.dist < 20),
+       |dm AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |s1 AS (SELECT s, sum(dist) + $P*((SELECT n FROM nn) - count(*)) AS farness
+       |       FROM dm GROUP BY s),
+       |b1 AS MATERIALIZED (SELECT s, farness FROM s1 ORDER BY farness ASC, s ASC LIMIT 1),
+       |d1 AS MATERIALIZED (SELECT dm.id, dm.dist AS d FROM dm JOIN b1 ON dm.s = b1.s),
+       |t1 AS (SELECT sum(d) AS ts, count(*) AS rs FROM d1),
+       |s2 AS (SELECT dm.s,
+       |    sum(least(dm.dist, coalesce(d1.d, $P)))
+       |    - sum(CASE WHEN d1.d IS NOT NULL THEN d1.d ELSE 0 END)
+       |    + (SELECT ts FROM t1)
+       |    + $P*((SELECT n FROM nn) - (count(*) + (SELECT rs FROM t1)
+       |        - sum(CASE WHEN d1.d IS NOT NULL THEN 1 ELSE 0 END))) AS farness
+       |  FROM dm LEFT JOIN d1 ON d1.id = dm.id
+       |  WHERE dm.s NOT IN (SELECT s FROM b1) GROUP BY dm.s),
+       |b2 AS MATERIALIZED (SELECT s, farness FROM s2 ORDER BY farness ASC, s ASC LIMIT 1),
+       |dn2 AS MATERIALIZED (SELECT dm.id, dm.dist FROM dm JOIN b2 ON dm.s = b2.s),
+       |d2 AS MATERIALIZED (SELECT coalesce(d1.id, dn2.id) AS id,
+       |    least(coalesce(d1.d, $P), coalesce(dn2.dist, $P)) AS d
+       |  FROM d1 FULL JOIN dn2 ON dn2.id = d1.id),
+       |t2 AS (SELECT sum(d) AS ts, count(*) AS rs FROM d2),
+       |s3 AS (SELECT dm.s,
+       |    sum(least(dm.dist, coalesce(d2.d, $P)))
+       |    - sum(CASE WHEN d2.d IS NOT NULL THEN d2.d ELSE 0 END)
+       |    + (SELECT ts FROM t2)
+       |    + $P*((SELECT n FROM nn) - (count(*) + (SELECT rs FROM t2)
+       |        - sum(CASE WHEN d2.d IS NOT NULL THEN 1 ELSE 0 END))) AS farness
+       |  FROM dm LEFT JOIN d2 ON d2.id = dm.id
+       |  WHERE dm.s NOT IN (SELECT s FROM b1 UNION SELECT s FROM b2) GROUP BY dm.s),
+       |b3 AS MATERIALIZED (SELECT s, farness FROM s3 ORDER BY farness ASC, s ASC LIMIT 1)
+       |SELECT 1::BIGINT AS rank, s AS id, farness::BIGINT AS farness FROM b1
+       |UNION ALL SELECT 2, s, farness::BIGINT FROM b2
+       |UNION ALL SELECT 3, s, farness::BIGINT FROM b3""".stripMargin
+  }
+
+  /** Unrolled 2-step greedy GedWalk oracle: φ-gain via total-walks minus
+    * walks-avoiding-R DPs, α-weights emitted as exact Scala doubles so
+    * both engines multiply identical literals. */
+  private def gedWalkSql(minShared: Int, pool: Int, alpha: Double, maxLen: Int): String = {
+    def a(l: Int) = math.pow(alpha, l).toString
+    // total-walk DP t_l and S={b1}-avoiding DP a_l over all nodes;
+    // candidate-keyed DPs w_l (R={cand}) and v_l (R={b1, cand})
+    val tLevels = (1 to maxLen).map { l =>
+      s"""t$l AS MATERIALIZED (SELECT s.src AS id, sum(t.x) AS x
+         |  FROM t${l - 1} t JOIN symm s ON s.dst = t.id GROUP BY s.src)""".stripMargin
+    }.mkString(",\n")
+    val wLevels = (1 to maxLen).map { l =>
+      s"""w$l AS MATERIALIZED (SELECT w.cand, s.src AS id, sum(w.x) AS x
+         |  FROM w${l - 1} w JOIN symm s ON s.dst = w.id
+         |  WHERE s.src <> w.cand GROUP BY w.cand, s.src)""".stripMargin
+    }.mkString(",\n")
+    val aLevels = (1 to maxLen).map { l =>
+      s"""a$l AS MATERIALIZED (SELECT s.src AS id, sum(a.x) AS x
+         |  FROM a${l - 1} a JOIN symm s ON s.dst = a.id
+         |  WHERE s.src <> (SELECT s FROM b1) GROUP BY s.src)""".stripMargin
+    }.mkString(",\n")
+    val vLevels = (1 to maxLen).map { l =>
+      s"""v$l AS MATERIALIZED (SELECT v.cand, s.src AS id, sum(v.x) AS x
+         |  FROM v${l - 1} v JOIN symm s ON s.dst = v.id
+         |  WHERE s.src <> v.cand AND s.src <> (SELECT s FROM b1)
+         |  GROUP BY v.cand, s.src)""".stripMargin
+    }.mkString(",\n")
+    val tScore = (1 to maxLen).map(l => s"(SELECT coalesce(sum(x),0)*${a(l)} FROM t$l)").mkString(" + ")
+    val wScore = (1 to maxLen).map(l => s"coalesce((SELECT sum(x) FROM w$l w WHERE w.cand = c.id),0)*${a(l)}").mkString(" + ")
+    val aScore = (1 to maxLen).map(l => s"(SELECT coalesce(sum(x),0)*${a(l)} FROM a$l)").mkString(" + ")
+    val vScore = (1 to maxLen).map(l => s"coalesce((SELECT sum(x) FROM v$l v WHERE v.cand = c.id),0)*${a(l)}").mkString(" + ")
+    s"""WITH ${graphCte(minShared)},
+       |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+       |cand AS MATERIALIZED (SELECT id FROM deg ORDER BY d DESC, id LIMIT $pool),
+       |t0 AS (SELECT id, 1.0 AS x FROM nodes),
+       |$tLevels,
+       |w0 AS MATERIALIZED (SELECT c.id AS cand, n.id, 1.0 AS x
+       |  FROM cand c JOIN nodes n ON n.id <> c.id),
+       |$wLevels,
+       |g1 AS (SELECT c.id, ($tScore) - ($wScore) AS gain FROM cand c),
+       |b1 AS MATERIALIZED (SELECT id AS s, gain FROM g1 ORDER BY gain DESC, id ASC LIMIT 1),
+       |a0 AS (SELECT id, 1.0 AS x FROM nodes WHERE id <> (SELECT s FROM b1)),
+       |$aLevels,
+       |v0 AS MATERIALIZED (SELECT c.id AS cand, n.id, 1.0 AS x
+       |  FROM cand c JOIN nodes n ON n.id <> c.id
+       |  WHERE c.id <> (SELECT s FROM b1) AND n.id <> (SELECT s FROM b1)),
+       |$vLevels,
+       |g2 AS (SELECT c.id, ($aScore) - ($vScore) AS gain FROM cand c
+       |  WHERE c.id <> (SELECT s FROM b1)),
+       |b2 AS MATERIALIZED (SELECT id AS s, gain FROM g2 ORDER BY gain DESC, id ASC LIMIT 1)
+       |SELECT 1::BIGINT AS rank, s AS id, round(gain, 6) AS gain FROM b1
+       |UNION ALL SELECT 2, s, round(gain, 6) FROM b2""".stripMargin
+  }
+
   private def brandesSql(minShared: Int, nSources: Int, depth: Int): String = {
     val sigLevels = (1 to depth).map { k =>
       s"""sig$k AS MATERIALIZED (
@@ -249,6 +351,15 @@ object GraphQueries {
       GroupCentrality.groupHarmonicCloseness(DerivedGraphs.partGraph(s, dir, 2), 3)
         .select(col("rank").cast("long").as("rank"), col("id"),
           round(col("group_score"), 6).as("group_score"))),
+    // greedy group closeness = farness minimization (k = 3, top-16 pool)
+    "x37_groupcloseness" -> ((s, dir) =>
+      GroupCentrality.groupCloseness(DerivedGraphs.partGraph(s, dir, 2), 3)
+        .select(col("rank").cast("long").as("rank"), col("id"), col("farness"))),
+    // greedy GedWalk (k = 2, α=0.1, walks ≤ 4, top-8 pool)
+    "x38_gedwalk" -> ((s, dir) =>
+      GroupCentrality.gedWalk(DerivedGraphs.partGraph(s, dir, 2), 2)
+        .select(col("rank").cast("long").as("rank"), col("id"),
+          round(col("gain"), 6).as("gain"))),
     // k-clique counts (k = 2,3,4) via degree-oriented ordered joins
     "x19_cliques" -> ((s, dir) =>
       Cliques.cliqueCounts(DerivedGraphs.partGraph(s, dir, 2), maxK = 4)),
@@ -449,6 +560,8 @@ object GraphQueries {
     "g17_kcore3" -> kcorePeelSql(2, 3, 16),
     "x18_betweenness" -> brandesSql(2, 5, 12),
     "g29_pathcounts" -> pathCountSql(2, 16),
+    "x37_groupcloseness" -> groupClosenessSql(2, 16),
+    "x38_gedwalk" -> gedWalkSql(2, 8, 0.1, 4),
     "g25_laplacian" ->
       s"""WITH ${graphCte(2)},
          |nd AS (SELECT s.src AS id, sum(dg.d) AS sn FROM sym s
