@@ -525,4 +525,267 @@ object Community {
     joined.unpersist(false)
     if (h1 + h2 == 0.0) 1.0 else 2.0 * mi / (h1 + h2)
   }
+
+  /** Two-level map-equation codelength L(M) in bits (reference
+    * `community/LouvainMapEquation.hpp:19`, Rosvall–Bergstrom;
+    * undirected flow, visit rates p_v = k_v / 2m, exit rates
+    * q_m = cut_m / 2m):
+    * L = plogp(Q) − 2·Σ_m plogp(q_m) − Σ_v plogp(p_v)
+    *     + Σ_m plogp(p_m + q_m),  Q = Σ_m q_m. */
+  def mapEquation(g: PropertyGraph, partition: DataFrame): Double = {
+    val adj = sym(g).filter(col("src") =!= col("dst"))
+    val m2 = adj.agg(sum("weight")).head.getDouble(0)
+    val lbl = partition.select(col("id"), col("community"))
+    def plogp(c: org.apache.spark.sql.Column) =
+      when(c > 0.0, c * log2(c)).otherwise(lit(0.0))
+    val deg = adj.groupBy(col("src").as("id")).agg(sum("weight").as("k"))
+      .join(lbl, "id")
+    val pm = deg.groupBy("community").agg((sum("k") / m2).as("pm"))
+    val qm = adj
+      .join(lbl.withColumnRenamed("id", "src").withColumnRenamed("community", "cs"), "src")
+      .join(lbl.withColumnRenamed("id", "dst").withColumnRenamed("community", "cd"), "dst")
+      .filter(col("cs") =!= col("cd"))
+      .groupBy(col("cs").as("community")).agg((sum("weight") / m2).as("qm"))
+    val mods = pm.join(qm, Seq("community"), "left")
+      .select(col("pm"), coalesce(col("qm"), lit(0.0)).as("qm"))
+    val agg = mods.agg(sum("qm"), sum(plogp(col("qm"))),
+      sum(plogp(col("pm") + col("qm")))).head
+    val (bigQ, sQ, sPQ) = (agg.getDouble(0), agg.getDouble(1), agg.getDouble(2))
+    val nodeTerm = deg.agg(sum(plogp(col("k") / m2))).head.getDouble(0)
+    val plogpQ = if (bigQ > 0) bigQ * math.log(bigQ) / math.log(2.0) else 0.0
+    plogpQ - 2.0 * sQ - nodeTerm + sPQ
+  }
+
+  /** Louvain-style local move minimizing the map equation (reference
+    * `LouvainMapEquation.hpp:19`, `parallelizationStrategy =
+    * "synchronous"`: all nodes evaluate moves against STALE community
+    * cuts/volumes and apply together — exactly the Spark round model).
+    * Candidates are the neighbor communities; ΔL is evaluated in closed
+    * form from (vol, cut) aggregates. Same alternating-half-moves
+    * oscillation guard and fused moved-count action as
+    * [[louvainLocalMove]]. Returns `(id, community)`. */
+  def louvainMapEquation(g: PropertyGraph, maxRounds: Int = 24): DataFrame = {
+    val adj = sym(g).filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m2 = adj.agg(sum("weight")).head.getDouble(0)
+    val ku = adj.groupBy(col("src").as("id")).agg(sum("weight").as("ku"))
+      .localCheckpoint(true)
+    def plogp(c: org.apache.spark.sql.Column) =
+      when(c > 0.0, c * log2(c)).otherwise(lit(0.0))
+
+    var cur = g.vertices.select(col("id"), col("id").as("community"))
+      .withColumn("moved", lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var quietRounds = 0
+    var round = 0
+    while (round < maxRounds && quietRounds < 2) {
+      val labels = cur.select("id", "community")
+      val vol = labels.join(ku, Seq("id"), "left")
+        .groupBy("community").agg(sum(coalesce(col("ku"), lit(0.0))).as("vol"))
+      val cut = adj
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("community", "cs"), "src")
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("community", "cd"), "dst")
+        .filter(col("cs") =!= col("cd"))
+        .groupBy(col("cs").as("community")).agg(sum("weight").as("cut"))
+      val stats = vol.join(cut, Seq("community"), "left")
+        .select(col("community"), col("vol"),
+          coalesce(col("cut"), lit(0.0)).as("cut"))
+        .localCheckpoint(true)
+      val bigQ = stats.agg(sum("cut")).head.getDouble(0) / m2
+
+      val w2c = adj
+        .join(labels.select(col("id").as("dst"), col("community").as("cNbr")), "dst")
+        .groupBy(col("src").as("id"), col("cNbr")).agg(sum("weight").as("wuc"))
+      val curLbl = labels.withColumnRenamed("community", "cCur")
+      // per (node, neighbor community): ΔL of moving there, from stale stats
+      // wuA = weight into own community (0 when none)
+      val wOwn = w2c.join(curLbl, "id")
+        .filter(col("cNbr") === col("cCur"))
+        .select(col("id"), col("wuc").as("wuA"))
+      val cand = w2c.join(curLbl, "id").join(ku, "id")
+        .filter(col("cNbr") =!= col("cCur"))
+        .join(wOwn, Seq("id"), "left")
+        .na.fill(0.0, Seq("wuA"))
+        .join(stats.select(col("community").as("cCur"), col("vol").as("volA"),
+          col("cut").as("cutA")), "cCur")
+        .join(stats.select(col("community").as("cNbr"), col("vol").as("volC"),
+          col("cut").as("cutC")), "cNbr")
+        .withColumn("qA", col("cutA") / m2)
+        .withColumn("qC", col("cutC") / m2)
+        .withColumn("pA", col("volA") / m2)
+        .withColumn("pC", col("volC") / m2)
+        .withColumn("pu", col("ku") / m2)
+        .withColumn("qA2", (col("cutA") - col("ku") + lit(2.0) * col("wuA")) / m2)
+        .withColumn("qC2", (col("cutC") + col("ku") - lit(2.0) * col("wuc")) / m2)
+        .withColumn("bigQ2",
+          lit(bigQ) - col("qA") - col("qC") + col("qA2") + col("qC2"))
+        .withColumn("dL",
+          (plogp(col("bigQ2")) - plogp(lit(bigQ)))
+            - lit(2.0) * (plogp(col("qA2")) + plogp(col("qC2"))
+              - plogp(col("qA")) - plogp(col("qC")))
+            + (plogp(col("pA") - col("pu") + col("qA2"))
+              + plogp(col("pC") + col("pu") + col("qC2"))
+              - plogp(col("pA") + col("qA"))
+              - plogp(col("pC") + col("qC"))))
+      val w = Window.partitionBy("id").orderBy(col("dL").asc, col("cNbr").asc)
+      val best = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("dL") < -1e-12)
+        .filter(pmod(xxhash64(col("id"), lit(round)), lit(2)) === 0)
+        .select(col("id"), col("cNbr").as("newCommunity"))
+      val stepped = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newCommunity"), col("community")).as("community"),
+          col("newCommunity").isNotNull.cast("long").as("moved"))
+      val next =
+        if ((round + 1) % 2 == 0) stepped.localCheckpoint(false)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      val moved = next.agg(sum("moved")).head.getLong(0)
+      quietRounds = if (moved == 0) quietRounds + 1 else 0
+      cur.unpersist(blocking = false)
+      cur = next
+      round += 1
+    }
+    val res = cur.select("id", "community")
+    adj.unpersist(false)
+    res
+  }
+
+  /** LFM fitness-based seed expansion (reference `scd/LFMLocal.hpp:27`,
+    * Lancichinetti–Fortunato–Kertész): community fitness
+    * f(C) = k_in(C) / (k_in(C) + k_out(C))^α; greedily absorb the
+    * boundary node with the best fitness gain, then sweep members whose
+    * removal raises fitness (the paper's deletion step), until no move
+    * improves. Same per-step shape as [[expandSeed]]: one join +
+    * aggregate, one-row argmax to the driver. Returns `(id)`. */
+  def lfmLocal(g: PropertyGraph, seed: Long, alpha: Double = 1.0,
+      maxSize: Int = 50): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val adj = sym(g).filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degs = adj.groupBy(col("src").as("id")).agg(sum("weight").as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedDeg = degs.filter(col("id") === seed).head(1)
+    if (seedDeg.isEmpty) { adj.unpersist(false); degs.unpersist(false); return Seq(seed).toDF("id") }
+
+    def fitness(kin: Double, kout: Double): Double =
+      if (kin + kout <= 0) 0.0 else kin / math.pow(kin + kout, alpha)
+    var members = Set(seed)
+    var kin = 0.0
+    var kout = seedDeg(0).getDouble(1)
+    var improving = true
+    while (improving && members.size < maxSize) {
+      improving = false
+      val sDf = members.toSeq.toDF("id")
+      // insertion candidates: boundary nodes, with weight into C
+      val wIn = adj.join(sDf.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .join(sDf.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .groupBy(col("src").as("id")).agg(sum("weight").as("wIn"))
+        .join(degs, "id")
+      val f0 = fitness(kin, kout)
+      val bestAdd = wIn
+        .withColumn("nkin", lit(kin) + lit(2.0) * col("wIn"))
+        .withColumn("nkout", lit(kout) + col("d") - lit(2.0) * col("wIn"))
+        .orderBy((col("nkin") / pow(col("nkin") + col("nkout"), lit(alpha))).desc,
+          col("id").asc)
+        .limit(1).collect()
+      if (bestAdd.nonEmpty) {
+        val r = bestAdd(0)
+        val (nkin, nkout) = (r.getAs[Double]("nkin"), r.getAs[Double]("nkout"))
+        if (fitness(nkin, nkout) > f0 + 1e-12) {
+          members += r.getLong(0)
+          kin = nkin; kout = nkout
+          improving = true
+          // deletion sweep: drop any member (except the seed) whose
+          // removal raises fitness
+          var sweep = true
+          while (sweep) {
+            sweep = false
+            val mDf = members.toSeq.toDF("id")
+            val wm = adj.join(mDf.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+              .join(mDf.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+              .groupBy(col("src").as("id")).agg(sum("weight").as("wIn"))
+            val cands = mDf.join(wm, Seq("id"), "left").na.fill(0.0, Seq("wIn"))
+              .join(degs, "id").filter(col("id") =!= seed)
+              .withColumn("rkin", lit(kin) - lit(2.0) * col("wIn"))
+              .withColumn("rkout", lit(kout) - col("d") + lit(2.0) * col("wIn"))
+            val bestDel = cands
+              .orderBy((col("rkin") / pow(col("rkin") + col("rkout"), lit(alpha))).desc,
+                col("id").asc)
+              .limit(1).collect()
+            if (bestDel.nonEmpty) {
+              val d = bestDel(0)
+              val (rkin, rkout) = (d.getAs[Double]("rkin"), d.getAs[Double]("rkout"))
+              if (fitness(rkin, rkout) > fitness(kin, kout) + 1e-12) {
+                members -= d.getLong(0)
+                kin = rkin; kout = rkout
+                sweep = true
+              }
+            }
+          }
+        }
+      }
+    }
+    adj.unpersist(false); degs.unpersist(false)
+    members.toSeq.sorted.toDF("id")
+  }
+
+  /** LFK overlapping NMI similarity of two covers `(id, community)`
+    * with multi-membership rows (reference
+    * `community/OverlappingNMIDistance.hpp:29`, Lancichinetti et al.;
+    * the reference returns the distance 1 − NMI). Each community is a
+    * binary node indicator; H(X_k|Y_l) is admissible only when
+    * h(a)+h(d) ≥ h(b)+h(c) (the LFK constraint), else H(X_k).
+    * NMI = 1 − ½·(H(X|Y)/Σ... normalized per side). All overlap counts
+    * are one pairwise groupBy — no cover materialized on the driver. */
+  def overlappingNmi(c1: DataFrame, c2: DataFrame, nNodes: Long): Double = {
+    val x = c1.select(col("id"), col("community").as("cx")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val y = c2.select(col("id"), col("community").as("cy")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nNodes.toDouble
+    def h(p: org.apache.spark.sql.Column) =
+      when(p > 0.0, -p * log2(p)).otherwise(lit(0.0))
+    val sx = x.groupBy("cx").agg(count(lit(1)).as("nx"))
+    val sy = y.groupBy("cy").agg(count(lit(1)).as("ny"))
+    val ov = x.join(y, "id").groupBy("cx", "cy").agg(count(lit(1)).as("a11"))
+    // per (X_k, Y_l): a = |both|, b = |X only|, c = |Y only|, d = |neither|
+    val cells = ov.join(sx, "cx").join(sy, "cy")
+      .withColumn("a", col("a11").cast("double") / n)
+      .withColumn("b", (col("nx") - col("a11")).cast("double") / n)
+      .withColumn("c", (col("ny") - col("a11")).cast("double") / n)
+      .withColumn("d", (lit(n) - col("nx") - col("ny") + col("a11")) / n)
+      .withColumn("admissible",
+        h(col("a")) + h(col("d")) >= h(col("b")) + h(col("c")))
+      // H(X_k|Y_l) = h(a)+h(b)+h(c)+h(d) − h(c+d... ) use joint − H(Y_l)
+      .withColumn("hxy",
+        h(col("a")) + h(col("b")) + h(col("c")) + h(col("d"))
+          - h((col("ny")).cast("double") / n)
+          - h((lit(n) - col("ny")) / n))
+      .withColumn("hyx",
+        h(col("a")) + h(col("b")) + h(col("c")) + h(col("d"))
+          - h((col("nx")).cast("double") / n)
+          - h((lit(n) - col("nx")) / n))
+      .localCheckpoint(true)
+    def hOf(sz: org.apache.spark.sql.Column) =
+      h(sz.cast("double") / n) + h((lit(n) - sz) / n)
+    // side X: per X_k take min admissible H(X_k|Y_l), else H(X_k);
+    // normalized by H(X_k); average over k (LFK eq. B.11)
+    def side(keyCol: String, sizes: DataFrame, sizeCol: String,
+        condCol: String): Double = {
+      val mins = cells.filter(col("admissible"))
+        .groupBy(keyCol).agg(min(col(condCol)).as("hc"))
+      val terms = sizes.join(mins, Seq(keyCol), "left")
+        .withColumn("hk", hOf(col(sizeCol)))
+        .withColumn("norm",
+          when(col("hk") > 0.0,
+            least(coalesce(col("hc"), col("hk")), col("hk")) / col("hk"))
+            .otherwise(lit(1.0)))
+      terms.agg(avg("norm")).head.getDouble(0)
+    }
+    val hx = side("cx", sx, "nx", "hxy")
+    val hy = side("cy", sy, "ny", "hyx")
+    x.unpersist(false); y.unpersist(false)
+    1.0 - 0.5 * (hx + hy)
+  }
 }

@@ -159,6 +159,61 @@ object CommunityQueries {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       Community.permanence(g, modPartition(g, 8))
         .select(col("id"), round(col("permanence"), 6).as("permanence"))
+    }),
+    // map equation: L of the deterministic id%8 partition is an exact
+    // SQL-checkable value; the Louvain-map-equation detector must land
+    // at or below both the singleton and the id%8 codelength
+    "c12_mapequation" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val lMod8 = Community.mapEquation(g, modPartition(g, 8))
+      val lSingleton = Community.mapEquation(g,
+        g.vertices.select(col("id"), col("id").as("community")))
+      val p = Community.louvainMapEquation(g, maxRounds = 12)
+      val lDetected = Community.mapEquation(g, p)
+      val improved = lDetected <= lSingleton + 1e-9 && lDetected <= lMod8 + 1e-9
+      Seq((
+        p.count(), math.rint(lMod8 * 1e6) / 1e6,
+        if (improved) 1L else 0L
+      )).toDF("n_labeled", "l_mod8", "improved")
+    }),
+    // LFM fitness expansion from the smallest node id
+    "c13_lfm" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val seed = g.vertices.agg(min("id")).head.getLong(0)
+      val comm = Community.lfmLocal(g, seed, alpha = 1.0)
+      val containsSeed = comm.filter(col("id") === seed).count() == 1
+      val lbl = comm.withColumnRenamed("id", "member")
+      val intra = g.edges
+        .join(lbl.select(col("member").as("src")), Seq("src"), "left_semi")
+        .join(lbl.select(col("member").as("dst")), Seq("dst"), "left_semi")
+      val cc = ConnectedComponents.run(PropertyGraph(
+        intra, directed = false, Some(comm.select("id"))))
+      val connected = cc.select("component").distinct().count() == 1
+      Seq((seed, if (containsSeed) 1L else 0L, if (connected) 1L else 0L))
+        .toDF("seed", "contains_seed", "connected")
+    }),
+    // LFK overlapping NMI: cover A = id%8 blocks plus an extra
+    // membership (100 + id%12) for ids divisible by 5; cover B = id%8.
+    // Self-similarity pins 1; the A-vs-B value is SQL-exact.
+    "c14_onmi" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val n = g.vertices.count()
+      val base = g.vertices.select(col("id"), (col("id") % 8).as("community"))
+      val extra = g.vertices.filter(col("id") % 5 === 0)
+        .select(col("id"), (lit(100L) + col("id") % 12).as("community"))
+      val coverA = base.unionAll(extra)
+      val selfSim = Community.overlappingNmi(coverA, coverA, n)
+      val ab = Community.overlappingNmi(coverA, base, n)
+      Seq((
+        math.rint(selfSim * 1e6) / 1e6,
+        math.rint(ab * 1e6) / 1e6
+      )).toDF("onmi_self", "onmi_ab")
     })
   )
 
@@ -276,6 +331,76 @@ object CommunityQueries {
          |SELECT s.community, s.n_nodes,
          | coalesce(i.n_internal, 0) AS n_internal,
          | coalesce(i.w_internal, 0.0) AS w_internal
-         |FROM sizes s LEFT JOIN intl i ON i.community = s.community""".stripMargin
+         |FROM sizes s LEFT JOIN intl i ON i.community = s.community""".stripMargin,
+    "c12_mapequation" ->
+      s"""WITH $graphCte,
+         |m2 AS (SELECT sum(w) AS v FROM sym),
+         |dg AS (SELECT src AS id, sum(w) AS k FROM sym GROUP BY src),
+         |pm AS (SELECT l.community, sum(d.k)/(SELECT v FROM m2) AS pm
+         |       FROM dg d JOIN lbl l ON l.id = d.id GROUP BY 1),
+         |qmt AS (SELECT cs AS community, sum(w)/(SELECT v FROM m2) AS qm
+         |        FROM el WHERE cs <> cd GROUP BY 1),
+         |mods AS (SELECT pm.community, pm.pm, coalesce(qmt.qm, 0) AS qm
+         |         FROM pm LEFT JOIN qmt USING (community)),
+         |ag AS (SELECT sum(qm) AS q,
+         |  sum(CASE WHEN qm > 0 THEN qm*log2(qm) ELSE 0 END) AS sq,
+         |  sum(CASE WHEN pm+qm > 0 THEN (pm+qm)*log2(pm+qm) ELSE 0 END) AS spq
+         |  FROM mods),
+         |nt AS (SELECT sum(CASE WHEN k > 0
+         |  THEN (k/(SELECT v FROM m2))*log2(k/(SELECT v FROM m2)) ELSE 0 END) AS v
+         |  FROM dg)
+         |SELECT (SELECT count(*) FROM lbl) AS n_labeled,
+         |  round((CASE WHEN q > 0 THEN q*log2(q) ELSE 0 END) - 2*sq
+         |    - (SELECT v FROM nt) + spq, 6) AS l_mod8,
+         |  1::BIGINT AS improved
+         |FROM ag""".stripMargin,
+    "c13_lfm" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT (SELECT min(id) FROM nodes) AS seed,
+         |  1::BIGINT AS contains_seed, 1::BIGINT AS connected""".stripMargin,
+    "c14_onmi" -> {
+      def H(e: String) = s"(CASE WHEN ($e) > 0 THEN -($e)*log2($e) ELSE 0 END)"
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |nn AS (SELECT count(*)*1.0 AS n FROM nodes),
+         |ca AS (SELECT id, id % 8 AS cx FROM nodes
+         |       UNION ALL SELECT id, 100 + id % 12 FROM nodes WHERE id % 5 = 0),
+         |cb AS (SELECT id, id % 8 AS cy FROM nodes),
+         |sx AS MATERIALIZED (SELECT cx, count(*)*1.0 AS nx FROM ca GROUP BY cx),
+         |sy AS MATERIALIZED (SELECT cy, count(*)*1.0 AS ny FROM cb GROUP BY cy),
+         |ov AS (SELECT cx, cy, count(*)*1.0 AS a11
+         |       FROM ca JOIN cb USING (id) GROUP BY cx, cy),
+         |cells AS MATERIALIZED (SELECT cx, cy,
+         |  a11/(SELECT n FROM nn) AS a,
+         |  (nx - a11)/(SELECT n FROM nn) AS b,
+         |  (ny - a11)/(SELECT n FROM nn) AS c,
+         |  ((SELECT n FROM nn) - nx - ny + a11)/(SELECT n FROM nn) AS d,
+         |  nx/(SELECT n FROM nn) AS px, ny/(SELECT n FROM nn) AS py
+         |  FROM ov JOIN sx USING (cx) JOIN sy USING (cy)),
+         |hc AS MATERIALIZED (SELECT cx, cy,
+         |  (${H("a")} + ${H("d")} >= ${H("b")} + ${H("c")}) AS admissible,
+         |  ${H("a")} + ${H("b")} + ${H("c")} + ${H("d")}
+         |    - ${H("py")} - ${H("1 - py")} AS hxy,
+         |  ${H("a")} + ${H("b")} + ${H("c")} + ${H("d")}
+         |    - ${H("px")} - ${H("1 - px")} AS hyx
+         |  FROM cells),
+         |mx AS (SELECT cx, min(hxy) AS hcmin FROM hc WHERE admissible GROUP BY cx),
+         |my AS (SELECT cy, min(hyx) AS hcmin FROM hc WHERE admissible GROUP BY cy),
+         |tx AS (SELECT avg(CASE WHEN hk > 0
+         |    THEN least(coalesce(hcmin, hk), hk)/hk ELSE 1.0 END) AS v
+         |  FROM (SELECT sx.cx,
+         |      ${H("nx/(SELECT n FROM nn)")} + ${H("1 - nx/(SELECT n FROM nn)")} AS hk,
+         |      mx.hcmin
+         |    FROM sx LEFT JOIN mx USING (cx))),
+         |ty AS (SELECT avg(CASE WHEN hk > 0
+         |    THEN least(coalesce(hcmin, hk), hk)/hk ELSE 1.0 END) AS v
+         |  FROM (SELECT sy.cy,
+         |      ${H("ny/(SELECT n FROM nn)")} + ${H("1 - ny/(SELECT n FROM nn)")} AS hk,
+         |      my.hcmin
+         |    FROM sy LEFT JOIN my USING (cy)))
+         |SELECT 1.0 AS onmi_self,
+         |  round(1 - 0.5*((SELECT v FROM tx) + (SELECT v FROM ty)), 6) AS onmi_ab""".stripMargin
+    }
   )
 }
