@@ -141,10 +141,26 @@ object PageRank {
   /** Katz centrality: x ← α·Aᵀx + β iterated (reference
     * `centrality/KatzCentrality.hpp:29`). */
   def katz(g: PropertyGraph, alpha: Double = 0.1, beta: Double = 1.0,
+      tol: Double = 1e-9, maxIter: Int = 100): DataFrame =
+    katzFrom(g, None, alpha, beta, tol, maxIter)
+
+  /** Katz iteration with a warm start — the DynKatzCentrality pattern
+    * (reference `centrality/DynKatzCentrality.hpp:23`,
+    * `base/DynAlgorithm.hpp:10`): after an edge batch is inserted, the
+    * fixpoint x = αAx + β barely moves, so re-running the iteration
+    * seeded with the PREVIOUS scores converges in a handful of rounds
+    * instead of from scratch — same fixpoint (the map is a contraction
+    * for α·λmax < 1), so correctness is recompute-equivalent. */
+  def katzFrom(g: PropertyGraph, warmStart: Option[DataFrame],
+      alpha: Double = 0.1, beta: Double = 1.0,
       tol: Double = 1e-9, maxIter: Int = 100): DataFrame = {
     val adj = g.inAdjacency.persist()
     val nodes = g.vertices.select("id")
-    val init = nodes.select(col("id"), lit(0.0).as("score"))
+    val init = warmStart match {
+      case Some(w) => nodes.join(w.select(col("id"), col("score")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))
+      case None => nodes.select(col("id"), lit(0.0).as("score"))
+    }
     val result = Fixpoint.loop(init, maxIter) { (x, _) =>
       val nxt = x.join(adj, x("id") === adj("dst"))
         .groupBy(col("src").as("id"))

@@ -111,4 +111,55 @@ object ShortestPaths {
     dist.filter(col("id") =!= col("source"))
       .groupBy(col("source").as("id"))
       .agg(sum(lit(1.0) / col("dist")).as("harmonic"))
+
+  /** Incremental BFS update after an edge-insertion batch (reference
+    * `distance/DynBFS.hpp`, the `DynAlgorithm::updateBatch` contract,
+    * `base/DynAlgorithm.hpp:10`): on insertions hop distances only
+    * shrink, so the relaxation is seeded with the inserted edges'
+    * endpoint distances and improvements propagate outward — work is
+    * proportional to the AFFECTED region, not the graph, which is the
+    * whole point of the Dyn* family at scale. `g` is the post-insertion
+    * graph; `dist` the pre-insertion `(source, id, dist)` table;
+    * `newEdges` the inserted `(src, dst)` batch. Result is identical to
+    * a from-scratch BFS on the new graph. */
+  def updateBfsInsert(g: PropertyGraph, dist: DataFrame,
+      newEdges: DataFrame, maxIter: Int = 200): DataFrame = {
+    val adj = g.adjacency.select("src", "dst")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val ins = newEdges.select(col("src").as("u"), col("dst").as("v"))
+    val insSym = ins.unionAll(ins.select(col("v").as("u"), col("u").as("v")))
+
+    // seeds: crossing an inserted edge from a settled endpoint
+    var cur = dist.localCheckpoint(true)
+    var frontier = insSym
+      .join(cur, insSym("u") === cur("id"))
+      .select(col("source"), col("v").as("id"), (col("dist") + 1).as("dist"))
+      .groupBy("source", "id").agg(min("dist").as("dist"))
+      .join(cur.select(col("source"), col("id"), col("dist").as("old")),
+        Seq("source", "id"), "left")
+      .filter(col("old").isNull || col("dist") < col("old"))
+      .select("source", "id", "dist")
+      .localCheckpoint(true)
+    var i = 0
+    var n = frontier.count()
+    while (n > 0 && i < maxIter) {
+      cur = cur.unionAll(frontier)
+        .groupBy("source", "id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val cand = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("source", "id").agg(min("dist").as("dist"))
+      frontier = cand
+        .join(cur.select(col("source"), col("id"), col("dist").as("old")),
+          Seq("source", "id"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select("source", "id", "dist")
+        .localCheckpoint(true)
+      n = frontier.count()
+      i += 1
+    }
+    adj.unpersist(false)
+    cur
+  }
 }

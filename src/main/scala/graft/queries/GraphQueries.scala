@@ -168,6 +168,46 @@ object GraphQueries {
        |UNION ALL SELECT 2, s, round(gain, 6) FROM b2""".stripMargin
   }
 
+  /** PageRank-Nibble oracle: `iters` unrolled personalized-PageRank
+    * steps from the min-id seed, then the rounded r/deg sweep with two
+    * window cumsums — the exact replay of PageRankNibble.sweep. */
+  private def nibbleSql(minShared: Int, alpha: Double, iters: Int, maxSweep: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT d.id,
+         | ${1.0 - alpha}*(CASE WHEN d.id = (SELECT sd FROM seed) THEN 1.0 ELSE 0 END)
+         |   + $alpha*coalesce(ctr.s, 0) AS r
+         | FROM dgw d LEFT JOIN (
+         |   SELECT s.dst AS id, sum(p.r*s.c/dg.d) AS s
+         |   FROM p${i - 1} p JOIN symw s ON s.src = p.id JOIN dgw dg ON dg.id = p.id
+         |   GROUP BY s.dst) ctr USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCte(minShared)},
+       |dgw AS MATERIALIZED (SELECT src AS id, sum(c*1.0) AS d FROM symw GROUP BY src),
+       |seed AS (SELECT min(id) AS sd FROM nodes),
+       |m2t AS (SELECT sum(d) AS m2 FROM dgw),
+       |p0 AS (SELECT id, CASE WHEN id = (SELECT sd FROM seed) THEN 1.0 ELSE 0 END AS r
+       |       FROM dgw),
+       |$steps,
+       |rk AS MATERIALIZED (SELECT p.id, d.d,
+       |    row_number() OVER (ORDER BY round(p.r/d.d, 9) DESC, p.id ASC) AS rnk
+       |  FROM p$iters p JOIN dgw d ON d.id = p.id WHERE p.r > 0),
+       |rk2 AS MATERIALIZED (SELECT * FROM rk WHERE rnk <= $maxSweep),
+       |iw AS (SELECT greatest(a.rnk, b.rnk) AS rnk, sum(e.c*1.0) AS iw
+       |  FROM e JOIN rk2 a ON a.id = e.src JOIN rk2 b ON b.id = e.dst GROUP BY 1),
+       |sw AS (SELECT rk2.rnk, rk2.id,
+       |    sum(rk2.d) OVER (ORDER BY rk2.rnk) AS vol,
+       |    sum(coalesce(iw.iw, 0)) OVER (ORDER BY rk2.rnk) AS iwc
+       |  FROM rk2 LEFT JOIN iw ON iw.rnk = rk2.rnk),
+       |cond AS (SELECT rnk, id,
+       |    CASE WHEN least(vol, (SELECT m2 FROM m2t) - vol) > 0
+       |      THEN (vol - 2.0*iwc)/least(vol, (SELECT m2 FROM m2t) - vol)
+       |      ELSE 1.0 END AS conductance
+       |  FROM sw)
+       |SELECT (SELECT sd FROM seed) AS seed, rnk::BIGINT AS best_k,
+       |  round(conductance, 6) AS best_conductance
+       |FROM cond ORDER BY conductance ASC, rnk ASC LIMIT 1""".stripMargin
+  }
+
   private def brandesSql(minShared: Int, nSources: Int, depth: Int): String = {
     val sigLevels = (1 to depth).map { k =>
       s"""sig$k AS MATERIALIZED (
@@ -360,6 +400,45 @@ object GraphQueries {
       GroupCentrality.gedWalk(DerivedGraphs.partGraph(s, dir, 2), 2)
         .select(col("rank").cast("long").as("rank"), col("id"),
           round(col("gain"), 6).as("gain"))),
+    // DynBFS: distances on the thr≥3 graph updated incrementally with
+    // the thr≥2 edge insertions must hash-match a from-scratch BFS on
+    // the thr≥2 graph (which the oracle computes by recursive CTE)
+    "x41_dynbfs" -> ((s, dir) => {
+      val gOld = DerivedGraphs.partGraph(s, dir, 3)
+      val gNew = DerivedGraphs.partGraph(s, dir, 2)
+      val sources = gNew.vertices.orderBy("id").limit(3).select(col("id").as("source"))
+      val oldDist = ShortestPaths.bfs(gOld, sources)
+      val added = gNew.edges.select("src", "dst")
+        .except(gOld.edges.select("src", "dst"))
+      ShortestPaths.updateBfsInsert(gNew, oldDist, added)
+        .select(col("source"), col("id"), col("dist"))
+    }),
+    // DynKatz: warm-started Katz on the grown graph must land on the
+    // same fixpoint as a cold recompute (constants-if-valid gate)
+    "x42_dynkatz" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val gOld = DerivedGraphs.partGraph(s, dir, 3)
+      val gNew = DerivedGraphs.partGraph(s, dir, 2)
+      // contraction needs α·λmax < 1; λmax ≤ max weighted degree
+      val maxDeg = gNew.weightedDegrees.agg(max("wdegree")).as[Double].head()
+      val a = 0.9 / maxDeg
+      val old = PageRank.katz(gOld, alpha = a)
+      val warm = PageRank.katzFrom(gNew, Some(old), alpha = a)
+      val cold = PageRank.katz(gNew, alpha = a)
+      val maxDiff = warm.select(col("id"), col("score").as("w"))
+        .join(cold.select(col("id"), col("score").as("c")), "id")
+        .agg(max(abs(col("w") - col("c")))).as[Double].head()
+      Seq((if (maxDiff <= 1e-6) 1L else 0L, 1L)).toDF("same_fixpoint", "ran")
+    }),
+    // PageRank-Nibble sweep from the smallest node id: best prefix size
+    // and conductance, exactly replayed by unrolled PPR + window SQL
+    "x40_nibble" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val seed = g.vertices.agg(min("id")).head.getLong(0)
+      PageRankNibble.bestPrefix(g, seed)
+        .select(lit(seed).as("seed"), col("best_k"), col("best_conductance"))
+    }),
     // k-clique counts (k = 2,3,4) via degree-oriented ordered joins
     "x19_cliques" -> ((s, dir) =>
       Cliques.cliqueCounts(DerivedGraphs.partGraph(s, dir, 2), maxK = 4)),
@@ -562,6 +641,20 @@ object GraphQueries {
     "g29_pathcounts" -> pathCountSql(2, 16),
     "x37_groupcloseness" -> groupClosenessSql(2, 16),
     "x38_gedwalk" -> gedWalkSql(2, 8, 0.1, 4),
+    "x40_nibble" -> nibbleSql(2, 0.85, 20, 50),
+    "x41_dynbfs" ->
+      s"""WITH RECURSIVE ${graphCte(2)},
+         |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 3),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src=r.id
+         |  WHERE r.dist < 20)
+         |SELECT s AS source, id, min(dist)::BIGINT AS dist
+         |FROM reach GROUP BY s, id""".stripMargin,
+    "x42_dynkatz" ->
+      "SELECT 1::BIGINT AS same_fixpoint, 1::BIGINT AS ran",
     "g25_laplacian" ->
       s"""WITH ${graphCte(2)},
          |nd AS (SELECT s.src AS id, sum(dg.d) AS sn FROM sym s
