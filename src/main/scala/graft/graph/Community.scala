@@ -788,4 +788,61 @@ object Community {
     x.unpersist(false); y.unpersist(false)
     1.0 - 0.5 * (hx + hy)
   }
+
+  /** Conductance of a node set (reference `scd/SetConductance.hpp`):
+    * cut(S) / min(vol(S), vol(V∖S)). One join + two aggregates. */
+  def setConductance(g: PropertyGraph, set: DataFrame): Double = {
+    val adj = sym(g).filter(col("src") =!= col("dst"))
+    val m2 = adj.agg(sum("weight")).head.getDouble(0)
+    val s = set.select(col("id")).distinct()
+    val inc = adj.join(s.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+    val vol = inc.agg(coalesce(sum("weight"), lit(0.0))).head.getDouble(0)
+    val cut = inc.join(s.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .agg(coalesce(sum("weight"), lit(0.0))).head.getDouble(0)
+    val denom = math.min(vol, m2 - vol)
+    if (denom <= 0) 1.0 else cut / denom
+  }
+
+  /** Clique-based seed community (reference `scd/CliqueDetect.hpp`):
+    * the largest clique inside N(seed) ∪ {seed} containing the seed —
+    * the seed's neighborhood is induced (one semi-join each side), then
+    * [[Cliques.cliques]] enumerates k-cliques for k = 4 down to 2 and
+    * the first non-empty level wins (ties → lexicographic smallest).
+    * Returns the member ids. */
+  def cliqueDetect(g: PropertyGraph, seed: Long): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val nbrs = sym(g).filter(col("src") === seed)
+      .select(col("dst").as("id")).distinct()
+    val induced = PropertyGraph(
+      g.edges.join(nbrs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(nbrs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi"),
+      directed = false)
+    val hasEdges = induced.edges.limit(1).count() > 0
+    var best: Seq[Long] = Seq.empty
+    if (hasEdges) {
+      var k = math.min(4, 5)
+      while (best.isEmpty && k >= 2) {
+        val cs = Cliques.cliques(induced, k)
+        val first = cs.orderBy(cs.columns.map(col): _*).limit(1).collect()
+        if (first.nonEmpty)
+          best = first(0).toSeq.map(_.asInstanceOf[Long])
+        k -= 1
+      }
+    }
+    (seed +: best).distinct.sorted.toDF("id")
+  }
+
+  /** Triangle-weighted seed expansion — the TCE pattern (reference
+    * `scd/TCE.hpp`: expand by triangle-supported edges): re-weight every
+    * edge by (1 + its triangle count) via
+    * [[Sparsification.triangleScore]] and run the conductance greedy
+    * [[expandSeed]] on that graph, so expansion prefers triangle-dense
+    * absorption exactly like TCE's score. Composition of two shipped
+    * operators — documented as such. */
+  def tce(g: PropertyGraph, seed: Long, maxSize: Int = 30): DataFrame = {
+    val scored = Sparsification.triangleScore(g)
+      .select(col("src"), col("dst"), (lit(1.0) + col("score")).as("weight"))
+    expandSeed(PropertyGraph(scored, directed = false), seed, maxSize)
+  }
 }

@@ -241,6 +241,101 @@ object Sparsification {
         coalesce(col("quad"), lit(0L)).as("score"))
   }
 
+  /** Local similarity sparsification exponent (reference
+    * `sparsification/LocalSimilarityScore.cpp:25`, Satuluri et al.):
+    * each node ranks its incident edges by Jaccard similarity
+    * (desc, neighbor-id asc ties) and assigns e = 1 − ln(rank)/ln(deg)
+    * (1.0 for degree-1 nodes); the edge keeps the max over its two
+    * endpoints. One windowed rank over the symmetric edge list. */
+  def localSimilarityScore(g: PropertyGraph): DataFrame = {
+    val jac = jaccardScore(g) // (src, dst, weight, score) canonical
+    val sym = jac.select(col("src").as("u"), col("dst").as("v"), col("score"))
+      .unionAll(jac.select(col("dst").as("u"), col("src").as("v"), col("score")))
+    val deg = g.degrees
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("score").desc, col("v").asc)
+    val ranked = sym.withColumn("rank", row_number().over(w))
+      .join(deg.select(col("id").as("u"), col("degree").as("d")), "u")
+      .withColumn("e",
+        when(col("d") > 1, lit(1.0) - log(col("rank")) / log(col("d")))
+          .otherwise(lit(1.0)))
+    ranked.select(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst"), col("e"))
+      .groupBy("src", "dst").agg(max("e").as("score"))
+      .join(g.edges.select("src", "dst", "weight"), Seq("src", "dst"))
+      .select("src", "dst", "weight", "score")
+  }
+
+  /** Forest-fire edge score (reference
+    * `sparsification/ForestFireScore.cpp`): how often an edge is burnt
+    * by random fires with forward-burning probability `pf`. All
+    * `nFires` fires burn SIMULTANEOUSLY as one keyed frontier loop —
+    * per round each (fire, node) ignites a hash-deterministic geometric
+    * number of its unburnt neighbors. Deviation from the reference:
+    * fixed fire count instead of burning until a target edge ratio (the
+    * stop condition would serialize the fires); same score semantics,
+    * seed-deterministic. Returns `(src, dst, weight, score)` with raw
+    * burn counts. */
+  def forestFireScore(g: PropertyGraph, nFires: Int = 64, pf: Double = 0.4,
+      seed: Long = 42): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val adj = g.adjacency.select("src", "dst")
+      .filter(col("src") =!= col("dst")).distinct()
+      .repartition(col("src")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val n = g.vertices.count()
+    val ranked = g.vertices.select("id").withColumn("r",
+      row_number().over(Window.orderBy("id")).cast("long") - 1)
+    val roots = spark.range(nFires.toLong)
+      .select(col("id").as("fire"), pmod(xxhash64(lit(seed), col("id")), lit(n)).as("r"))
+      .join(ranked, "r").select(col("fire"), col("id"))
+
+    var visited = roots.localCheckpoint(true) // (fire, id)
+    var frontier = visited
+    var burnt = spark.emptyDataset[(Long, Long, Long)].toDF("fire", "u", "v")
+    var round = 0
+    var live = frontier.count()
+    while (live > 0 && round < 40) {
+      val cand = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("fire"), col("id").as("u"), col("dst").as("v"))
+        .join(visited.select(col("fire"), col("id").as("v")), Seq("fire", "v"), "left_anti")
+      // geometric burn count per (fire, u): floor(ln(U)/ln(1-pf))
+      val k = cand.select(col("fire"), col("u")).distinct()
+        .withColumn("u01",
+          (pmod(xxhash64(lit(seed + round), col("fire"), col("u")), lit(1L << 40)) + 1)
+            .cast("double") / (1L << 40).toDouble)
+        .withColumn("k", floor(log(col("u01")) / math.log(1.0 - pf)).cast("long"))
+      val ordw = Window.partitionBy("fire", "u")
+        .orderBy(xxhash64(lit(seed ^ round), col("v")), col("v"))
+      val picked = cand.join(k.select("fire", "u", "k"), Seq("fire", "u"))
+        .withColumn("rn", row_number().over(ordw))
+        .filter(col("rn") <= col("k"))
+        .select("fire", "u", "v")
+        .localCheckpoint(true)
+      burnt = burnt.unionAll(picked).localCheckpoint(true)
+      // a node may be burnt via several edges this round — each counts
+      // (the reference also burns per-edge), but it enters the frontier once
+      val newNodes = picked.select(col("fire"), col("v").as("id")).distinct()
+        .join(visited, Seq("fire", "id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionAll(newNodes).localCheckpoint(true)
+      frontier = newNodes
+      live = frontier.count()
+      round += 1
+    }
+    adj.unpersist(false)
+    val scores = burnt
+      .select(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("score"))
+    g.edges.select("src", "dst", "weight")
+      .join(scores, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("weight"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** Min-max normalize a score column to [lo, hi] (reference
     * `EdgeScoreNormalizer.hpp:17`). */
   def normalizeScore(scored: DataFrame, lo: Double = 0.0, hi: Double = 1.0): DataFrame = {

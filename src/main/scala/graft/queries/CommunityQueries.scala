@@ -196,6 +196,25 @@ object CommunityQueries {
       Seq((seed, if (containsSeed) 1L else 0L, if (connected) 1L else 0L))
         .toDF("seed", "contains_seed", "connected")
     }),
+    // SCD family tail: clique-detect community (clique property verified
+    // distributedly), TCE triangle-weighted expansion, set conductance
+    "c15_scd2" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val seed = g.vertices.agg(min("id")).head.getLong(0)
+      val cd = Community.cliqueDetect(g, seed).localCheckpoint(true)
+      val pairs = cd.as("a").join(cd.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+      val nonEdges = pairs.join(g.edges.select("src", "dst"), Seq("src", "dst"), "left_anti").count()
+      val cliqueOk = nonEdges == 0 && cd.filter(col("id") === seed).count() == 1
+      val t = Community.tce(g, seed).localCheckpoint(true)
+      val tCond = Community.setConductance(g, t)
+      val tOk = t.filter(col("id") === seed).count() == 1 &&
+        tCond >= 0.0 && tCond <= 1.0
+      Seq((seed, if (cliqueOk) 1L else 0L, if (tOk) 1L else 0L))
+        .toDF("seed", "clique_ok", "tce_ok")
+    }),
     // LFK overlapping NMI: cover A = id%8 blocks plus an extra
     // membership (100 + id%12) for ids divisible by 5; cover B = id%8.
     // Self-similarity pins 1; the A-vs-B value is SQL-exact.
@@ -359,6 +378,11 @@ object CommunityQueries {
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
          |SELECT (SELECT min(id) FROM nodes) AS seed,
          |  1::BIGINT AS contains_seed, 1::BIGINT AS connected""".stripMargin,
+    "c15_scd2" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT (SELECT min(id) FROM nodes) AS seed,
+         |  1::BIGINT AS clique_ok, 1::BIGINT AS tce_ok""".stripMargin,
     "c14_onmi" -> {
       def H(e: String) = s"(CASE WHEN ($e) > 0 THEN -($e)*log2($e) ELSE 0 END)"
       s"""WITH $graphCte,

@@ -370,6 +370,25 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_paths"),
           coalesce(sum("len"), lit(0L)).as("total_len"))
     }),
+    // local-similarity sparsification exponent per edge (exact oracle)
+    "x43_localsim" -> ((s, dir) =>
+      Sparsification.localSimilarityScore(DerivedGraphs.partGraph(s, dir, 2))
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))),
+    // forest-fire burn scores: coverage + validity gates (the burn is
+    // seed-deterministic but its frontier subsetting is not SQL-shaped)
+    "x44_forestfire" -> ((s, dir) => {
+      import s.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val ff = Sparsification.forestFireScore(g)
+      val nEdges = g.edges.count()
+      val r = ff.agg(count(lit(1)).as("n"), min("score").as("mn"),
+        max("score").as("mx")).head()
+      Seq((
+        if (r.getLong(0) == nEdges) 1L else 0L,
+        if (r.getDouble(1) >= 0.0) 1L else 0L,
+        if (r.getDouble(2) > 0.0) 1L else 0L
+      )).toDF("covers_edges", "nonnegative", "some_burnt")
+    }),
     // KADABRA sampled betweenness vs exact Brandes: the (err=0.1)
     // additive guarantee must hold on the normalized scores
     // (constants-if-valid gate; sampling is seed-deterministic)
@@ -782,6 +801,29 @@ object ExtendedQueries {
         |  1::BIGINT AS labels_ok""".stripMargin,
     "x39_kadabra" ->
       "SELECT 1::BIGINT AS within_err, 1::BIGINT AS ran",
+    "x43_localsim" ->
+      s"""WITH $graphCte,
+         |cn AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, count(*) AS cnt
+         |      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+         |      GROUP BY 1, 2),
+         |jac AS MATERIALIZED (SELECT e.src, e.dst,
+         |    coalesce(cn.cnt, 0)*1.0 / (du.d + dv.d - coalesce(cn.cnt, 0)) AS sim
+         |  FROM e LEFT JOIN cn ON cn.u = e.src AND cn.v = e.dst
+         |  JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst),
+         |symj AS (SELECT src AS u, dst AS v, sim FROM jac
+         |         UNION ALL SELECT dst, src, sim FROM jac),
+         |rk AS (SELECT u, v, sim,
+         |    row_number() OVER (PARTITION BY u ORDER BY sim DESC, v ASC) AS rnk
+         |  FROM symj),
+         |ex AS (SELECT u, v,
+         |    CASE WHEN dg.d > 1 THEN 1 - ln(rnk)/ln(dg.d) ELSE 1.0 END AS ee
+         |  FROM rk JOIN deg dg ON dg.id = rk.u)
+         |SELECT least(u, v) AS src, greatest(u, v) AS dst,
+         |  round(max(ee), 6) AS score
+         |FROM ex GROUP BY 1, 2""".stripMargin,
+    "x44_forestfire" ->
+      """SELECT 1::BIGINT AS covers_edges, 1::BIGINT AS nonnegative,
+        |  1::BIGINT AS some_burnt""".stripMargin,
     "x36_generators2" ->
       """SELECT gen, 1::BIGINT AS ok1, 1::BIGINT AS ok2 FROM (VALUES
         |  ('ring'), ('dm'), ('havelhakimi'), ('curveball'),
