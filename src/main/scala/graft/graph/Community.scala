@@ -833,6 +833,32 @@ object Community {
     (seed +: best).distinct.sorted.toDF("id")
   }
 
+  /** Precision / recall / F1 of a detected node set against a ground-
+    * truth set (reference `scd/SCDGroundTruthComparison.hpp`). */
+  def groundTruthF1(detected: DataFrame, truth: DataFrame): (Double, Double, Double) = {
+    val d = detected.select(col("id")).distinct()
+    val t = truth.select(col("id")).distinct()
+    val nd = d.count().toDouble
+    val nt = t.count().toDouble
+    val inter = d.join(t, "id").count().toDouble
+    val p = if (nd == 0) 0.0 else inter / nd
+    val r = if (nt == 0) 0.0 else inter / nt
+    val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    (p, r, f1)
+  }
+
+  /** BFS-ball baseline community (reference `scd/RandomBFS.hpp`): the
+    * `size` nodes closest to the seed, hop-ordered with hash-random
+    * ties — the reference's random BFS order made deterministic. */
+  def randomBfs(g: PropertyGraph, seed: Long, size: Int,
+      seedHash: Long = 42): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val dist = ShortestPaths.bfs(g, Seq(seed).toDF("source"))
+    dist.orderBy(col("dist").asc, xxhash64(lit(seedHash), col("id")).asc, col("id").asc)
+      .limit(size).select("id")
+  }
+
   /** Triangle-weighted seed expansion — the TCE pattern (reference
     * `scd/TCE.hpp`: expand by triangle-supported edges): re-weight every
     * edge by (1 + its triangle count) via

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object Generators {
 
   /** uniform [0,1) from a hashed key — deterministic per (seed, keys) */
-  private[graph] def u01(seed: Long, keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+  private[graft] def u01(seed: Long, keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     (pmod(xxhash64(lit(seed) +: keys: _*), lit(1L << 40)) / lit((1L << 40).toDouble))
 
   /** Erdős–Rényi G(n, p) (reference `ErdosRenyiGenerator.hpp:20`):

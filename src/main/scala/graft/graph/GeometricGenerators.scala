@@ -104,6 +104,49 @@ object GeometricGenerators {
       Some(maxNeigh), seed)
   }
 
+  /** Dynamic PubWeb event stream (reference
+    * `generators/DynamicPubWebGenerator.hpp`): points drift with a
+    * constant hash-derived velocity on the torus; each step's threshold
+    * graph is recomputed with the same grid join and diffed against the
+    * previous step — additions and removals become timestamped events.
+    * Fully distributed: `steps` spatial joins plus two anti-join diffs
+    * per step. `(step, type, u, v)`. */
+  def dynamicPubWeb(spark: SparkSession, n: Long, steps: Int,
+      neighRad: Double, seed: Long = 42): DataFrame = {
+    import org.apache.spark.sql.functions.{lit => flit}
+    val base = spark.range(n).select(col("id"),
+      u01(seed ^ 20, col("id")).as("x0"), u01(seed ^ 21, col("id")).as("y0"),
+      ((u01(seed ^ 22, col("id")) - 0.5) * 0.02).as("vx"),
+      ((u01(seed ^ 23, col("id")) - 0.5) * 0.02).as("vy"))
+      .localCheckpoint(true)
+    var prev: DataFrame = null
+    var events: DataFrame = null
+    for (t <- 0 until steps) {
+      val pts = base.select(col("id"),
+        pmod(col("x0") + flit(t.toDouble) * col("vx"), flit(1.0)).as("x"),
+        pmod(col("y0") + flit(t.toDouble) * col("vy"), flit(1.0)).as("y"))
+      val cur = thresholdGraph(pts, neighRad, torus = true, None, seed)
+        .edges.select("src", "dst").localCheckpoint(true)
+      val stepEvents =
+        if (prev == null)
+          cur.select(flit(t.toLong).as("step"), flit("EDGE_ADDITION").as("type"),
+            col("src").as("u"), col("dst").as("v"))
+        else {
+          val added = cur.join(prev, Seq("src", "dst"), "left_anti")
+            .select(flit(t.toLong).as("step"), flit("EDGE_ADDITION").as("type"),
+              col("src").as("u"), col("dst").as("v"))
+          val removed = prev.join(cur, Seq("src", "dst"), "left_anti")
+            .select(flit(t.toLong).as("step"), flit("EDGE_REMOVAL").as("type"),
+              col("src").as("u"), col("dst").as("v"))
+          added.unionAll(removed)
+        }
+      events = if (events == null) stepEvents.localCheckpoint(true)
+        else events.unionAll(stepEvents).localCheckpoint(true)
+      prev = cur
+    }
+    events
+  }
+
   /** Mocnik random spatial graph (reference `MocnikGenerator.hpp:18`,
     * dim=2): uniform points in the unit square, edges within the radius
     * that makes the expected degree ≈ k (πr²n = k). The reference's

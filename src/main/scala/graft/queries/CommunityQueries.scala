@@ -215,6 +215,25 @@ object CommunityQueries {
       Seq((seed, if (cliqueOk) 1L else 0L, if (tOk) 1L else 0L))
         .toDF("seed", "clique_ok", "tce_ok")
     }),
+    // ground-truth comparison + RandomBFS baseline: self-F1 pins 1,
+    // cross-method F1 and the BFS-ball size are gated
+    "c16_gtf1" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val seed = g.vertices.agg(min("id")).head.getLong(0)
+      val a = Community.expandSeed(g, seed).localCheckpoint(true)
+      val (_, _, selfF1) = Community.groundTruthF1(a, a)
+      val b = Community.tce(g, seed)
+      val (p, r, f1) = Community.groundTruthF1(a, b)
+      val ball = Community.randomBfs(g, seed, 10)
+      val ballOk = ball.count() <= 10 && ball.filter(col("id") === seed).count() == 1
+      Seq((
+        math.rint(selfF1 * 1e6) / 1e6,
+        if (p >= 0 && p <= 1 && r >= 0 && r <= 1 && f1 >= 0 && f1 <= 1) 1L else 0L,
+        if (ballOk) 1L else 0L
+      )).toDF("self_f1", "cross_f1_ok", "ball_ok")
+    }),
     // LFK overlapping NMI: cover A = id%8 blocks plus an extra
     // membership (100 + id%12) for ids divisible by 5; cover B = id%8.
     // Self-similarity pins 1; the A-vs-B value is SQL-exact.
@@ -383,6 +402,9 @@ object CommunityQueries {
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
          |SELECT (SELECT min(id) FROM nodes) AS seed,
          |  1::BIGINT AS clique_ok, 1::BIGINT AS tce_ok""".stripMargin,
+    "c16_gtf1" ->
+      """SELECT 1.0 AS self_f1, 1::BIGINT AS cross_f1_ok,
+        |  1::BIGINT AS ball_ok""".stripMargin,
     "c14_onmi" -> {
       def H(e: String) = s"(CASE WHEN ($e) > 0 THEN -($e)*log2($e) ELSE 0 END)"
       s"""WITH $graphCte,

@@ -370,6 +370,40 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_paths"),
           coalesce(sum("len"), lit(0L)).as("total_len"))
     }),
+    // dynamic PubWeb: drifting points on the torus, per-step graph diff
+    // as an event stream — validity gates (first step is all additions;
+    // replaying additions minus removals reproduces the final graph)
+    "x45_dynpubweb" -> ((s, dir) => {
+      import s.implicits._
+      val ev = GeometricGenerators.dynamicPubWeb(s, 200, 4, 0.1)
+        .localCheckpoint(true)
+      val adds = ev.filter(col("type") === "EDGE_ADDITION")
+      val rems = ev.filter(col("type") === "EDGE_REMOVAL")
+      val firstStepRems = rems.filter(col("step") === 0).count()
+      // net replay: last-event-wins per edge must equal the final graph
+      val lastState = ev.groupBy("u", "v")
+        .agg(max(struct(col("step"), (col("type") === "EDGE_ADDITION").as("on")))
+          .as("last"))
+        .filter(col("last.on"))
+        .select(col("u").as("src"), col("v").as("dst"))
+      val replayOk = {
+        // recompute step-3 graph directly and compare
+        val base = s.range(200).select(col("id"),
+          (graft.graph.Generators.u01(42 ^ 20, col("id"))
+            + lit(3.0) * (graft.graph.Generators.u01(42 ^ 22, col("id")) - 0.5) * 0.02).as("xr"),
+          (graft.graph.Generators.u01(42 ^ 21, col("id"))
+            + lit(3.0) * (graft.graph.Generators.u01(42 ^ 23, col("id")) - 0.5) * 0.02).as("yr"))
+          .select(col("id"), pmod(col("xr"), lit(1.0)).as("x"), pmod(col("yr"), lit(1.0)).as("y"))
+        val direct = GeometricGenerators.thresholdGraph(base, 0.1, torus = true, None, 42)
+          .edges.select("src", "dst")
+        direct.except(lastState).isEmpty && lastState.except(direct).isEmpty
+      }
+      Seq((
+        if (adds.count() > 0) 1L else 0L,
+        if (firstStepRems == 0) 1L else 0L,
+        if (replayOk) 1L else 0L
+      )).toDF("has_adds", "first_step_pure", "replay_ok")
+    }),
     // local-similarity sparsification exponent per edge (exact oracle)
     "x43_localsim" -> ((s, dir) =>
       Sparsification.localSimilarityScore(DerivedGraphs.partGraph(s, dir, 2))
@@ -824,6 +858,9 @@ object ExtendedQueries {
     "x44_forestfire" ->
       """SELECT 1::BIGINT AS covers_edges, 1::BIGINT AS nonnegative,
         |  1::BIGINT AS some_burnt""".stripMargin,
+    "x45_dynpubweb" ->
+      """SELECT 1::BIGINT AS has_adds, 1::BIGINT AS first_step_pure,
+        |  1::BIGINT AS replay_ok""".stripMargin,
     "x36_generators2" ->
       """SELECT gen, 1::BIGINT AS ok1, 1::BIGINT AS ok2 FROM (VALUES
         |  ('ring'), ('dm'), ('havelhakimi'), ('curveball'),
