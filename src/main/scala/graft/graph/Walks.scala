@@ -72,4 +72,60 @@ object Walks {
         transform(org.apache.spark.ml.functions.vector_to_array(col("vector")),
           x => x.cast("float")).as("vector"))
   }
+
+  /** K-path centrality (reference `centrality/KPathCentrality.cpp:34-100`,
+    * Alahakoon et al.): `trials` self-avoiding random walks, each of
+    * hashed length ℓ ∈ [1, k]; every visit increments the visited node's
+    * counter; score(v) = k·n·visits(v)/trials. The reference draws
+    * `t = 2k²·n^(1-2α)·ln n` trials (α the precision/runtime tradeoff);
+    * pass `trials = 0` to use that default. All trials advance together —
+    * one adjacency join per step, self-avoidance via the walk's path
+    * array, next hop drawn by a min-xxhash64 lottery over the unvisited
+    * neighbors (uniform, reproducible under any partitioning).
+    * `(id, score)` for every node. */
+  def kPathCentrality(g: PropertyGraph, alpha: Double = 0.2, k: Int = 0,
+      trials: Long = 0, seed: Long = 42): DataFrame = {
+    val spark = g.edges.sparkSession
+    val adj = g.adjacency.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().persist()
+    val n = g.vertices.count()
+    val m = adj.count() / 2
+    val kk = if (k > 0) k else math.max(1, math.log((n + m).toDouble).toInt)
+    val t = if (trials > 0) trials
+      else (2.0 * kk * kk * math.pow(n.toDouble, 1 - 2 * alpha) * math.log(n.toDouble)).toLong.max(1)
+    // trial i starts at a hash-uniform node with hashed length ∈ [1, k];
+    // nodes are ranked 0..n-1 so every trial matches exactly one start
+    val starts = g.vertices.select(col("id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id"))
+          .cast("long") - 1).as("slot"))
+    val trialsDf = spark.range(t).select(col("id").as("trial"),
+        pmod(xxhash64(lit(seed), lit(1L), col("id")), lit(n)).as("slot"),
+        (pmod(xxhash64(lit(seed), lit(2L), col("id")), lit(kk.toLong)) + 1).as("len"))
+      .join(starts, "slot")
+      .select(col("trial"), col("len"), col("id").as("node"),
+        array(col("id")).as("path"))
+    var frontier = trialsDf.localCheckpoint(true)
+    var visits = frontier.sparkSession.emptyDataFrame
+      .select(lit(0L).as("node")).limit(0)
+    for (step <- 1 to kk) {
+      val cand = frontier.filter(col("len") >= step)
+        .join(adj, frontier("node") === adj("src"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .withColumn("lottery", xxhash64(lit(seed), col("trial"), lit(step), col("dst")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("trial").orderBy(col("lottery").asc, col("dst").asc)
+      val next = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("trial"), col("len"), col("dst").as("node"),
+          array_append(col("path"), col("dst")).as("path"))
+        .localCheckpoint(true)
+      visits = visits.unionAll(next.select("node")).localCheckpoint(true)
+      frontier = next
+    }
+    adj.unpersist(false)
+    val counts = visits.groupBy("node").agg(count(lit(1)).as("c"))
+    g.vertices.select(col("id"))
+      .join(counts.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select(col("id"),
+        (lit(kk.toDouble * n) * coalesce(col("c"), lit(0L)) / t.toDouble).as("score"))
+  }
 }

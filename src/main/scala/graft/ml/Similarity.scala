@@ -75,6 +75,99 @@ object Similarity {
     v.select(col(id), bitCols.reduce(_ + _).as("bucket"))
   }
 
+  /** Deterministic spherical k-means (Lloyd) for IVF coarse quantization:
+    * init = the `k` vectors with smallest xxhash64(seed, id); each round
+    * assigns every vector to its max-cosine centroid (broadcast join — the
+    * centroid table is k rows at any data scale, the standard IVF shape)
+    * and recomputes unit-normalized centroid means. Empty lists keep their
+    * previous centroid. Returns `(list_id, c ARRAY<DOUBLE>)`. */
+  def kmeansCentroids(vectors: DataFrame, id: String, vec: String, k: Int,
+      iters: Int = 4, seed: Long = 42L): DataFrame = {
+    val unit = vectors
+      .select(col(id).as("kid"), asDouble(col(vec)).as("kv"))
+      .withColumn("nrm", normExpr("kv"))
+      .filter(col("nrm") > 0)
+      .withColumn("kv", transform(col("kv"), x => x / col("nrm")))
+      .select("kid", "kv")
+      .persist()
+    import org.apache.spark.sql.expressions.Window
+    var cents = unit
+      .withColumn("h", xxhash64(lit(seed), col("kid")))
+      .orderBy(col("h").asc, col("kid").asc).limit(k)
+      .withColumn("list_id", row_number().over(Window.orderBy(col("h").asc, col("kid").asc)).cast("long") - 1)
+      .select(col("list_id"), col("kv").as("c"))
+      .persist()
+    cents.count()
+    for (_ <- 1 to iters) {
+      val assigned = assignLists(unit.select(col("kid"), col("kv")), cents, nProbe = 1)
+      val means = assigned.join(unit, "kid")
+        .select(col("list_id"), posexplode(col("kv")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg("x").as("m"))
+        .groupBy("list_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .withColumn("cn", normExpr("c"))
+        .filter(col("cn") > 0)
+        .withColumn("c", transform(col("c"), x => x / col("cn")))
+        .select("list_id", "c")
+      // keep the previous centroid for lists that went empty
+      val next = means
+        .unionByName(cents.join(means.select("list_id"), Seq("list_id"), "left_anti"))
+        .persist()
+      next.count()
+      cents.unpersist(false)
+      cents = next
+    }
+    unit.unpersist(false)
+    cents
+  }
+
+  /** Nearest `nProbe` IVF lists per vector, by centroid cosine:
+    * `(kid, list_id)`. Input vectors must carry unit `kv`. */
+  private def assignLists(unitVecs: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unitVecs.crossJoin(broadcast(cents))
+      .withColumn("sim", dotExpr("kv", "c"))
+    val w = Window.partitionBy("kid").orderBy(col("sim").desc, col("list_id").asc)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= nProbe)
+      .select("kid", "list_id")
+  }
+
+  /** IVF approximate cosine top-k (reference point: the inverted-file ANN
+    * design of Faiss/IVF — coarse-quantize into `nLists` k-means cells,
+    * search only the query's `nProbe` nearest cells). Exact cosine within
+    * the probed cells, so every returned cosine equals the brute-force
+    * value for that pair; only recall is approximate. Scale shape: one
+    * broadcast join against the k-row centroid table + a shuffle keyed by
+    * `list_id` — no cross join anywhere. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4, iters: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(vectors, id, vec, nLists, iters)
+    def unit(df: DataFrame, as: String) = df
+      .select(col(id).as(as), asDouble(col(vec)).as("kv"))
+      .withColumn("nrm", normExpr("kv"))
+      .filter(col("nrm") > 0)
+      .withColumn("kv", transform(col("kv"), x => x / col("nrm")))
+      .select(col(as).as("kid"), col("kv"))
+    val vl = assignLists(unit(vectors, "vid"), cents, nProbe = 1)
+      .withColumnRenamed("kid", "cid")
+    val ql = assignLists(unit(queries, "qid"), cents, nProbe = nProbe)
+      .withColumnRenamed("kid", "q")
+    val v = vectors.select(col(id).as("cid"), asDouble(col(vec)).as("v"))
+      .withColumn("nv", normExpr("v")).join(vl, "cid")
+    val q = queries.select(col(id).as("q"), asDouble(col(vec)).as("qv"))
+      .withColumn("nq", normExpr("qv")).join(ql, "q")
+    val scored = q.join(v, "list_id").filter(col("q") =!= col("cid"))
+      .dropDuplicates("q", "cid")
+      .withColumn("cosine", round(dotExpr("qv", "v") / (col("nq") * col("nv")), 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("q").orderBy(col("cosine").desc, col("cid").asc)
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("cid").as("id"), col("cosine"), col("rank"))
+    out
+  }
+
   /** Approximate cosine top-k: candidates restricted to the query's SRP
     * bucket (optionally ± Hamming-1 neighbors via multi-probe). */
   def annTopK(vectors: DataFrame, queries: DataFrame, id: String, vec: String,

@@ -234,6 +234,45 @@ object CommunityQueries {
         if (ballOk) 1L else 0L
       )).toDF("self_f1", "cross_f1_ok", "ball_ok")
     }),
+    // SCD expander tail: LocalTightnessExpansion (structural-similarity
+    // tightness), LocalT (triad score), TwoPhaseL (add-then-prune L) —
+    // seed containment, growth and conductance-validity gates pinned
+    "c17_scdtail" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val seed = g.vertices.agg(min("id")).head.getLong(0)
+      val lte = Scd.localTightnessExpansion(g, seed).localCheckpoint(true)
+      val lt = Scd.localT(g, seed).localCheckpoint(true)
+      val tpl = Scd.twoPhaseL(g, seed).localCheckpoint(true)
+      def has(df: DataFrame) = df.filter(col("id") === seed).count() == 1
+      val lteCond = Community.setConductance(g, lte)
+      val lteOk = has(lte) && lte.count() > 1 && lteCond >= 0 && lteCond <= 1
+      val ltOk = has(lt) && lt.count() >= 1
+      val tplOk = tpl.count() == 0 || has(tpl)
+      Seq((seed, if (lteOk) 1L else 0L, if (ltOk) 1L else 0L,
+        if (tplOk) 1L else 0L)).toDF("seed", "lte_ok", "localt_ok", "tpl_ok")
+    }),
+    // SCD ground-truth comparison (per-seed best-F1 table) + CombinedSCD
+    // (CliqueDetect seeds GCE expansion): the truth partition compared
+    // against itself must be all-perfect — SQL-exact seed count
+    "c18_scdeval" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val seed = g.vertices.agg(min("id")).head.getLong(0)
+      val truth = g.vertices.select(col("id"), pmod(col("id"), lit(8L)).as("community"))
+      val selfDetected = truth.select(col("community").as("seed"), col("id"))
+      val gt = Scd.groundTruthComparison(selfDetected, truth).localCheckpoint(true)
+      val nSeeds = gt.count()
+      val nPerfect = gt.filter(col("f1") === 1.0 && col("precision") === 1.0 &&
+        col("recall") === 1.0 && col("jaccard") === 1.0).count()
+      val comb = Scd.combined(g, seed).localCheckpoint(true)
+      val combOk = comb.filter(col("id") === seed).count() == 1 &&
+        comb.count() >= 1 && comb.count() <= 50
+      Seq((nSeeds, nPerfect, if (combOk) 1L else 0L))
+        .toDF("n_seeds", "n_perfect", "combined_ok")
+    }),
     // LFK overlapping NMI: cover A = id%8 blocks plus an extra
     // membership (100 + id%12) for ids divisible by 5; cover B = id%8.
     // Self-similarity pins 1; the A-vs-B value is SQL-exact.
@@ -256,6 +295,17 @@ object CommunityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c17_scdtail" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT (SELECT min(id) FROM nodes) AS seed, 1::BIGINT AS lte_ok,
+         |  1::BIGINT AS localt_ok, 1::BIGINT AS tpl_ok""".stripMargin,
+    "c18_scdeval" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(DISTINCT id % 8) AS n_seeds,
+         |  count(DISTINCT id % 8) AS n_perfect, 1::BIGINT AS combined_ok
+         |FROM nodes""".stripMargin,
     "c7_plp" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym)

@@ -83,6 +83,46 @@ object EmbeddingQueries {
         lit(cosMismatch).as("cosine_mismatches"))
     }),
 
+    // IVF ANN — k-means coarse quantizer + nProbe cell search (the
+    // Faiss-IVF-style scale path). Gates mirror e6_ann: every IVF cosine
+    // must equal the exact brute-force cosine for that pair, and IVF
+    // recall@k must beat a hash-random candidate set of the same expected
+    // coverage (nProbe/nLists of the corpus) — the non-tautological check
+    // that the learned cells correlate with angle.
+    "e7_ivf" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val queries = all.filter(col("vec_id") % 20 === 0)
+      val k = 3
+      val nLists = 16
+      val nProbe = 4
+      val nQ = queries.count()
+      val ivf = Similarity.ivfTopK(all, queries, "vec_id", "embedding", k,
+        nLists, nProbe).persist()
+      val exact = Similarity.cosineTopK(all, queries, "vec_id", "embedding", k)
+        .persist()
+      val hits = ivf.select(col("q"), col("id"), col("cosine").as("ivfCos"))
+        .join(exact.select(col("q"), col("id"), col("cosine").as("exCos")),
+          Seq("q", "id")).persist()
+      val cosMismatch = hits.filter(col("ivfCos") =!= col("exCos")).count()
+      val ivfRecall = hits.count().toDouble / (k * nQ)
+      val frac = nProbe.toDouble / nLists
+      val qv = queries.select(col("vec_id").as("q"))
+      val randCand = qv.crossJoin(all.select(col("vec_id").as("id")))
+        .filter(col("q") =!= col("id"))
+        .filter(pmod(xxhash64(lit(11L), col("q"), col("id")), lit(10000L))
+          < (frac * 10000).toLong)
+      val randHits = randCand
+        .join(exact.select(col("q"), col("id")), Seq("q", "id"), "left_semi")
+        .count()
+      val randRecall = randHits.toDouble / (k * nQ)
+      val recallOk = if (ivfRecall >= randRecall - 1e-9) 1L else 0L
+      ivf.unpersist(false); exact.unpersist(false); hits.unpersist(false)
+      queries.agg(count(lit(1)).as("n_queries")).select(
+        col("n_queries"), lit(k.toLong).as("k"),
+        lit(recallOk).as("recall_beats_random"),
+        lit(cosMismatch).as("cosine_mismatches"))
+    }),
+
     // label-level stats on norms
     "e5_labelstats" -> ((s, dir) =>
       emb(s, dir)
@@ -119,6 +159,10 @@ object EmbeddingQueries {
          |  row_number() OVER (PARTITION BY q ORDER BY cosine DESC, id ASC) AS rank FROM scored)
          |SELECT q, id, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "e6_ann" ->
+      """SELECT count(*) AS n_queries, 3::BIGINT AS k,
+        | 1::BIGINT AS recall_beats_random, 0::BIGINT AS cosine_mismatches
+        |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
+    "e7_ivf" ->
       """SELECT count(*) AS n_queries, 3::BIGINT AS k,
         | 1::BIGINT AS recall_beats_random, 0::BIGINT AS cosine_mismatches
         |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,

@@ -486,6 +486,75 @@ object ExtendedQueries {
 
       r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6).unionAll(r7)
     }),
+    // electrical kernels: spanning-edge centrality (effective resistance
+    // of sampled edges; 0 < r ≤ 1/w for an edge of weight w) + forest and
+    // electrical closeness positivity for 3 candidate hubs
+    "x48_electrical" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val res = Electrical.spanningEdgeCentrality(g, sampleEdges = 8, maxIter = 30)
+        .localCheckpoint(true)
+      val w = g.edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("weight"))
+        .groupBy("u", "v").agg(max("weight").as("w"))
+      val viol = res.join(w, Seq("u", "v"), "left")
+        .filter(col("resistance") <= 0 ||
+          col("resistance") > lit(1.0) / coalesce(col("w"), lit(1.0)) + 0.05)
+        .count()
+      val cands = g.degrees.orderBy(col("degree").desc, col("id").asc)
+        .limit(3).select("id").as[Long].collect().toSeq
+      val fc = Electrical.forestCloseness(g, cands, probes = 4, maxIter = 30)
+      val ec = Electrical.electricalCloseness(g, cands, probes = 4, maxIter = 30)
+      val fOk = fc.filter(col("closeness") <= 0).count() == 0 && fc.count() == 3
+      val eOk = ec.filter(col("closeness") <= 0).count() == 0 && ec.count() == 3
+      Seq((res.count(), viol, if (fOk) 1L else 0L, if (eOk) 1L else 0L))
+        .toDF("n_pairs", "res_violations", "forest_ok", "electrical_ok")
+    }),
+    // k-path centrality: sampled self-avoiding walks. Gates: no negative
+    // scores, and the walk mass must concentrate on high-degree nodes
+    // (top-degree quartile mean score > bottom-quartile mean) — the
+    // non-tautological signal that the sampler follows the topology
+    "x46_kpath" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val scores = Walks.kPathCentrality(g, trials = 20000).localCheckpoint(true)
+      val n = scores.count()
+      val neg = scores.filter(col("score") < 0).count()
+      val byDeg = scores.join(g.degrees, "id")
+      val q = byDeg.stat.approxQuantile("degree", Array(0.25, 0.75), 0.0)
+      val loMean = byDeg.filter(col("degree") <= q(0)).agg(avg("score")).head.getDouble(0)
+      val hiMean = byDeg.filter(col("degree") >= q(1)).agg(avg("score")).head.getDouble(0)
+      Seq((n, neg, if (hiMean > loMean) 1L else 0L))
+        .toDF("n_nodes", "neg_scores", "hub_signal")
+    }),
+    // complex-contagion paths (Guilbeault–Centola): percolation keyed by
+    // source over the 5 smallest node ids. Gates: every late adopter has
+    // ≥ threshold complex-graph neighbors, PLci ≥ 0, reached ≤ n
+    "x47_complexpaths" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val srcs = g.vertices.orderBy("id").limit(5).select(col("id").as("s"))
+        .localCheckpoint(true)
+      val threshold = 3
+      val (adopters, cedges) = ComplexPaths.complexGraphs(g, srcs, threshold)
+      val deg = cedges.groupBy(col("s"), col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val weakAdopters = adopters.filter(col("ord") > 0)
+        .join(deg, Seq("s", "id"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < threshold).count()
+      val n = g.vertices.count()
+      val plci = ComplexPaths.complexPathLengths(g, srcs, threshold)
+      val bad = plci.filter(col("plci") < 0).count()
+      val reachedOver = adopters.groupBy("s").agg(count(lit(1)).as("r"))
+        .filter(col("r") > n).count()
+      srcs.orderBy("s").select(col("s"),
+        lit(weakAdopters).as("weak_adopters"),
+        lit(bad).as("neg_plci"), lit(reachedOver).as("over_reached"))
+    }),
     // biconnected decomposition: distributed bridge certificate + a
     // labels-cover-edges invariant (constants-if-valid gate)
     "x35_bicc" -> ((s, dir) => {
@@ -499,6 +568,20 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x48_electrical" ->
+      """SELECT 8::BIGINT AS n_pairs, 0::BIGINT AS res_violations,
+        | 1::BIGINT AS forest_ok, 1::BIGINT AS electrical_ok""".stripMargin,
+    "x46_kpath" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_nodes, 0::BIGINT AS neg_scores,
+         |  1::BIGINT AS hub_signal FROM nodes""".stripMargin,
+    "x47_complexpaths" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT id AS s, 0::BIGINT AS weak_adopters, 0::BIGINT AS neg_plci,
+         |  0::BIGINT AS over_reached
+         |FROM nodes ORDER BY id LIMIT 5""".stripMargin,
     "x1_mxv" ->
       s"""WITH $graphCte
          |SELECT sym.src AS i, round(sum(sym.c * d.d * 1.0), 6) AS v

@@ -81,6 +81,44 @@ class MlSpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall $recall too low")
   }
 
+  test("IVF top-k: cosines exact for returned pairs, recall beats cell fraction") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q", "id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 2).select("q", "id", "cosine").collect()
+    // every IVF cosine equals the brute-force cosine for that pair
+    val allVecs = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+      Int.MaxValue).select("q", "id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      assert(allVecs((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+    // recall clearly above the 2/8 = 25% a random 2-cell probe would get
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.keySet.count(got).toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("kmeansCentroids: nLists unit centroids, deterministic across runs") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+      .orderBy("list_id").collect()
+    val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, iters = 2)
+      .orderBy("list_id").collect()
+    assert(c1.length == 8)
+    c1.zip(c2).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getSeq[Double](1) == b.getSeq[Double](1))
+    }
+    c1.foreach { r =>
+      val n = math.sqrt(r.getSeq[Double](1).map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9)
+    }
+  }
+
   test("cosineTopK is exact top-k (matches naive recompute for one query)") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val res = Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 0),
