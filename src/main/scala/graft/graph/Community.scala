@@ -871,4 +871,142 @@ object Community {
       .select(col("src"), col("dst"), (lit(1.0) + col("score")).as("weight"))
     expandSeed(PropertyGraph(scored, directed = false), seed, maxSize)
   }
+
+  // ---- local partition evaluation suite ---------------------------------
+  // (reference community/LocalPartitionEvaluation.hpp descendants; each
+  // returns the unweighted average over non-empty communities, the
+  // reference's `getUnweightedAverage`)
+
+  /** Canonical undirected edges labeled with both endpoints' communities:
+    * `(src, dst, weight, cs, cd)`. */
+  private def labeledEdges(g: PropertyGraph, partition: DataFrame): DataFrame = {
+    // adjacency carries both directions; keep each undirected edge once
+    // WITHOUT re-summing (canonicalizeUndirected over adjacency would
+    // double every weight)
+    val e = g.adjacency.filter(col("src") < col("dst"))
+    e.join(partition.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(partition.select(col("id").as("dst"), col("community").as("cd")), "dst")
+  }
+
+  /** PartitionHubDominance (reference
+    * `community/PartitionHubDominance.cpp:8-70`): per community the max
+    * INTERNAL degree over (size − 1); singletons score 1. */
+  def partitionHubDominance(g: PropertyGraph, partition: DataFrame): Double = {
+    val le = labeledEdges(g, partition).filter(col("cs") === col("cd"))
+    val intDeg = le.select(col("src").as("id"), col("cs").as("community"))
+      .unionAll(le.select(col("dst").as("id"), col("cd").as("community")))
+      .groupBy("id", "community").agg(count(lit(1)).as("ideg"))
+    val maxDeg = intDeg.groupBy("community").agg(max("ideg").as("maxdeg"))
+    val sizes = partition.groupBy("community").agg(count(lit(1)).as("sz"))
+    sizes.join(maxDeg, Seq("community"), "left")
+      .select(when(col("sz") > 1,
+        coalesce(col("maxdeg"), lit(0L)).cast("double") / (col("sz") - 1))
+        .otherwise(lit(1.0)).as("v"))
+      .agg(avg("v")).head.getDouble(0)
+  }
+
+  /** IntrapartitionDensity (reference
+    * `community/IntrapartitionDensity.cpp:4-60`): per community
+    * intra-edges / C(size,2); communities with no possible edge score 1.
+    * Returns (unweightedAverage, globalRatio = Σintra/Σpossible). */
+  def intrapartitionDensity(g: PropertyGraph, partition: DataFrame): (Double, Double) = {
+    val intra = labeledEdges(g, partition).filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("community")).agg(count(lit(1)).as("ie"))
+    val sizes = partition.groupBy("community").agg(count(lit(1)).as("sz"))
+    val per = sizes.join(intra, Seq("community"), "left")
+      .withColumn("possible", col("sz") * (col("sz") - 1) / 2)
+      .withColumn("v", when(col("possible") > 0,
+        coalesce(col("ie"), lit(0L)).cast("double") / col("possible")).otherwise(lit(1.0)))
+    val r = per.agg(avg("v"),
+      coalesce(sum(coalesce(col("ie"), lit(0L))), lit(0L)).cast("double") /
+        greatest(sum("possible"), lit(1L))).head
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** IsolatedInterpartitionConductance (reference
+    * `community/IsolatedInterpartitionConductance.cpp:4-60`): per
+    * community cut(c) / min(vol(c), totalVol − vol(c)); average. */
+  def isolatedInterpartitionConductance(g: PropertyGraph, partition: DataFrame): Double = {
+    val le = labeledEdges(g, partition)
+    val cut = le.filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("community"), col("weight"))
+      .unionAll(le.filter(col("cs") =!= col("cd"))
+        .select(col("cd").as("community"), col("weight")))
+      .groupBy("community").agg(sum("weight").as("cut"))
+    val vol = le.select(col("cs").as("community"), col("weight"))
+      .unionAll(le.select(col("cd").as("community"), col("weight")))
+      .groupBy("community").agg(sum("weight").as("vol"))
+    val totalVol = le.agg(coalesce(sum(col("weight") * 2), lit(0.0))).head.getDouble(0)
+    partition.select("community").distinct()
+      .join(cut, Seq("community"), "left").join(vol, Seq("community"), "left")
+      .withColumn("den", least(coalesce(col("vol"), lit(0.0)),
+        lit(totalVol) - coalesce(col("vol"), lit(0.0))))
+      .select(when(col("den") > 0,
+        coalesce(col("cut"), lit(0.0)) / col("den")).otherwise(lit(0.0)).as("v"))
+      .agg(avg("v")).head.getDouble(0)
+  }
+
+  /** IsolatedInterpartitionExpansion (reference
+    * `community/IsolatedInterpartitionExpansion.hpp`): cut(c) /
+    * min(|c|, n − |c|); average. */
+  def isolatedInterpartitionExpansion(g: PropertyGraph, partition: DataFrame): Double = {
+    val le = labeledEdges(g, partition)
+    val cut = le.filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("community"), col("weight"))
+      .unionAll(le.filter(col("cs") =!= col("cd"))
+        .select(col("cd").as("community"), col("weight")))
+      .groupBy("community").agg(sum("weight").as("cut"))
+    val sizes = partition.groupBy("community").agg(count(lit(1)).as("sz"))
+    val n = partition.count()
+    sizes.join(cut, Seq("community"), "left")
+      .withColumn("den", least(col("sz"), lit(n) - col("sz")).cast("double"))
+      .select(when(col("den") > 0,
+        coalesce(col("cut"), lit(0.0)) / col("den")).otherwise(lit(0.0)).as("v"))
+      .agg(avg("v")).head.getDouble(0)
+  }
+
+  /** PartitionFragmentation (reference
+    * `community/PartitionFragmentation.cpp:6-70`): per community
+    * 1 − (largest piece lying in one connected component)/size; average.
+    * The component labels come from the distributed CC. */
+  def partitionFragmentation(g: PropertyGraph, partition: DataFrame): Double = {
+    val cc = ConnectedComponents.run(g)
+    val pieces = partition.join(cc, "id")
+      .groupBy("community", "component").agg(count(lit(1)).as("piece"))
+    val maxPiece = pieces.groupBy("community").agg(max("piece").as("mp"))
+    val sizes = partition.groupBy("community").agg(count(lit(1)).as("sz"))
+    sizes.join(maxPiece, Seq("community"), "left")
+      .select((lit(1.0) - coalesce(col("mp"), lit(0L)).cast("double") / col("sz")).as("v"))
+      .agg(avg("v")).head.getDouble(0)
+  }
+
+  /** Graph-structural Rand dissimilarity (reference
+    * `community/GraphStructuralRandMeasure.cpp:12-38`): disagreement
+    * fraction over CONNECTED node pairs only. */
+  def graphStructuralRand(g: PropertyGraph, p1: DataFrame, p2: DataFrame): Double = {
+    val e = PropertyGraph.canonicalizeUndirected(
+      g.adjacency.filter(col("src") =!= col("dst")))
+    val both = e
+      .join(p1.select(col("id").as("src"), col("community").as("a1")), "src")
+      .join(p1.select(col("id").as("dst"), col("community").as("a2")), "dst")
+      .join(p2.select(col("id").as("src"), col("community").as("b1")), "src")
+      .join(p2.select(col("id").as("dst"), col("community").as("b2")), "dst")
+    val r = both.agg(count(lit(1)).as("m"),
+      sum(when((col("a1") === col("a2")) === (col("b1") === col("b2")), 1L)
+        .otherwise(0L)).as("agree")).head
+    1.0 - r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** Matching-based coarsening (reference
+    * `coarsening/MatchingCoarsening.hpp`): contract each matched pair;
+    * unmatched nodes stay singletons. Returns the coarse graph via
+    * [[coarsen]]'s partition path. */
+  def matchingCoarsen(g: PropertyGraph, matching: DataFrame): PropertyGraph = {
+    val rep = matching.select(col("u").as("id"), least(col("u"), col("v")).as("community"))
+      .unionAll(matching.select(col("v").as("id"), least(col("u"), col("v")).as("community")))
+    val part = g.vertices.select("id")
+      .join(rep, Seq("id"), "left")
+      .select(col("id"), coalesce(col("community"), col("id")).as("community"))
+    coarsen(g, part)
+  }
 }

@@ -52,14 +52,18 @@ object GraphOps {
     (PropertyGraph(e, g.directed, Some(mapping.select(col("newId").as("id")))), mapping)
   }
 
-  /** Disjoint union with id shift (reference `append`, `graphtools.pyx:237`). */
+  /** Disjoint union with id shift (reference `append`, `graphtools.pyx:237`).
+    * Unions by NAME — a USING join upstream can reorder edge columns. */
   def append(g1: PropertyGraph, g2: PropertyGraph, offset: Long): PropertyGraph =
-    g1.copy(edges = g1.edges.unionAll(g2.edges.select(
-      (col("src") + offset).as("src"), (col("dst") + offset).as("dst"), col("weight"))))
+    g1.copy(edges = g1.edges.select(col("src"), col("dst"), col("weight"))
+      .unionAll(g2.edges.select(
+        (col("src") + offset).as("src"), (col("dst") + offset).as("dst"), col("weight"))))
 
   /** Union keeping ids (reference `merge`, `graphtools.pyx:255`). */
   def merge(g1: PropertyGraph, g2: PropertyGraph): PropertyGraph =
-    g1.copy(edges = g1.edges.unionAll(g2.edges).dropDuplicates("src", "dst"))
+    g1.copy(edges = g1.edges.select(col("src"), col("dst"), col("weight"))
+      .unionAll(g2.edges.select(col("src"), col("dst"), col("weight")))
+      .dropDuplicates("src", "dst"))
 
   /** Graph scalar stats, 1-row: n, m, density, max degree, self-loops,
     * total weight (reference `GraphTools.hpp:141-160`, `Graph.hpp:122`). */

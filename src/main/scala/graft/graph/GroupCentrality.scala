@@ -242,4 +242,88 @@ object GroupCentrality {
     adj.unpersist(blocking = false)
     chosen.toSeq.toDF("rank", "id", "gain")
   }
+
+  /** Multi-seed BFS keyed by an arbitrary group key: `seeds` is
+    * `(source, id)` — every row a seed at distance 0 for its key.
+    * Returns `(source, id, dist)`. All keys advance in one fixpoint. */
+  def groupBfs(g: PropertyGraph, seeds: DataFrame, maxIter: Int = 200): DataFrame = {
+    val adj = g.adjacency.select("src", "dst")
+      .repartition(col("src")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    var dist = seeds.select(col("source"), col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var i = 0
+    var n = frontier.count()
+    while (n > 0 && i < maxIter) {
+      val cand = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+        .groupBy("source", "id").agg(min("dist").as("dist"))
+      val next = cand.join(dist, Seq("source", "id"), "left_anti").localCheckpoint(true)
+      n = next.count()
+      if (n > 0) { dist = dist.unionAll(next).localCheckpoint(true); frontier = next }
+      i += 1
+    }
+    adj.unpersist(false)
+    dist
+  }
+
+  /** Grow-Shrink group-closeness local search (reference
+    * `centrality/GroupClosenessGrowShrink.hpp:26`, Angriman et al.
+    * BigData 2019): starting from `init`, repeatedly try vertex
+    * exchanges — remove one member, add one shell candidate — keeping
+    * the swap that most decreases group farness Σ_w d(S,w). Every
+    * round's candidate swaps are evaluated EXACTLY by one group-BFS
+    * fixpoint keyed per swap (|S|·maxCand groups advance together);
+    * stops at a local optimum like the reference. Returns `(id)` of the
+    * improved group. */
+  def growShrink(g: PropertyGraph, init: Seq[Long], maxRounds: Int = 4,
+      maxCand: Int = 6): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    var group = init.distinct.sorted
+    def farnessOf(members: Seq[Long]): Double = {
+      val seeds = members.map(m => (0L, m)).toDF("source", "id")
+      groupBfs(g, seeds).agg(sum("dist").cast("double")).head.getDouble(0)
+    }
+    var curFarness = farnessOf(group)
+    var round = 0
+    var improved = true
+    while (improved && round < maxRounds) {
+      round += 1
+      improved = false
+      // shell candidates: highest-degree non-members adjacent to the group
+      val gDf = group.toDF("id")
+      val shell = g.adjacency.select(col("src"), col("dst"))
+        .join(gDf.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(gDf.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select(col("dst").as("id")).distinct()
+        .join(g.degrees, "id")
+        .orderBy(col("degree").desc, col("id").asc).limit(maxCand)
+        .select("id").as[Long].collect().toSeq
+      val swaps = for {
+        (u, ui) <- group.zipWithIndex
+        (v, vi) <- shell.zipWithIndex
+      } yield (ui.toLong * maxCand + vi, u, v)
+      if (swaps.nonEmpty) {
+        val seeds = swaps.flatMap { case (sid, u, v) =>
+          (group.filterNot(_ == u) :+ v).map(m => (sid, m))
+        }.toDF("source", "id")
+        val farness = groupBfs(g, seeds)
+          .groupBy("source").agg(sum("dist").cast("double").as("f"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val best = swaps.map { case (sid, u, v) =>
+          (sid, u, v, farness.getOrElse(sid, Double.MaxValue))
+        }.sortBy { case (sid, _, _, f) => (f, sid) }.headOption
+        best match {
+          case Some((_, u, v, f)) if f < curFarness - 1e-12 =>
+            group = (group.filterNot(_ == u) :+ v).sorted
+            curFarness = f
+            improved = true
+          case _ =>
+        }
+      }
+    }
+    group.toDF("id")
+  }
 }

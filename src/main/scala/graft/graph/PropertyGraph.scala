@@ -31,11 +31,16 @@ final case class PropertyGraph(
 
   /** Directed adjacency view: for undirected graphs, both directions of
     * every canonical edge (reference iterates `forNeighborsOf` over CSR
-    * rows, `Graph.hpp:1431`); for directed graphs, out-edges as stored. */
-  def adjacency: DataFrame =
-    if (directed) edges
-    else edges.unionAll(
-      edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    * rows, `Graph.hpp:1431`); for directed graphs, out-edges as stored.
+    * Column ORDER is normalized by name first: a USING join (e.g. an
+    * anti-join on `dst`) reorders a DataFrame's columns, and a positional
+    * union over reordered edges would silently build a broken graph. */
+  def adjacency: DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+    if (directed) e
+    else e.unionAll(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+  }
 
   /** In-adjacency (transpose view for directed; same as adjacency for
     * undirected). */

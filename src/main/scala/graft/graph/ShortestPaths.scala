@@ -106,6 +106,27 @@ object ShortestPaths {
       .groupBy(col("source").as("id"))
       .agg((count(lit(1)).cast("double") / sum("dist")).as("closeness"))
 
+  /** Pivot-sampled closeness for ALL nodes (reference
+    * `centrality/ApproxCloseness.hpp:30`, Cohen et al. — the uniform
+    * pivot estimator; the reference's per-pivot variance splitting is
+    * not ported, documented deviation): farness(v) ≈ (n/k_v)·Σ_p d(p,v)
+    * over the k_v pivots that reach v, closeness = (reached·scale)⁻¹
+    * normalized as (n−1)/farness. One keyed BFS from the pivot set.
+    * `(id, closeness)`. */
+  def approxCloseness(g: PropertyGraph, nPivots: Int = 16, seed: Long = 42): DataFrame = {
+    val pivots = g.vertices
+      .orderBy(xxhash64(lit(seed), col("id")).asc, col("id").asc)
+      .limit(nPivots).select(col("id").as("source"))
+    val dist = bfs(g, pivots)
+    dist.filter(col("id") =!= col("source"))
+      .groupBy("id")
+      .agg(sum("dist").as("fsum"), count(lit(1)).as("kv"))
+      .filter(col("fsum") > 0)
+      .select(col("id"),
+        // (n−1)/[(n−1)/k_v · Σd] simplifies to k_v/Σd
+        (col("kv").cast("double") / col("fsum")).as("closeness"))
+  }
+
   /** Harmonic closeness: Σ 1/d (reference `HarmonicCloseness.hpp:18`). */
   def harmonicCloseness(dist: DataFrame): DataFrame =
     dist.filter(col("id") =!= col("source"))

@@ -234,6 +234,37 @@ object CommunityQueries {
         if (ballOk) 1L else 0L
       )).toDF("self_f1", "cross_f1_ok", "ball_ok")
     }),
+    // local partition evaluation suite: hub dominance, intra density,
+    // isolated interpartition conductance/expansion, fragmentation —
+    // every value re-derived exactly in SQL on the id%8 partition
+    "c19_partmeasures" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = modPartition(g, 8)
+      val hub = Community.partitionHubDominance(g, p)
+      val (idAvg, idGlobal) = Community.intrapartitionDensity(g, p)
+      val cond = Community.isolatedInterpartitionConductance(g, p)
+      val expn = Community.isolatedInterpartitionExpansion(g, p)
+      val frag = Community.partitionFragmentation(g, p)
+      s.range(1).select(
+        round(lit(hub), 6).as("hub_dominance"),
+        round(lit(idAvg), 6).as("intra_density_avg"),
+        round(lit(idGlobal), 6).as("intra_density_global"),
+        round(lit(cond), 6).as("iso_conductance"),
+        round(lit(expn), 6).as("iso_expansion"),
+        round(lit(frag), 6).as("fragmentation"))
+    }),
+    // graph-structural Rand dissimilarity (edge-restricted agreement of
+    // id%8 vs id%12) — SQL-exact — plus matching-based coarsening gate:
+    // contracting a matching removes exactly |matching| nodes
+    "c20_randmeasures" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val gs = Community.graphStructuralRand(g, modPartition(g, 8), modPartition(g, 12))
+      val m = Matching.suitor(g).localCheckpoint(true)
+      val coarse = Community.matchingCoarsen(g, m)
+      val ok = coarse.vertices.count() == g.vertices.count() - m.count()
+      s.range(1).select(round(lit(gs), 6).as("gs_rand"),
+        lit(if (ok) 1L else 0L).as("coarse_ok"))
+    }),
     // SCD expander tail: LocalTightnessExpansion (structural-similarity
     // tightness), LocalT (triad score), TwoPhaseL (add-then-prune L) —
     // seed containment, growth and conductance-validity gates pinned
@@ -295,6 +326,58 @@ object CommunityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c19_partmeasures" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |sizes AS (SELECT id % 8 AS c, count(*) AS sz FROM nodes GROUP BY 1),
+         |nt AS (SELECT count(*)*1.0 AS n FROM nodes),
+         |ec AS (SELECT src, dst, c*1.0 AS w, src % 8 AS cs, dst % 8 AS cd FROM e),
+         |ideg AS (SELECT x.id, x.c, count(*) AS d FROM (
+         |   SELECT src AS id, cs AS c FROM ec WHERE cs = cd
+         |   UNION ALL SELECT dst, cd FROM ec WHERE cs = cd) x GROUP BY 1,2),
+         |hub AS (SELECT avg(CASE WHEN s.sz > 1 THEN coalesce(md.m, 0)*1.0/(s.sz-1)
+         |           ELSE 1.0 END) AS v
+         |        FROM sizes s LEFT JOIN (SELECT c, max(d) AS m FROM ideg GROUP BY c) md
+         |          ON md.c = s.c),
+         |intra AS (SELECT cs AS c, count(*) AS ie FROM ec WHERE cs = cd GROUP BY 1),
+         |dens AS (SELECT
+         |  avg(CASE WHEN s.sz*(s.sz-1)/2 > 0
+         |      THEN coalesce(i.ie,0)*1.0/(s.sz*(s.sz-1)/2) ELSE 1.0 END) AS vavg,
+         |  sum(coalesce(i.ie,0))*1.0 / greatest(sum(s.sz*(s.sz-1)/2), 1) AS vglob
+         |  FROM sizes s LEFT JOIN intra i ON i.c = s.c),
+         |cte_cut AS (SELECT c, sum(w) AS cut FROM (
+         |  SELECT cs AS c, w FROM ec WHERE cs <> cd
+         |  UNION ALL SELECT cd, w FROM ec WHERE cs <> cd) GROUP BY c),
+         |vol AS (SELECT c, sum(w) AS vol FROM (
+         |  SELECT cs AS c, w FROM ec UNION ALL SELECT cd, w FROM ec) GROUP BY c),
+         |tv AS (SELECT sum(w)*2 AS t FROM ec),
+         |cond AS (SELECT avg(CASE
+         |  WHEN least(coalesce(v.vol,0), (SELECT t FROM tv) - coalesce(v.vol,0)) > 0
+         |  THEN coalesce(ct.cut,0)/least(coalesce(v.vol,0), (SELECT t FROM tv)-coalesce(v.vol,0))
+         |  ELSE 0 END) AS v
+         |  FROM sizes s LEFT JOIN cte_cut ct ON ct.c = s.c LEFT JOIN vol v ON v.c = s.c),
+         |expn AS (SELECT avg(CASE WHEN least(s.sz*1.0, (SELECT n FROM nt)-s.sz) > 0
+         |  THEN coalesce(ct.cut,0)/least(s.sz*1.0, (SELECT n FROM nt)-s.sz) ELSE 0 END) AS v
+         |  FROM sizes s LEFT JOIN cte_cut ct ON ct.c = s.c),
+         |reach(id, lbl) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e2.dst, r.lbl FROM reach r JOIN sym e2 ON e2.src = r.id),
+         |compo AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |pieces AS (SELECT id % 8 AS c, comp, count(*) AS pc FROM compo GROUP BY 1,2),
+         |mp AS (SELECT c, max(pc) AS mp FROM pieces GROUP BY c),
+         |frag AS (SELECT avg(1.0 - coalesce(m.mp,0)*1.0/s.sz) AS v
+         |  FROM sizes s LEFT JOIN mp m ON m.c = s.c)
+         |SELECT round((SELECT v FROM hub), 6) AS hub_dominance,
+         |  round((SELECT vavg FROM dens), 6) AS intra_density_avg,
+         |  round((SELECT vglob FROM dens), 6) AS intra_density_global,
+         |  round((SELECT v FROM cond), 6) AS iso_conductance,
+         |  round((SELECT v FROM expn), 6) AS iso_expansion,
+         |  round((SELECT v FROM frag), 6) AS fragmentation""".stripMargin,
+    "c20_randmeasures" ->
+      s"""WITH $graphCte
+         |SELECT round(1.0 - sum(CASE WHEN (src % 8 = dst % 8) = (src % 12 = dst % 12)
+         |    THEN 1 ELSE 0 END)*1.0 / count(*), 6) AS gs_rand,
+         |  1::BIGINT AS coarse_ok
+         |FROM e""".stripMargin,
     "c17_scdtail" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym)

@@ -97,7 +97,7 @@ object EmbeddingQueries {
       val nProbe = 4
       val nQ = queries.count()
       val ivf = Similarity.ivfTopK(all, queries, "vec_id", "embedding", k,
-        nLists, nProbe).persist()
+        nLists, nProbe, iters = 2).persist()
       val exact = Similarity.cosineTopK(all, queries, "vec_id", "embedding", k)
         .persist()
       val hits = ivf.select(col("q"), col("id"), col("cosine").as("ivfCos"))

@@ -486,6 +486,207 @@ object ExtendedQueries {
 
       r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6).unionAll(r7)
     }),
+    // group betweenness (avoid-set DP): singleton group must equal the
+    // one-node betweenness from the same counted state, and a superset
+    // can only intercept more paths (monotonicity)
+    "x57_groupbet" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val sources = g.vertices.orderBy("id").limit(64).select(col("id").as("source"))
+      val hubs = g.degrees.orderBy(col("degree").desc, col("id").asc)
+        .limit(3).select("id").as[Long].collect().toSeq
+      val state = Paths.bfsCounted(g, sources).localCheckpoint(true)
+      val bOne = DynAlgorithms.betweennessOneNode(state, hubs.head)
+      val bSingle = DynAlgorithms.groupBetweenness(g, Seq(hubs.head), sources)
+      val bGroup = DynAlgorithms.groupBetweenness(g, hubs, sources)
+      val singleMatches = math.abs(bSingle - bOne) < 1e-6
+      val monotone = bGroup >= bSingle - 1e-9
+      Seq((hubs.head, if (singleMatches) 1L else 0L, if (monotone) 1L else 0L))
+        .toDF("hub", "singleton_matches_onenode", "monotone")
+    }),
+    // incremental Brandes state (DynBetweenness): σ-affected sources
+    // recomputed after an insertion batch — hash-equals from scratch
+    "x58_dynbrandes" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val all = g.edges.filter(col("src") < col("dst")).select("src", "dst")
+        .withColumn("h", xxhash64(lit(9L), col("src"), col("dst")))
+      val held = all.orderBy(col("h").desc, col("src").asc).limit(5)
+        .select("src", "dst").localCheckpoint(true)
+      val base = g.edges.join(held, Seq("src", "dst"), "left_anti")
+        .join(held.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_anti")
+      val g1 = PropertyGraph(base, directed = false, Some(g.vertices))
+      val sources = g.vertices.orderBy("id").limit(24).select(col("id").as("source"))
+      val state0 = Paths.bfsCounted(g1, sources)
+      val inc = DynAlgorithms.countedInsert(g, state0, held)
+      val scratch = Paths.bfsCounted(g, sources)
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("string"),
+          expr("cast(bit_xor(xxhash64(source, id, dist, cast(sigma as string))) as string)"))
+          .head.toSeq.mkString(":")
+      Seq((24L, if (fp(inc) == fp(scratch)) 1L else 0L))
+        .toDF("n_sources", "incremental_matches")
+    }),
+    // r-ball volume (Mocnik): average |B_2(v)| over the 8 smallest-id
+    // starts — exact SQL recursive-CTE oracle
+    "x53_volume" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val starts = g.vertices.orderBy("id").limit(8).select(col("id").as("source"))
+      val v = DistanceTail.volumeFrom(g, starts, r = 2)
+      s.range(1).select(lit(8L).as("n_starts"), round(lit(v), 6).as("avg_ball"))
+    }),
+    // diameter: deterministic double-sweep lower bound (exact SQL
+    // replication of both sweeps) + max eccentricity over the 64
+    // smallest-id sources (the SQL-affordable exactness slice; the
+    // all-sources exact diameter is the same keyed BFS, spec-tested)
+    "x54_diameter" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val start = g.degrees.orderBy(col("degree").desc, col("id").asc)
+        .limit(1).head.getLong(0)
+      val d1 = ShortestPaths.bfs(g, ShortestPaths.sourcesOf(g, Seq(start)))
+      val f = d1.orderBy(col("dist").desc, col("id").asc).limit(1).head.getLong(1)
+      val lb = ShortestPaths.bfs(g, ShortestPaths.sourcesOf(g, Seq(f)))
+        .agg(max("dist")).head.getLong(0)
+      val eccMax = ShortestPaths.bfs(g,
+          g.vertices.orderBy("id").limit(64).select(col("id").as("source")))
+        .agg(max("dist")).head.getLong(0)
+      s.range(1).select(lit(lb).as("diameter_lb"), lit(eccMax).as("ecc_max_64"))
+    }),
+    // DynDijkstra: weighted incremental SSSP after re-inserting held-out
+    // edges — gate: hash-equals from-scratch Dijkstra on the new graph
+    "x55_dyndijkstra" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val all = g.edges.filter(col("src") < col("dst"))
+        .select("src", "dst", "weight")
+        .withColumn("h", xxhash64(lit(5L), col("src"), col("dst")))
+      val held = all.orderBy(col("h").desc, col("src").asc).limit(5)
+        .select("src", "dst", "weight").localCheckpoint(true)
+      val base = g.edges.join(held.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .join(held.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_anti")
+      val g1 = PropertyGraph(base, directed = false, Some(g.vertices))
+      val sources = g.vertices.orderBy("id").limit(12).select(col("id").as("source"))
+      val state0 = ShortestPaths.dijkstra(g1, sources)
+      val inc = DistanceTail.updateDijkstraInsert(g, state0, held)
+      val scratch = ShortestPaths.dijkstra(g, sources)
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("string"),
+          expr("cast(bit_xor(xxhash64(source, id, cast(round(dist, 6) as string))) as string)"))
+          .head.toSeq.mkString(":")
+      Seq((12L, if (fp(inc) == fp(scratch)) 1L else 0L))
+        .toDF("n_sources", "incremental_matches")
+    }),
+    // DynTopHarmonicCloseness: top-k harmonic maintained through an
+    // insertion batch — gate: equals the top-k recomputed from scratch
+    "x56_dynharmonic" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val all = g.edges.filter(col("src") < col("dst")).select("src", "dst")
+        .withColumn("h", xxhash64(lit(7L), col("src"), col("dst")))
+      val held = all.orderBy(col("h").desc, col("src").asc).limit(5)
+        .select("src", "dst").localCheckpoint(true)
+      val base = g.edges.join(held, Seq("src", "dst"), "left_anti")
+        .join(held.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_anti")
+      val g1 = PropertyGraph(base, directed = false, Some(g.vertices))
+      val cands = g.vertices.orderBy("id").limit(24).select(col("id").as("source"))
+      val state0 = ShortestPaths.bfs(g1, cands)
+      val k = 5
+      val inc = DistanceTail.dynTopHarmonic(g, state0, held, k)
+        .select(col("rank"), col("id"), round(col("harmonic"), 6).as("h"))
+      val scratch = ShortestPaths.harmonicCloseness(ShortestPaths.bfs(g, cands))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("harmonic").desc, col("id").asc)
+      val scratchTop = scratch.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("rank"), col("id"), round(col("harmonic"), 6).as("h"))
+      val same = inc.except(scratchTop).isEmpty && scratchTop.except(inc).isEmpty
+      Seq((24L, k.toLong, if (same) 1L else 0L))
+        .toDF("n_candidates", "k", "topk_matches")
+    }),
+    // DynAPSP: all-pairs distances maintained under an edge-insertion
+    // batch — only affected sources recompute; gate = incremental state
+    // hash-equals a from-scratch APSP on the post-insertion graph
+    "x49_dynapsp" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      // hold out the 5 highest-(src,dst)-hash edges, insert them back
+      val all = g.edges.filter(col("src") < col("dst")).select("src", "dst")
+        .withColumn("h", xxhash64(lit(3L), col("src"), col("dst")))
+      val held = all.orderBy(col("h").desc, col("src").asc).limit(5)
+        .select("src", "dst").localCheckpoint(true)
+      val base = g.edges.join(held, Seq("src", "dst"), "left_anti")
+        .join(held.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_anti")
+      val g1 = PropertyGraph(base, directed = false, Some(g.vertices))
+      val sources = g.vertices.orderBy("id").limit(24).select(col("id").as("source"))
+      val state0 = DynAlgorithms.apspInit(g1, sources)
+      val inc = DynAlgorithms.apspInsert(g, state0, held)
+      val scratch = DynAlgorithms.apspInit(g, sources)
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("string"),
+          expr("cast(bit_xor(xxhash64(source, id, dist)) as string)"))
+          .head.toSeq.mkString(":")
+      val same = fp(inc) == fp(scratch)
+      Seq((24L, 5L, if (same) 1L else 0L))
+        .toDF("n_sources", "inserted_edges", "incremental_matches")
+    }),
+    // betweenness of one focus node from the counted APSP state
+    // (DynBetweennessOneNode): gate = equals the same formula evaluated
+    // over a from-scratch counted BFS, and is 0 for a degree-1 node
+    "x50_dynbet" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val sources = g.vertices.orderBy("id").limit(24).select(col("id").as("source"))
+      val state = Paths.bfsCounted(g, sources).localCheckpoint(true)
+      val x = g.degrees.join(sources.withColumnRenamed("source", "id"), Seq("id"), "left_semi")
+        .orderBy(col("degree").desc, col("id").asc).limit(1).head.getLong(0)
+      val bx = DynAlgorithms.betweennessOneNode(state, x)
+      val leaf = g.degrees.filter(col("degree") === 1)
+        .orderBy("id").limit(1).collect().headOption.map(_.getLong(0))
+      val leafZero = leaf.forall(l => DynAlgorithms.betweennessOneNode(state, l) == 0.0)
+      Seq((x, if (bx >= 0) 1L else 0L, if (leafZero) 1L else 0L))
+        .toDF("focus", "nonneg", "leaf_zero")
+    }),
+    // Grow-Shrink group-closeness local search: the swapped group's
+    // farness must never exceed the initial group's
+    "x51_growshrink" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val init = g.vertices.orderBy("id").limit(4).as[Long].collect().toSeq
+      val out = GroupCentrality.growShrink(g, init, maxRounds = 3).localCheckpoint(true)
+      def farness(members: Seq[Long]): Double =
+        GroupCentrality.groupBfs(g, members.map(m => (0L, m)).toDF("source", "id"))
+          .agg(sum("dist").cast("double")).head.getDouble(0)
+      val f0 = farness(init)
+      val f1 = farness(out.as[Long].collect().toSeq)
+      Seq((out.count(), if (f1 <= f0 + 1e-9) 1L else 0L))
+        .toDF("group_size", "farness_improved_or_equal")
+    }),
+    // pivot-sampled closeness: mean relative error vs exact closeness
+    // on 5 probe nodes must beat a degree-only null model's typical err
+    "x52_approxcloseness" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val approx = ShortestPaths.approxCloseness(g, nPivots = 24)
+      val probes = g.vertices.orderBy("id").limit(5)
+        .select(col("id").as("source"))
+      val exact = ShortestPaths.closeness(ShortestPaths.bfs(g, probes))
+      val err = approx.join(exact.withColumnRenamed("closeness", "ex"), "id")
+        .select(avg(abs(col("closeness") - col("ex")) / col("ex")).as("e"))
+        .head.getDouble(0)
+      Seq((5L, if (err < 0.5) 1L else 0L)).toDF("n_probes", "err_ok")
+    }),
     // electrical kernels: spanning-edge centrality (effective resistance
     // of sampled edges; 0 < r ≤ 1/w for an edge of weight w) + forest and
     // electrical closeness positivity for 3 candidate hubs
@@ -571,6 +772,70 @@ object ExtendedQueries {
     "x48_electrical" ->
       """SELECT 8::BIGINT AS n_pairs, 0::BIGINT AS res_violations,
         | 1::BIGINT AS forest_ok, 1::BIGINT AS electrical_ok""".stripMargin,
+    "x57_groupbet" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |low AS (SELECT id FROM nodes ORDER BY id LIMIT 64),
+         |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+         |SELECT (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1) AS hub,
+         |  1::BIGINT AS singleton_matches_onenode, 1::BIGINT AS monotone""".stripMargin,
+    "x58_dynbrandes" ->
+      """SELECT 24::BIGINT AS n_sources, 1::BIGINT AS incremental_matches""",
+    "x53_volume" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |starts AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
+         |reach(s, id, d) AS (
+         |  SELECT id, id, 0 FROM starts
+         |  UNION
+         |  SELECT r.s, e2.dst, r.d+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.d < 2),
+         |dd AS (SELECT s, id, min(d) AS d FROM reach GROUP BY s, id),
+         |balls AS (SELECT s, count(*) AS ball FROM dd GROUP BY s)
+         |SELECT 8::BIGINT AS n_starts, round(avg(ball), 6) AS avg_ball FROM balls""".stripMargin,
+    "x54_diameter" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+         |strt AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1),
+         |r1(id, dist) AS (
+         |  SELECT id, 0 FROM strt
+         |  UNION
+         |  SELECT e2.dst, r.dist+1 FROM r1 r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 30),
+         |d1 AS (SELECT id, min(dist) AS dist FROM r1 GROUP BY id),
+         |fnode AS (SELECT id FROM d1 ORDER BY dist DESC, id ASC LIMIT 1),
+         |r2(id, dist) AS (
+         |  SELECT id, 0 FROM fnode
+         |  UNION
+         |  SELECT e2.dst, r.dist+1 FROM r2 r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 30),
+         |d2 AS (SELECT id, min(dist) AS dist FROM r2 GROUP BY id),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 64),
+         |ra(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM ra r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 30),
+         |da AS (SELECT s, id, min(dist) AS dist FROM ra GROUP BY s, id)
+         |SELECT (SELECT max(dist) FROM d2)::BIGINT AS diameter_lb,
+         |  (SELECT max(dist) FROM da)::BIGINT AS ecc_max_64""".stripMargin,
+    "x55_dyndijkstra" ->
+      """SELECT 12::BIGINT AS n_sources, 1::BIGINT AS incremental_matches""",
+    "x56_dynharmonic" ->
+      """SELECT 24::BIGINT AS n_candidates, 5::BIGINT AS k,
+        | 1::BIGINT AS topk_matches""".stripMargin,
+    "x49_dynapsp" ->
+      """SELECT 24::BIGINT AS n_sources, 5::BIGINT AS inserted_edges,
+        | 1::BIGINT AS incremental_matches""".stripMargin,
+    "x50_dynbet" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |low AS (SELECT id FROM nodes ORDER BY id LIMIT 24),
+         |focus AS (SELECT l.id, count(*) AS d FROM low l JOIN sym ON sym.src = l.id
+         |          GROUP BY l.id ORDER BY d DESC, l.id ASC LIMIT 1)
+         |SELECT (SELECT id FROM focus) AS focus, 1::BIGINT AS nonneg,
+         |  1::BIGINT AS leaf_zero""".stripMargin,
+    "x51_growshrink" ->
+      """SELECT 4::BIGINT AS group_size, 1::BIGINT AS farness_improved_or_equal""",
+    "x52_approxcloseness" ->
+      """SELECT 5::BIGINT AS n_probes, 1::BIGINT AS err_ok""",
     "x46_kpath" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
