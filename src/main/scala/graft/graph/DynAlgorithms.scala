@@ -84,8 +84,14 @@ object DynAlgorithms {
     val gMinus = PropertyGraph(cut, directed = false,
       Some(g.vertices.join(gDf.withColumnRenamed("gid", "id"), Seq("id"), "left_anti")))
     val srcs = sources.join(gDf.withColumnRenamed("gid", "source"), Seq("source"), "left_anti")
+      .localCheckpoint(true)
+    // Restrict targets to the SAME source set: every surviving unordered
+    // (s,t) pair then appears in both orientations, making the /2 below
+    // exact and the pair population identical to betweennessOneNode's
+    // when both are driven from `sources`.
     val full = Paths.bfsCounted(g, srcs)
       .filter(!col("id").isin(group: _*))
+      .join(srcs.select(col("source").as("id")), Seq("id"), "left_semi")
       .select(col("source"), col("id"), col("dist"), col("sigma").cast("double").as("sig"))
     val avoid = Paths.bfsCounted(gMinus, srcs)
       .select(col("source"), col("id"), col("dist").as("dA"),

@@ -159,8 +159,10 @@ object Electrical {
   }
 
   /** Electrical (current-flow) closeness for the candidates (reference
-    * `ApproxElectricalCloseness.hpp:35`): with L⁺ the pseudoinverse,
-    * farness(v) = n·L⁺_vv + tr(L⁺); closeness = n / farness. Solves use
+    * `ApproxElectricalCloseness.hpp:35`, `ApproxElectricalCloseness.cpp:538`):
+    * with L⁺ the pseudoinverse, farness(v) = n·L⁺_vv + tr(L⁺) and
+    * closeness = (n−1) / farness — the reference normalizes by n−1, i.e.
+    * (n−1)/(n·diag + trace). Solves use
     * the centered rhs e_v − 1/n (⊥ 1, so CG stays in the solvable
     * subspace); probe vectors are centered the same way. `(id, closeness)`. */
   def electricalCloseness(g: PropertyGraph, candidates: Seq[Long], probes: Int = 4,
@@ -194,7 +196,7 @@ object Electrical {
     x.unpersist(false)
     diag.toSeq.map { case (v, d) =>
       val farness = n * d + traceEst
-      (v, if (farness <= 0) 0.0 else n / farness)
+      (v, if (farness <= 0) 0.0 else (n - 1.0) / farness)
     }.toDF("id", "closeness")
   }
 }

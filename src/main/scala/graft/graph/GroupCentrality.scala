@@ -282,9 +282,14 @@ object GroupCentrality {
     val spark = g.edges.sparkSession
     import spark.implicits._
     var group = init.distinct.sorted
+    // Nodes a swap disconnects from the group must not shrink farness:
+    // charge every unreached node a distance of nTotal (> any real
+    // distance), so disconnecting swaps are never accepted as improvements.
+    val nTotal = g.vertices.count()
     def farnessOf(members: Seq[Long]): Double = {
-      val seeds = members.map(m => (0L, m)).toDF("source", "id")
-      groupBfs(g, seeds).agg(sum("dist").cast("double")).head.getDouble(0)
+      val r = groupBfs(g, members.map(m => (0L, m)).toDF("source", "id"))
+        .agg(sum("dist").cast("double"), count(lit(1))).head
+      r.getDouble(0) + (nTotal - r.getLong(1)) * nTotal.toDouble
     }
     var curFarness = farnessOf(group)
     var round = 0
@@ -310,7 +315,9 @@ object GroupCentrality {
           (group.filterNot(_ == u) :+ v).map(m => (sid, m))
         }.toDF("source", "id")
         val farness = groupBfs(g, seeds)
-          .groupBy("source").agg(sum("dist").cast("double").as("f"))
+          .groupBy("source").agg(
+            (sum("dist").cast("double") +
+              (lit(nTotal) - count(lit(1))) * lit(nTotal.toDouble)).as("f"))
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         val best = swaps.map { case (sid, u, v) =>
           (sid, u, v, farness.getOrElse(sid, Double.MaxValue))

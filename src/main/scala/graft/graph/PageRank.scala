@@ -54,10 +54,13 @@ object PageRank {
       g.adjacency.select(col("dst").as("id")).distinct(),
       Seq("id"), "left_anti").isEmpty
 
-    // fused iteration: the previous rank rides along as a column, so the
-    // L1-convergence aggregate is the same job that materializes the
-    // round — one action per iteration (plus the sink-mass aggregate only
-    // when sinks exist)
+    // One shuffle job per iteration. The rank table is persisted each
+    // round and materialized by exactly one action: the L1-convergence
+    // aggregate when tol > 0 (the diff join reads `cur` from cache and
+    // fills `next`'s cache as a side effect), or a bare count when
+    // tol <= 0 — the fixed-iteration path never pays the prev-attach
+    // join at all (round 2 joined prev unconditionally, adding a
+    // rank-table shuffle per round: the g7 regression).
     var cur = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cur.count()
     var i = 0
@@ -77,12 +80,13 @@ object PageRank {
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
-        .join(cur.select(col("id"), col("rank").as("prev")), "id")
       val next =
         if ((i + 1) % 4 == 0) stepped.localCheckpoint(false)
         else stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (tol > 0) {
-        val diff = next.agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
+        val diff = next.select(col("id"), col("rank"))
+          .join(cur.select(col("id"), col("rank").as("prev")), "id")
+          .agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
         done = diff < tol
       } else next.count()
       cur.unpersist(blocking = false)

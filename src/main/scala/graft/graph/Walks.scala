@@ -80,14 +80,17 @@ object Walks {
     * `t = 2k²·n^(1-2α)·ln n` trials (α the precision/runtime tradeoff);
     * pass `trials = 0` to use that default. All trials advance together —
     * one adjacency join per step, self-avoidance via the walk's path
-    * array, next hop drawn by a min-xxhash64 lottery over the unvisited
-    * neighbors (uniform, reproducible under any partitioning).
-    * `(id, score)` for every node. */
+    * array, next hop drawn by a hash lottery over the unvisited
+    * neighbors — uniform on unweighted graphs, probability ∝ 1/weight on
+    * weighted ones (matching the reference's inverse-weight sampling,
+    * `KPathCentrality.cpp:73`), via an Efraimidis–Spirakis key
+    * −ln(u)·weight with hash-derived u (reproducible under any
+    * partitioning). `(id, score)` for every node. */
   def kPathCentrality(g: PropertyGraph, alpha: Double = 0.2, k: Int = 0,
       trials: Long = 0, seed: Long = 42): DataFrame = {
     val spark = g.edges.sparkSession
     val adj = g.adjacency.filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct().persist()
+      .groupBy("src", "dst").agg(min("weight").as("weight")).persist()
     val n = g.vertices.count()
     val m = adj.count() / 2
     val kk = if (k > 0) k else math.max(1, math.log((n + m).toDouble).toInt)
@@ -111,7 +114,12 @@ object Walks {
       val cand = frontier.filter(col("len") >= step)
         .join(adj, frontier("node") === adj("src"))
         .filter(!array_contains(col("path"), col("dst")))
-        .withColumn("lottery", xxhash64(lit(seed), col("trial"), lit(step), col("dst")))
+        // u ∈ (0,1] from the hash; key −ln(u)·weight picks dst with
+        // probability ∝ 1/weight (weight ≡ 1 → uniform)
+        .withColumn("u",
+          (pmod(xxhash64(lit(seed), col("trial"), lit(step), col("dst")),
+            lit(2147483647L)) + 1).cast("double") / 2147483648.0)
+        .withColumn("lottery", -log(col("u")) * col("weight"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("trial").orderBy(col("lottery").asc, col("dst").asc)
       val next = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)

@@ -776,8 +776,8 @@ object ExtendedQueries {
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
          |low AS (SELECT id FROM nodes ORDER BY id LIMIT 64),
-         |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
-         |SELECT (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1) AS hub,
+         |deg2 AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+         |SELECT (SELECT id FROM deg2 ORDER BY d DESC, id ASC LIMIT 1) AS hub,
          |  1::BIGINT AS singleton_matches_onenode, 1::BIGINT AS monotone""".stripMargin,
     "x58_dynbrandes" ->
       """SELECT 24::BIGINT AS n_sources, 1::BIGINT AS incremental_matches""",
@@ -795,8 +795,8 @@ object ExtendedQueries {
     "x54_diameter" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
-         |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
-         |strt AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1),
+         |deg2 AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+         |strt AS (SELECT id FROM deg2 ORDER BY d DESC, id ASC LIMIT 1),
          |r1(id, dist) AS (
          |  SELECT id, 0 FROM strt
          |  UNION
