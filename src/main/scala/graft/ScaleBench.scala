@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.graph._
+
+/** Scale-point benchmark (BASELINE.md §flat-cost claim): runs the
+  * baseline kernels on GENERATED RMAT graphs orders of magnitude larger
+  * than the reference's METIS fixtures, and reports per-iteration edge
+  * throughput. The reference fixtures top out at 242k edges, where
+  * Spark's per-stage scheduling floor dominates; this main produces the
+  * measurement that shows wall-clock growing sub-linearly in edges
+  * (constant stage cost amortizing) — the data behind the
+  * design-for-100TB argument.
+  *
+  * Usage: `runMain graft.ScaleBench [scale] [edgeFactor]` — RMAT with
+  * 2^scale nodes and 2^scale · edgeFactor directed edge draws
+  * (default scale=21, edgeFactor=16 → ~33M draws). Prints one JSON
+  * line with kernel seconds and edges-per-second-per-iteration.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val scale = if (args.length > 0) args(0).toInt else 21
+    val edgeFactor = if (args.length > 1) args(1).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).count() // warmup
+
+    val g0 = Generators.rmat(spark, scale, edgeFactor, seed = 7)
+    val edges = g0.edges.filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(lit(1.0).as("weight"))
+      .localCheckpoint(true)
+    val g = PropertyGraph(edges, directed = false, None)
+    val n = g.vertices.count()
+    val m = edges.count()
+
+    def timeIt(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      dt
+    }
+
+    val prIters = 10
+    val tPr = timeIt(PageRank.run(g, 0.85, tol = 0.0, maxIter = prIters).count())
+    val tCc = timeIt(ConnectedComponents.run(g).count())
+    val src = spark.range(1).select(lit(0L).as("source"))
+    val tBfs = timeIt(ShortestPaths.bfs(g, src).count())
+    val tDeg = timeIt(g.degrees.count())
+    val tCore = timeIt(GraphOps.coreDecomposition(g).count())
+    val tTri = timeIt { Triangles.triangleCount(g).count(); 1L }
+
+    // per-iteration edge throughput: symmetric edge traversals per second
+    val prEps = 2.0 * m * prIters / tPr
+    println(f"""{"bench":"scale","scale":$scale,"edge_factor":$edgeFactor,"n":$n,"m":$m,"spark":{"pagerank10":$tPr%.3f,"cc":$tCc%.3f,"bfs":$tBfs%.3f,"degree":$tDeg%.3f,"kcore":$tCore%.3f,"triangles":$tTri%.3f},"pagerank_edge_ops_per_sec":$prEps%.0f}""")
+    spark.stop()
+  }
+}

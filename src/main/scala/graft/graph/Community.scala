@@ -143,6 +143,68 @@ object Community {
       Some(lbl.select(col("community").as("id")).distinct()))
   }
 
+  /** Parallel agglomerative clusterer (reference
+    * `community/ParallelAgglomerativeClusterer.hpp:20`, .cpp:21-84):
+    * repeat { score every edge by the modularity gain of merging its
+    * endpoints, Δmod(u,v) = w(u,v)/W − wdeg(u)·wdeg(v)/(2W)²
+    * (`scoring/ModularityScoring.hpp:63`); compute a maximal matching on
+    * those scores; contract matched pairs } until the graph shrinks by
+    * less than `relThresh` or fewer than 2 supernodes remain. The
+    * coarsest supernodes are the communities, projected back through the
+    * contraction hierarchy. Deviation: the reference's sequential
+    * PathGrowingMatcher is replaced by [[Matching.suitor]] — both are
+    * 1/2-approximate maximum-weight matchings; only positive-gain edges
+    * are matchable (merging a negative-Δmod pair cannot help Q).
+    * Returns `(id, community)`. */
+  def agglomerative(g: PropertyGraph, maxLevels: Int = 24,
+      relThresh: Double = 5e-3): DataFrame = {
+    var cur = g
+    var labels = g.vertices.select(col("id"), col("id").as("community"))
+      .localCheckpoint(true)
+    var n = cur.vertices.count()
+    var repeat = n >= 2
+    var level = 0
+    while (repeat && level < maxLevels) {
+      val w = cur.edges.agg(coalesce(sum("weight"), lit(0.0))).head.getDouble(0)
+      if (w == 0.0) { repeat = false }
+      else {
+        val vol = cur.weightedDegrees
+        val scored = cur.edges.filter(col("src") =!= col("dst"))
+          .join(vol.select(col("id").as("src"), col("wdegree").as("du")), "src")
+          .join(vol.select(col("id").as("dst"), col("wdegree").as("dv")), "dst")
+          .select(col("src"), col("dst"),
+            (col("weight") / w -
+              (col("du") / (2.0 * w)) * (col("dv") / (2.0 * w))).as("weight"))
+          .filter(col("weight") > 0)
+        val matched = Matching.suitor(
+          PropertyGraph(scored, directed = false, Some(cur.vertices.select("id"))))
+        // matched pairs (u < v) contract to u; everyone else stays singleton
+        val pairMap = matched.select(col("u").as("id"), col("u").as("community"))
+          .unionAll(matched.select(col("v").as("id"), col("u").as("community")))
+        val part = cur.vertices.select("id")
+          .join(pairMap, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("community"), col("id")).as("community"))
+          .localCheckpoint(true)
+        val coarse = coarsen(cur, part)
+        val cn = coarse.vertices.count()
+        repeat = cn < n && cn >= 2 && (n - cn).toDouble / n > relThresh
+        if (repeat) {
+          labels = labels
+            .join(part.select(col("id").as("community"), col("community").as("c2")),
+              Seq("community"))
+            .select(col("id"), col("c2").as("community"))
+            .localCheckpoint(true)
+          cur = PropertyGraph(coarse.edges.localCheckpoint(true), directed = false,
+            Some(coarse.vertices.localCheckpoint(true)))
+          n = cn
+        }
+      }
+      level += 1
+    }
+    labels
+  }
+
   /** Louvain local-moving pass (reference `PLM.hpp:19` gain formula):
     * each round a node picks the community with max
     * ΔQ = w(u→C)/m − γ·(tot_C·k_u)/(2m²), ties → smaller community id.

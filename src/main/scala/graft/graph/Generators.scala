@@ -251,19 +251,86 @@ object Generators {
     * `generators/HyperbolicGenerator.hpp:24`, Krioukov et al.): node i
     * gets polar coordinates (rᵢ, θᵢ) — θ uniform, r from the
     * quasi-uniform hyperbolic radial CDF with dispersion α = (γ−1)/2 —
-    * and i~j iff their hyperbolic distance ≤ R. Pairwise evaluation
-    * scans n²/2 candidate pairs (fine to ~10⁵ nodes; the reference's
-    * quadtree prunes the same predicate — band-partitioned pruning is
-    * the scale path, documented deviation). Power-law degrees with
-    * exponent γ emerge from the geometry. */
+    * and i~j iff their hyperbolic distance ≤ R. Power-law degrees with
+    * exponent γ emerge from the geometry.
+    *
+    * Scale path (the quadtree-equivalent of the reference's
+    * `generators/quadtree/`, in the band formulation of von Looz et
+    * al.): radius split into `nBands` annuli; for each ordered band
+    * pair the loosest angular window Δθmax is computed from the inner
+    * radii (the hyperbolic cosine law is monotone in both radii, so no
+    * connecting pair escapes it); each node explodes into only the
+    * angular buckets its window covers and candidates meet in an
+    * equi-join on (band-pair, bucket). Work is O(candidates), never
+    * n²/2 — the same predicate the quadtree prunes. Output is
+    * bit-identical to [[hyperbolicPairwise]] (same coordinates, same
+    * predicate). */
   def hyperbolic(spark: SparkSession, n: Long, radius: Double,
-      gamma: Double = 3.0, seed: Long = 42): PropertyGraph = {
+      gamma: Double = 3.0, seed: Long = 42, nBands: Int = 16): PropertyGraph = {
+    val coshR = math.cosh(radius)
+    val nodes = hyperbolicCoords(spark, n, radius, gamma, seed)
+    val bandW = radius / nBands
+    val withBand = nodes.withColumn("band",
+      least(lit(nBands - 1), floor(col("r") / bandW)).cast("int"))
+    // driver-side band-pair windows from the inner radii (loosest bound);
+    // f >= 1 → no pair across these bands can connect → pruned entirely
+    val bandPairs = for {
+      bu <- 0 until nBands; bv <- 0 to bu
+      r1 = math.max(bu * bandW, 1e-12); r2 = math.max(bv * bandW, 1e-12)
+      f = (math.cosh(r1) * math.cosh(r2) - coshR) / (math.sinh(r1) * math.sinh(r2))
+      dmax = if (f <= -1.0) math.Pi else if (f >= 1.0) 0.0 else math.acos(f)
+      if dmax > 0.0
+    } yield {
+      val nb = math.min(4096, math.max(1, math.ceil(2 * math.Pi / dmax).toInt))
+      (bu, bv, dmax, 2 * math.Pi / nb, nb.toLong)
+    }
+    import spark.implicits._
+    val pairDf = bandPairs.toDF("bu", "bv", "dmax", "w", "nb")
+    val uSide = withBand.select(col("id").as("u"), col("theta").as("tu"),
+        col("r").as("ru"), col("band").as("bu"))
+      .join(pairDf, "bu")
+      .select(col("u"), col("tu"), col("ru"), col("bu"), col("bv"), col("nb"),
+        explode(sequence(
+          floor((col("tu") - col("dmax")) / col("w")).cast("long"),
+          floor((col("tu") + col("dmax")) / col("w")).cast("long"))).as("k"))
+      .select(col("u"), col("tu"), col("ru"), col("bu"), col("bv"),
+        pmod(col("k"), col("nb")).as("bucket"))
+    val vSide = withBand.select(col("id").as("v"), col("theta").as("tv"),
+        col("r").as("rv"), col("band").as("bv"))
+      .join(pairDf, "bv")
+      .select(col("v"), col("tv"), col("rv"), col("bu"), col("bv"),
+        floor(col("tv") / col("w")).cast("long").as("bucket"))
+    val edges = uSide.join(vSide, Seq("bu", "bv", "bucket"))
+      .filter(col("u") =!= col("v"))
+      .withColumn("dTheta", abs(col("tu") - col("tv")))
+      .withColumn("dTheta",
+        when(col("dTheta") > math.Pi, lit(2 * math.Pi) - col("dTheta"))
+          .otherwise(col("dTheta")))
+      .filter(cosh(col("ru")) * cosh(col("rv")) -
+        sinh(col("ru")) * sinh(col("rv")) * cos(col("dTheta")) <= coshR)
+      .select(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst"))
+      .distinct()
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+    PropertyGraph(edges, directed = false,
+      Some(spark.range(n).select(col("id"))))
+  }
+
+  private def hyperbolicCoords(spark: SparkSession, n: Long, radius: Double,
+      gamma: Double, seed: Long): DataFrame = {
     val alpha = (gamma - 1.0) / 2.0
     val coshAR = math.cosh(alpha * radius)
-    val nodes = spark.range(n)
+    spark.range(n)
       .withColumn("theta", u01(seed, col("id")) * (2 * math.Pi))
       .withColumn("r",
         acosh(lit(1.0) + u01(seed + 1, col("id")) * (coshAR - 1.0)) / alpha)
+  }
+
+  /** Reference kernel for [[hyperbolic]]: the same predicate over all
+    * n²/2 pairs. Spec cross-check surface only — quadratic. */
+  private[graft] def hyperbolicPairwise(spark: SparkSession, n: Long, radius: Double,
+      gamma: Double = 3.0, seed: Long = 42): PropertyGraph = {
+    val nodes = hyperbolicCoords(spark, n, radius, gamma, seed)
     val a = nodes.select(col("id").as("u"), col("theta").as("tu"), col("r").as("ru"))
     val b = nodes.select(col("id").as("v"), col("theta").as("tv"), col("r").as("rv"))
     val edges = a.join(b, col("u") < col("v"))

@@ -86,6 +86,18 @@ object Walks {
     * `KPathCentrality.cpp:73`), via an Efraimidis–Spirakis key
     * −ln(u)·weight with hash-derived u (reproducible under any
     * partitioning). `(id, score)` for every node. */
+  /** The reference's sampling budget (`KPathCentrality.cpp:34-100`):
+    * walk length k = ln(n+m) unless forced, trial count
+    * t = 2k²·n^(1−2α)·ln n unless forced. Exposed so the x46 oracle can
+    * re-derive the budget independently. */
+  def kPathBudget(n: Long, m: Long, alpha: Double = 0.2, k: Int = 0,
+      trials: Long = 0): (Int, Long) = {
+    val kk = if (k > 0) k else math.max(1, math.log((n + m).toDouble).toInt)
+    val t = if (trials > 0) trials
+      else (2.0 * kk * kk * math.pow(n.toDouble, 1 - 2 * alpha) * math.log(n.toDouble)).toLong.max(1)
+    (kk, t)
+  }
+
   def kPathCentrality(g: PropertyGraph, alpha: Double = 0.2, k: Int = 0,
       trials: Long = 0, seed: Long = 42): DataFrame = {
     val spark = g.edges.sparkSession
@@ -93,9 +105,7 @@ object Walks {
       .groupBy("src", "dst").agg(min("weight").as("weight")).persist()
     val n = g.vertices.count()
     val m = adj.count() / 2
-    val kk = if (k > 0) k else math.max(1, math.log((n + m).toDouble).toInt)
-    val t = if (trials > 0) trials
-      else (2.0 * kk * kk * math.pow(n.toDouble, 1 - 2 * alpha) * math.log(n.toDouble)).toLong.max(1)
+    val (kk, t) = kPathBudget(n, m, alpha, k, trials)
     // trial i starts at a hash-uniform node with hashed length ∈ [1, k];
     // nodes are ranked 0..n-1 so every trial matches exactly one start
     val starts = g.vertices.select(col("id"),

@@ -265,6 +265,29 @@ object CommunityQueries {
       s.range(1).select(round(lit(gs), 6).as("gs_rand"),
         lit(if (ok) 1L else 0L).as("coarse_ok"))
     }),
+    // parallel agglomerative clusterer: matching-based coarsening
+    // agglomeration (ModularityScoring + suitor matching + contraction).
+    // Gates: every node labeled once; Q beats both the random baseline
+    // and the singleton baseline (every accepted merge has Δmod > 0, so
+    // monotone improvement over singletons is what the algorithm
+    // guarantees — Q ≥ 0 is NOT guaranteed on structureless graphs);
+    // the clustering is a real coarsening
+    "c21_agglomerative" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = Community.agglomerative(g).localCheckpoint(true)
+      val q = Community.modularity(g, p)
+      val qRand = Community.modularity(g,
+        g.vertices.select(col("id"), (col("id") % 8).as("community")))
+      val qSingleton = Community.modularity(g,
+        g.vertices.select(col("id"), col("id").as("community")))
+      val nNodes = g.vertices.count()
+      val nComms = p.select("community").distinct().count()
+      p.agg(count(lit(1)).as("n_labeled"),
+          countDistinct(col("id")).as("distinct_ids"))
+        .select(col("n_labeled"), col("distinct_ids"),
+          lit(if (q >= qSingleton - 1e-9 && q >= qRand - 1e-9) 1L else 0L).as("q_ok"),
+          lit(if (nComms < nNodes && nComms >= 2) 1L else 0L).as("coarsened_ok"))
+    }),
     // SCD expander tail: LocalTightnessExpansion (structural-similarity
     // tightness), LocalT (triad score), TwoPhaseL (add-then-prune L) —
     // seed containment, growth and conductance-validity gates pinned
@@ -405,6 +428,11 @@ object CommunityQueries {
          |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
          |  1::BIGINT AS q_ok, 0::BIGINT AS disconnected_communities
          |FROM nodes""".stripMargin,
+    "c21_agglomerative" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
+         |  1::BIGINT AS q_ok, 1::BIGINT AS coarsened_ok FROM nodes""".stripMargin,
     // exact pair-counting + information-theoretic similarity of the two
     // deterministic mod-partitions — fully re-derivable in SQL
     "c10_nmi" ->

@@ -84,41 +84,60 @@ object EventStreams {
   /** Incremental connected components over a stream of edge additions
     * (reference `components/DynConnectedComponents.hpp:31`,
     * `base/DynAlgorithm.hpp:10-28`): per micro-batch, the new edges are
-    * union-found into the carried component labels instead of
-    * recomputing from scratch — additions only merge components, so the
-    * state update is the path-compressed merge of each batch's edges
-    * into the running label map, O(batch) work per batch.
+    * merged into the carried component labels instead of recomputing
+    * from scratch — additions only merge components.
     *
-    * State lives in `flatMapGroupsWithState` keyed by a label-space
-    * shard; for the reference's single-machine semantics a single shard
-    * carries the union-find (documented size bound O(n), the same bound
-    * the reference's in-memory structure has). Emits
+    * The state is a DISTRIBUTED `(id, comp)` table (comp = min node id
+    * of the component), localCheckpointed per batch; the driver holds
+    * only the DataFrame handle and per-batch scalar counts. Each batch:
+    * relabel the new edges' endpoints through the current roots (one
+    * join against batch-sized data), contract the ≤ batch-sized
+    * root-graph with [[graft.graph.ConnectedComponents.run]]'s
+    * large/small-star rounds, and fold the resulting root→root map back
+    * into the label table (a broadcast-sized join — the big table never
+    * shuffles). O(batch · log batch) distributed work per batch, no
+    * O(n) driver structure, no per-batch collect. Emits
     * `(batch_id, n_nodes, n_components)` after each batch. */
   def incrementalCC(events: DataFrame, stateDir: String)(
       onResult: (Long, Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-      r
-    }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
+    var comp: Option[DataFrame] = None // (id, comp) — distributed state
     events.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val edges = batch.toDF().select(col("src"), col("dst"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
-        edges.foreach { case (u, v) =>
-          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
-          union(u, v)
+        import graft.graph.{ConnectedComponents, PropertyGraph}
+        val raw = batch.toDF().select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        val e = raw.filter(col("src") =!= col("dst")).distinct()
+        // batch endpoints not yet labeled start as their own root
+        // (self-loop-only nodes included, matching union-find semantics)
+        val ends = raw.select(col("src").as("id"))
+          .unionAll(raw.select(col("dst").as("id"))).distinct()
+        val newNodes = comp match {
+          case Some(c) => ends.join(c, Seq("id"), "left_anti")
+          case None => ends
         }
-        val roots = parent.keys.map(find).toSet
-        onResult(id, parent.size.toLong, roots.size.toLong)
+        val base = comp match {
+          case Some(c) => c.unionAll(newNodes.select(col("id"), col("id").as("comp")))
+          case None => newNodes.select(col("id"), col("id").as("comp"))
+        }
+        // relabel the batch edges to current roots; contract the root graph
+        val lbl = base.select(col("id"), col("comp"))
+        val rootEdges = e
+          .join(lbl.select(col("id").as("src"), col("comp").as("ru")), Seq("src"))
+          .join(lbl.select(col("id").as("dst"), col("comp").as("rv")), Seq("dst"))
+          .select(col("ru").as("src"), col("rv").as("dst"), lit(1.0).as("weight"))
+          .filter(col("src") =!= col("dst"))
+        val updated = (if (rootEdges.isEmpty) base
+          else {
+            val rootMap = ConnectedComponents.run(PropertyGraph(rootEdges, directed = false))
+              .select(col("id").as("comp"), col("component").as("newComp"))
+            base.join(rootMap, Seq("comp"), "left")
+              .select(col("id"), coalesce(col("newComp"), col("comp")).as("comp"))
+          }).localCheckpoint(true)
+        comp.foreach(_.unpersist(blocking = false))
+        comp = Some(updated)
+        val stats = updated.agg(count(lit(1)), countDistinct("comp")).head
+        onResult(id, stats.getLong(0), stats.getLong(1))
       }
       .option("checkpointLocation", s"$stateDir/chk")
       .start()

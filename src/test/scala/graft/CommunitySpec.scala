@@ -67,4 +67,17 @@ class CommunitySpec extends SparkSpec {
     assert(ids.toSeq == ids.indices.map(_.toLong))
     assert(math.abs(Community.randIndex(part, cp) - 1.0) < 1e-12)
   }
+
+  test("agglomerative: valid partition on karate, Q within 0.15 of louvain") {
+    val p = Community.agglomerative(karate)
+    val n = karate.vertices.count()
+    assert(p.count() == n)
+    assert(p.select("id").distinct().count() == n)
+    val k = p.select("community").distinct().count()
+    assert(k >= 2 && k < n, s"$k communities")
+    val q = Community.modularity(karate, p)
+    val qLouvain = Community.modularity(karate, Community.louvain(karate))
+    assert(q > 0.2, s"agglomerative Q=$q")
+    assert(q >= qLouvain - 0.15, s"agglomerative Q=$q vs louvain Q=$qLouvain")
+  }
 }

@@ -117,6 +117,27 @@ class Extended2Spec extends SparkSpec {
       s"hyperbolic geometry should give hubs: max ${r.getLong(0)} avg ${r.getDouble(1)}")
   }
 
+  test("hyperbolic banded scale path == pairwise predicate, edge-exact") {
+    val banded = Generators.hyperbolic(spark, 1500, radius = 7.0, gamma = 2.7, seed = 11)
+    val pair = Generators.hyperbolicPairwise(spark, 1500, radius = 7.0, gamma = 2.7, seed = 11)
+    val b = banded.edges.select("src", "dst")
+    val p = pair.edges.select("src", "dst")
+    assert(b.count() == p.count(), s"banded ${b.count()} vs pairwise ${p.count()}")
+    assert(b.except(p).isEmpty && p.except(b).isEmpty)
+  }
+
+  test("hyperbolic at n=2e5: linear-candidate path runs, hubs present") {
+    val g = Generators.hyperbolic(spark, 200000, radius = 14.0, gamma = 2.9, seed = 3)
+    val m = g.edges.count()
+    assert(m > 100000, s"too sparse: $m")
+    val deg = g.edges.select(col("src").as("id"))
+      .unionAll(g.edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val r = deg.agg(max("d"), avg("d")).head
+    assert(r.getLong(0) >= 10 * r.getDouble(1),
+      s"expected heavy tail: max ${r.getLong(0)} avg ${r.getDouble(1)}")
+  }
+
   test("configuration model: realizes a degree sequence up to erased stubs, deterministic") {
     import spark.implicits._
     val degs = (0L until 60L).map(i => (i, 2L + i % 4)).toDF("id", "deg")

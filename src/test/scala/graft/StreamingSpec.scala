@@ -87,6 +87,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental CC: 1e5-edge replay, distributed state, known components") {
+    // 100k nodes in 1000-node blocks: edge (i, i+1) unless i+1 is a block
+    // boundary → exactly 100 components; replayed in 4 micro-batches the
+    // distributed label table must converge to the same counts
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val edges = (0L until 100000L).filter(i => (i + 1) % 1000 != 0).map(i => (i, i + 1))
+    val src = MemoryStream[(Long, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-dyncc-big").toString
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = EventStreams.incrementalCC(
+      src.toDF().toDF("src", "dst"), dir) { (b, n, c) =>
+      results.synchronized { results += ((b, n, c)) }
+    }
+    try {
+      edges.grouped(edges.size / 4 + 1).foreach { chunk =>
+        src.addData(chunk)
+        q.processAllAvailable()
+      }
+      val fin = results.synchronized(results.maxBy(_._1))
+      assert(fin._2 == 100000L, s"${fin._2} nodes tracked")
+      assert(fin._3 == 100L, s"${fin._3} components")
+      assert(results.size >= 4)
+    } finally q.stop()
+  }
+
   test("sliding windows emit more buckets than tumbling") {
     val stream = EventStreams.readEvents(spark, sf001)
     val q = EventStreams.slidingCounts(stream)
