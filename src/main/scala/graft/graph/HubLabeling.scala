@@ -27,6 +27,26 @@ object HubLabeling {
       .select(col("source").as("hub"), col("id"), col("dist"))
   }
 
+  /** Label table from an EXPLICIT hub set `(source)` — the building
+    * block the dynamic variant needs (hub set must stay fixed across
+    * graph versions). */
+  def buildFrom(g: PropertyGraph, hubs: DataFrame): DataFrame =
+    ShortestPaths.bfs(g, hubs)
+      .select(col("source").as("hub"), col("id"), col("dist"))
+
+  /** DynPrunedLandmarkLabeling (reference
+    * `distance/DynPrunedLandmarkLabeling.hpp:18`, D'Angelo et al., ACM
+    * JEA 2019): update the label table after an edge-insertion batch
+    * instead of rebuilding. Labels are per-hub BFS states, so the
+    * affected-region relaxation of [[ShortestPaths.updateBfsInsert]]
+    * applies verbatim — only hubs whose shortest-path tree the new
+    * edges can shorten are touched. Result equals a rebuild from the
+    * same hubs on the post-insertion graph. */
+  def insert(g2: PropertyGraph, labels: DataFrame, newEdges: DataFrame): DataFrame =
+    ShortestPaths.updateBfsInsert(g2,
+      labels.select(col("hub").as("source"), col("id"), col("dist")), newEdges)
+      .select(col("source").as("hub"), col("id"), col("dist"))
+
   /** Distances for query pairs `(u, v)` via the labels:
     * `(u, v, dist)` where dist = min over hubs of d(h,u)+d(h,v);
     * pairs with no common hub are absent (different components or

@@ -120,4 +120,83 @@ object Matching {
     }
     matched
   }
+
+  /** Path-growing matching (reference `matching/PathGrowingMatcher.cpp`,
+    * Drake–Hougardy): grow a path from a live min-degree node by always
+    * following the heaviest live incident edge, alternately assigning
+    * path edges to two matchings M1/M2, killing each visited node; the
+    * heavier of M1/M2 is returned — a 1/2-approximation of maximum
+    * weight matching.
+    *
+    * Spark framing: the path order is inherently sequential (each step
+    * depends on which nodes the previous step killed), so like the
+    * reference — whose graph lives in one address space — this runs
+    * driver-side on the collected deduplicated edge list, size-bounded
+    * like [[graft.graph.Biconnected]]. [[suitor]] is the distributed
+    * 1/2-approximation for graphs beyond driver memory.
+    *
+    * Deterministic: start node = (min degree, min id); heaviest edge
+    * tie-break = smaller neighbor id. Returns `(u, v, weight)`, u < v. */
+  def pathGrowing(g: PropertyGraph): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val es = g.adjacency
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("weight"))
+      .groupBy("u", "v").agg(max("weight").as("weight"))
+      .as[(Long, Long, Double)].collect()
+
+    val adj = scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+    es.foreach { case (u, v, w) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer()) += ((v, w))
+      adj.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer()) += ((u, w))
+    }
+    val degree = scala.collection.mutable.HashMap[Long, Int]()
+    adj.foreach { case (id, nbrs) => degree(id) = nbrs.size }
+    val alive = scala.collection.mutable.HashSet[Long]() ++ adj.keys
+    // min-degree extraction via sorted candidate queue with lazy degree
+    // re-check (degrees only decrease; stale entries are skipped)
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Long)](
+      Ordering.Tuple2(Ordering.Int.reverse, Ordering.Long.reverse))
+    adj.keys.foreach(id => pq.enqueue((degree(id), id)))
+    val m1 = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val m2 = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    var takeM1 = true
+
+    def kill(v: Long): Unit = {
+      alive.remove(v)
+      adj(v).foreach { case (u, _) =>
+        if (alive.contains(u)) {
+          degree(u) -= 1
+          if (degree(u) > 0) pq.enqueue((degree(u), u))
+        }
+      }
+    }
+
+    while (pq.nonEmpty) {
+      val (d0, start) = pq.dequeue()
+      if (alive.contains(start) && degree(start) == d0 && d0 > 0) {
+        var v = start
+        while (alive.contains(v) && degree(v) > 0) {
+          var bestN = -1L
+          var bestW = Double.NegativeInfinity
+          adj(v).foreach { case (u, w) =>
+            if (alive.contains(u) && (w > bestW || (w == bestW && (bestN < 0 || u < bestN)))) {
+              bestN = u; bestW = w
+            }
+          }
+          val e = (math.min(v, bestN), math.max(v, bestN), bestW)
+          if (takeM1) m1 += e else m2 += e
+          takeM1 = !takeM1
+          kill(v)
+          v = bestN
+        }
+        if (alive.contains(v)) kill(v) // path end: degree 0, retire it
+      }
+    }
+    val pick = if (m1.map(_._3).sum >= m2.map(_._3).sum) m1 else m2
+    pick.toSeq.toDF("u", "v", "weight")
+  }
 }

@@ -106,6 +106,76 @@ object ShortestPaths {
       .groupBy(col("source").as("id"))
       .agg((count(lit(1)).cast("double") / sum("dist")).as("closeness"))
 
+  /** Top-k closeness with NB-cut-style pruning (reference
+    * `centrality/TopCloseness.hpp:22`, Bergamini et al.): sources are
+    * processed in degree-descending batches; each batch runs one
+    * level-synchronous keyed BFS, and after every level a source whose
+    * closeness UPPER BOUND falls below the current k-th best exact
+    * value is cut — its BFS never finishes. The bound: for
+    * component-aware closeness (r−1)/S, any future reach f ≥ r at
+    * distance ≥ l+1 satisfies (f−1)/S_f ≤ (r−1)/S (the bound is
+    * decreasing in f because S ≤ (r−1)·l), so the partial value itself
+    * is the NB-cut. High-degree sources go first, so the k-th best
+    * tightens after the first batch and later batches cut within a few
+    * levels — k BFS-equivalents instead of n, the reference's point.
+    * Driver holds only the running top-k. `(id, closeness)`, k rows,
+    * ties broken by id. */
+  def topCloseness(g: PropertyGraph, k: Int, batchSize: Int = 512,
+      maxIter: Int = 200): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val adj = g.adjacency.select("src", "dst")
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val ordered = g.degrees.orderBy(desc("degree"), asc("id"))
+      .select("id").as[Long].collect() // ids only — O(n) driver, same as ranking
+    val top = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def kthBest: Double =
+      if (top.size < k) -1.0
+      else top.sortBy { case (id, c) => (-c, id) }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))(k - 1)._2
+    for (batch <- ordered.grouped(batchSize)) {
+      var dist = batch.toSeq.toDF("source")
+        .select(col("source"), col("source").as("id"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var frontier = dist
+      var i = 0
+      var n = frontier.count()
+      while (n > 0 && i < maxIter) {
+        val cand = frontier.join(adj, frontier("id") === adj("src"))
+          .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+          .groupBy("source", "id").agg(min("dist").as("dist"))
+        var next = cand.join(dist, Seq("source", "id"), "left_anti").localCheckpoint(true)
+        dist = dist.unionAll(next).localCheckpoint(true)
+        val cut = kthBest
+        if (cut > 0) {
+          // NB-cut: drop sources whose partial (r−1)/S already < kth best
+          val live = dist.groupBy("source")
+            .agg(((count(lit(1)) - 1).cast("double") /
+              sum("dist").cast("double")).as("ub"))
+            .filter(col("ub") >= cut)
+            .select("source").localCheckpoint(true)
+          next = next.join(live, Seq("source"), "left_semi").localCheckpoint(true)
+        }
+        frontier = next
+        n = frontier.count()
+        i += 1
+      }
+      // closeness over the batch table: finished sources are exact; a CUT
+      // source's value is its frozen partial — an upper bound that was
+      // already below the k-th best when cut, so it can never (wrongly)
+      // enter the top-k below
+      val finished = closeness(dist)
+      val batchTop = finished.orderBy(desc("closeness"), asc("id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      top ++= batchTop
+      val pruned = top.sortBy { case (id, c) => (-c, id) }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)).take(k)
+      top.clear(); top ++= pruned
+    }
+    adj.unpersist(false)
+    top.sortBy { case (id, c) => (-c, id) }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      .take(k).toSeq.toDF("id", "closeness")
+  }
+
   /** Pivot-sampled closeness for ALL nodes (reference
     * `centrality/ApproxCloseness.hpp:30`, Cohen et al. — the uniform
     * pivot estimator; the reference's per-pivot variance splitting is

@@ -133,6 +133,27 @@ object ExtendedQueries {
         col("n_nodes"), lit(overCap).as("over_capacity"),
         lit(nonEdge).as("non_edge_pairs"), lit(dups).as("duplicate_pairs"))
     }),
+    // path-growing matching (Drake–Hougardy 1/2-approx): validity (node
+    // in ≤1 pair, pairs are real edges) plus the cross-bound against
+    // suitor — both are 1/2-approximations of max-weight matching, so
+    // their weights are within a factor 2 of each other
+    "x62_pathgrow" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val m = Matching.pathGrowing(g).localCheckpoint(true)
+      val adj = g.adjacency.select("src", "dst").filter(col("src") =!= col("dst"))
+      val reused = m.select(col("u").as("id")).unionAll(m.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      val nonEdge = m.select(col("u").as("src"), col("v").as("dst"))
+        .join(adj, Seq("src", "dst"), "left_anti").count()
+      val wPg = m.agg(coalesce(sum("weight"), lit(0.0))).head.getDouble(0)
+      val wSu = Matching.suitor(g).agg(coalesce(sum("weight"), lit(0.0))).head.getDouble(0)
+      val halfOk = wPg >= wSu / 2 && wPg <= wSu * 2
+      g.vertices.agg(count(lit(1)).as("n_nodes")).select(
+        col("n_nodes"), lit(reused).as("reused_nodes"),
+        lit(nonEdge).as("non_edge_pairs"),
+        lit(if (m.count() > 0) 1L else 0L).as("non_empty"),
+        lit(if (halfOk) 1L else 0L).as("half_approx_vs_suitor"))
+    }),
     // Luby MIS: independence (no internal edges) + maximality (every
     // non-member has a member neighbor), emitted as violation counts
     "x7_mis" -> ((s, dir) => {
@@ -348,6 +369,38 @@ object ExtendedQueries {
         .select(col("a.id").as("u"), col("b.id").as("v"))
       HubLabeling.query(labels, pairs)
     }),
+    // dynamic hub labels: build on the graph minus 5 held-out edges,
+    // fold the insertions in incrementally, query — the oracle
+    // re-derives the full-graph label distances from scratch, so a
+    // broken incremental update cannot pass
+    "x60_dynhublabel" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val all = g.edges.filter(col("src") < col("dst")).select("src", "dst")
+        .withColumn("h", xxhash64(lit(11L), col("src"), col("dst")))
+      val held = all.orderBy(col("h").desc, col("src").asc).limit(5)
+        .select("src", "dst").localCheckpoint(true)
+      val base = g.edges.join(held, Seq("src", "dst"), "left_anti")
+        .join(held.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_anti")
+      val g1 = PropertyGraph(base, directed = false, Some(g.vertices))
+      // hub set fixed on the FULL graph's degrees (same hubs the oracle picks)
+      val hubs = g.degrees.orderBy(desc("degree"), asc("id")).limit(5)
+        .select(col("id").as("source")).localCheckpoint(true)
+      val labels0 = HubLabeling.buildFrom(g1, hubs)
+      val inc = HubLabeling.insert(g, labels0, held)
+      val ids = g.vertices.orderBy("id").limit(10)
+      val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("u"), col("b.id").as("v"))
+      HubLabeling.query(inc, pairs)
+    }),
+    // top-5 closeness via the NB-cut pruned batch BFS — the oracle
+    // re-derives every node's exact closeness from scratch, so a wrong
+    // cut (a pruned source that belonged in the top-k) cannot pass
+    "x61_topcloseness" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      ShortestPaths.topCloseness(g, 5, batchSize = 256)
+        .select(col("id"), round(col("closeness"), 6).as("closeness"))
+    }),
     // eccentricity of 5 sources (recursive-CTE oracle)
     "x14_ecc" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -527,8 +580,13 @@ object ExtendedQueries {
         df.agg(count(lit(1)).cast("string"),
           expr("cast(bit_xor(xxhash64(source, id, dist, cast(sigma as string))) as string)"))
           .head.toSeq.mkString(":")
-      Seq((24L, if (fp(inc) == fp(scratch)) 1L else 0L))
-        .toDF("n_sources", "incremental_matches")
+      // the oracle re-derives rows/dist-sum/σ-mod-sum of the state from
+      // scratch (layered σ DP, exact decimal arithmetic both sides)
+      val st = inc.agg(count(lit(1)), coalesce(sum("dist"), lit(0L)),
+        coalesce(sum((col("sigma") % lit(997)).cast("long")), lit(0L))).head
+      Seq((24L, if (fp(inc) == fp(scratch)) 1L else 0L,
+          st.getLong(0), st.getLong(1), st.getLong(2)))
+        .toDF("n_sources", "incremental_matches", "state_rows", "dist_sum", "sigma_mod_sum")
     }),
     // r-ball volume (Mocnik): average |B_2(v)| over the 8 smallest-id
     // starts — exact SQL recursive-CTE oracle
@@ -578,8 +636,11 @@ object ExtendedQueries {
         df.agg(count(lit(1)).cast("string"),
           expr("cast(bit_xor(xxhash64(source, id, cast(round(dist, 6) as string))) as string)"))
           .head.toSeq.mkString(":")
-      Seq((12L, if (fp(inc) == fp(scratch)) 1L else 0L))
-        .toDF("n_sources", "incremental_matches")
+      // reachability (hop-bounded) is weight-independent → the oracle
+      // re-derives the incremental state's row count from scratch
+      val rows = inc.count()
+      Seq((12L, if (fp(inc) == fp(scratch)) 1L else 0L, rows))
+        .toDF("n_sources", "incremental_matches", "state_rows")
     }),
     // DynTopHarmonicCloseness: top-k harmonic maintained through an
     // insertion batch — gate: equals the top-k recomputed from scratch
@@ -607,8 +668,11 @@ object ExtendedQueries {
         .filter(col("rank") <= k)
         .select(col("rank"), col("id"), round(col("harmonic"), 6).as("h"))
       val same = inc.except(scratchTop).isEmpty && scratchTop.except(inc).isEmpty
-      Seq((24L, k.toLong, if (same) 1L else 0L))
-        .toDF("n_candidates", "k", "topk_matches")
+      // the oracle re-derives the top-k rows themselves from scratch, so a
+      // broken incremental update fails on values, not just the self-gate
+      inc.withColumn("n_candidates", lit(24L)).withColumn("k", lit(k.toLong))
+        .withColumn("topk_matches", lit(if (same) 1L else 0L))
+        .select("n_candidates", "k", "topk_matches", "rank", "id", "h")
     }),
     // DynAPSP: all-pairs distances maintained under an edge-insertion
     // batch — only affected sources recompute; gate = incremental state
@@ -635,8 +699,12 @@ object ExtendedQueries {
           expr("cast(bit_xor(xxhash64(source, id, dist)) as string)"))
           .head.toSeq.mkString(":")
       val same = fp(inc) == fp(scratch)
-      Seq((24L, 5L, if (same) 1L else 0L))
-        .toDF("n_sources", "inserted_edges", "incremental_matches")
+      // re-derivable by the oracle: the incremental state's row count and
+      // hop-distance sum must equal a from-scratch BFS on the full graph
+      val st = inc.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head
+      Seq((24L, 5L, if (same) 1L else 0L, st.getLong(0), st.getLong(1)))
+        .toDF("n_sources", "inserted_edges", "incremental_matches",
+          "state_rows", "dist_sum")
     }),
     // betweenness of one focus node from the counted APSP state
     // (DynBetweennessOneNode): gate = equals the same formula evaluated
@@ -723,13 +791,17 @@ object ExtendedQueries {
       import spark.implicits._
       val scores = Walks.kPathCentrality(g, trials = 20000).localCheckpoint(true)
       val n = scores.count()
+      val m = g.adjacency.filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct().count() / 2
+      // default sampling budget — re-derived independently by the oracle
+      val (kWalk, tDefault) = Walks.kPathBudget(n, m)
       val neg = scores.filter(col("score") < 0).count()
       val byDeg = scores.join(g.degrees, "id")
       val q = byDeg.stat.approxQuantile("degree", Array(0.25, 0.75), 0.0)
       val loMean = byDeg.filter(col("degree") <= q(0)).agg(avg("score")).head.getDouble(0)
       val hiMean = byDeg.filter(col("degree") >= q(1)).agg(avg("score")).head.getDouble(0)
-      Seq((n, neg, if (hiMean > loMean) 1L else 0L))
-        .toDF("n_nodes", "neg_scores", "hub_signal")
+      Seq((n, m, kWalk.toLong, tDefault, neg, if (hiMean > loMean) 1L else 0L))
+        .toDF("n_nodes", "m_edges", "k_walk", "default_trials", "neg_scores", "hub_signal")
     }),
     // complex-contagion paths (Guilbeault–Centola): percolation keyed by
     // source over the 5 smallest node ids. Gates: every late adopter has
@@ -756,6 +828,30 @@ object ExtendedQueries {
         lit(weakAdopters).as("weak_adopters"),
         lit(bad).as("neg_plci"), lit(reachedOver).as("over_reached"))
     }),
+    // left-right planarity test on golden fixtures (constants-if-valid:
+    // Kuratowski graphs reject, planar families accept — the Euler
+    // shortcut is bypassed by the K3,3 subdivision case)
+    "x59_planarity" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      def graphOf(pairs: Seq[(Long, Long)]) = PropertyGraph(
+        pairs.toDF("src", "dst").withColumn("weight", lit(1.0)), directed = false)
+      def complete(n: Int) = for { i <- 0 until n; j <- i + 1 until n }
+        yield (i.toLong, j.toLong)
+      val k33sub = (for { i <- 0 until 3; j <- 0 until 3 } yield (i.toLong, (3 + j).toLong))
+        .zipWithIndex.flatMap { case ((u, v), i) => Seq((u, 100L + i), (100L + i, v)) }
+      val grid = (for { r <- 0 until 5; c <- 0 until 5 } yield {
+        val id = (r * 5 + c).toLong
+        Seq(if (c < 4) Some((id, id + 1)) else None,
+          if (r < 4) Some((id, id + 5)) else None).flatten
+      }).flatten
+      Seq((
+        if (Planarity.isPlanar(graphOf(complete(4)))) 1L else 0L,
+        if (Planarity.isPlanar(graphOf(complete(5)))) 1L else 0L,
+        if (Planarity.isPlanar(graphOf(k33sub))) 1L else 0L,
+        if (Planarity.isPlanar(graphOf(grid))) 1L else 0L
+      )).toDF("k4_planar", "k5_planar", "k33sub_planar", "grid_planar")
+    }),
     // biconnected decomposition: distributed bridge certificate + a
     // labels-cover-edges invariant (constants-if-valid gate)
     "x35_bicc" -> ((s, dir) => {
@@ -779,8 +875,41 @@ object ExtendedQueries {
          |deg2 AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
          |SELECT (SELECT id FROM deg2 ORDER BY d DESC, id ASC LIMIT 1) AS hub,
          |  1::BIGINT AS singleton_matches_onenode, 1::BIGINT AS monotone""".stripMargin,
-    "x58_dynbrandes" ->
-      """SELECT 24::BIGINT AS n_sources, 1::BIGINT AS incremental_matches""",
+    "x58_dynbrandes" -> {
+      // layered σ DP (same shape as the x18 oracle): σ(s,w) at level k =
+      // Σ over predecessors at level k−1; exact HUGEINT arithmetic
+      val depth = 20
+      val sigLevels = (1 to depth).map { k =>
+        s"""sg$k AS MATERIALIZED (
+           |  SELECT d.s, d.id, sum(sp.sigma) AS sigma
+           |  FROM dm d JOIN symm ee ON ee.dst = d.id
+           |  JOIN sg${k - 1} sp ON sp.s = d.s AND sp.id = ee.src
+           |  JOIN dm dp ON dp.s = d.s AND dp.id = ee.src AND dp.dist = ${k - 1}
+           |  WHERE d.dist = $k GROUP BY d.s, d.id)""".stripMargin
+      }.mkString(",\n")
+      val allSig = (0 to depth).map(k => s"SELECT * FROM sg$k").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $graphCte,
+         |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 24),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src=r.id
+         |  WHERE r.dist < $depth),
+         |dm AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+         |sg0 AS MATERIALIZED (SELECT s, id, 1::HUGEINT AS sigma FROM dm WHERE dist = 0),
+         |$sigLevels,
+         |sig AS ($allSig)
+         |SELECT 24::BIGINT AS n_sources, 1::BIGINT AS incremental_matches,
+         |  count(*)::BIGINT AS state_rows,
+         |  (SELECT sum(dist) FROM dm)::BIGINT AS dist_sum,
+         |  sum(sigma % 997)::BIGINT AS sigma_mod_sum
+         |FROM sig""".stripMargin
+    },
+    "x59_planarity" ->
+      """SELECT 1::BIGINT AS k4_planar, 0::BIGINT AS k5_planar,
+        | 0::BIGINT AS k33sub_planar, 1::BIGINT AS grid_planar""".stripMargin,
     "x53_volume" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -817,13 +946,46 @@ object ExtendedQueries {
          |SELECT (SELECT max(dist) FROM d2)::BIGINT AS diameter_lb,
          |  (SELECT max(dist) FROM da)::BIGINT AS ecc_max_64""".stripMargin,
     "x55_dyndijkstra" ->
-      """SELECT 12::BIGINT AS n_sources, 1::BIGINT AS incremental_matches""",
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 12),
+         |r(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id
+         |  WHERE r.dist < 30),
+         |dd AS (SELECT s, id FROM r GROUP BY s, id)
+         |SELECT 12::BIGINT AS n_sources, 1::BIGINT AS incremental_matches,
+         |  count(*)::BIGINT AS state_rows FROM dd""".stripMargin,
     "x56_dynharmonic" ->
-      """SELECT 24::BIGINT AS n_candidates, 5::BIGINT AS k,
-        | 1::BIGINT AS topk_matches""".stripMargin,
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |cands AS (SELECT id FROM nodes ORDER BY id LIMIT 24),
+         |r(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM cands
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id
+         |  WHERE r.dist < 30),
+         |dd AS (SELECT s, id, min(dist) AS dist FROM r GROUP BY s, id),
+         |hh AS (SELECT s AS id, sum(1.0/dist) AS harm FROM dd WHERE dist > 0 GROUP BY s),
+         |t AS (SELECT row_number() OVER (ORDER BY harm DESC, id ASC)::BIGINT AS rank,
+         |        id, round(harm, 6) AS h FROM hh)
+         |SELECT 24::BIGINT AS n_candidates, 5::BIGINT AS k,
+         |  1::BIGINT AS topk_matches, rank, id, h FROM t WHERE rank <= 5""".stripMargin,
     "x49_dynapsp" ->
-      """SELECT 24::BIGINT AS n_sources, 5::BIGINT AS inserted_edges,
-        | 1::BIGINT AS incremental_matches""".stripMargin,
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 24),
+         |r(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id
+         |  WHERE r.dist < 30),
+         |dd AS (SELECT s, id, min(dist) AS dist FROM r GROUP BY s, id)
+         |SELECT 24::BIGINT AS n_sources, 5::BIGINT AS inserted_edges,
+         |  1::BIGINT AS incremental_matches,
+         |  count(*)::BIGINT AS state_rows, sum(dist)::BIGINT AS dist_sum
+         |FROM dd""".stripMargin,
     "x50_dynbet" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -838,9 +1000,14 @@ object ExtendedQueries {
       """SELECT 5::BIGINT AS n_probes, 1::BIGINT AS err_ok""",
     "x46_kpath" ->
       s"""WITH $graphCte,
-         |nodes AS (SELECT DISTINCT src AS id FROM sym)
-         |SELECT count(*) AS n_nodes, 0::BIGINT AS neg_scores,
-         |  1::BIGINT AS hub_signal FROM nodes""".stripMargin,
+         |nodes AS (SELECT count(*)::BIGINT AS n FROM (SELECT DISTINCT src FROM sym)),
+         |edges AS (SELECT count(*)::BIGINT AS m FROM e),
+         |budget AS (
+         |  SELECT n, m, greatest(1, floor(ln(n + m)))::BIGINT AS k FROM nodes, edges)
+         |SELECT n AS n_nodes, m AS m_edges, k AS k_walk,
+         |  greatest(1, floor(2.0 * k * k * pow(n, 0.6) * ln(n)))::BIGINT AS default_trials,
+         |  0::BIGINT AS neg_scores, 1::BIGINT AS hub_signal
+         |FROM budget""".stripMargin,
     "x47_complexpaths" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
@@ -911,6 +1078,13 @@ object ExtendedQueries {
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
          |SELECT count(*) AS n_nodes, 0::BIGINT AS over_capacity,
          |  0::BIGINT AS non_edge_pairs, 0::BIGINT AS duplicate_pairs
+         |FROM nodes""".stripMargin,
+    "x62_pathgrow" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_nodes, 0::BIGINT AS reused_nodes,
+         |  0::BIGINT AS non_edge_pairs, 1::BIGINT AS non_empty,
+         |  1::BIGINT AS half_approx_vs_suitor
          |FROM nodes""".stripMargin,
     "x8_anf" ->
       s"""WITH RECURSIVE $graphCte,
@@ -1141,6 +1315,32 @@ object ExtendedQueries {
          |SELECT u, v, min(la.d + lb.d)::BIGINT AS dist
          |FROM pairs JOIN lab la ON la.id = u JOIN lab lb ON lb.id = v AND la.h = lb.h
          |GROUP BY u, v""".stripMargin,
+    "x60_dynhublabel" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |hubs AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 5),
+         |reach(h, id, dist) AS (
+         |  SELECT id, id, 0 FROM hubs
+         |  UNION
+         |  SELECT r.h, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 20),
+         |lab AS (SELECT h, id, min(dist) AS d FROM reach GROUP BY h, id),
+         |ids AS (SELECT id FROM nodes ORDER BY id LIMIT 10),
+         |pairs AS (SELECT a.id AS u, b.id AS v FROM ids a JOIN ids b ON a.id < b.id)
+         |SELECT u, v, min(la.d + lb.d)::BIGINT AS dist
+         |FROM pairs JOIN lab la ON la.id = u JOIN lab lb ON lb.id = v AND la.h = lb.h
+         |GROUP BY u, v""".stripMargin,
+    "x61_topcloseness" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM nodes
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 20),
+         |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+         |c AS (SELECT s AS id, count(*)*1.0 / sum(dist) AS c
+         |      FROM d WHERE id <> s GROUP BY s)
+         |SELECT id, round(c, 6) AS closeness FROM c
+         |ORDER BY c DESC, id LIMIT 5""".stripMargin,
     "x14_ecc" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),

@@ -54,4 +54,28 @@ class CentralityTailSpec extends SparkSpec {
       .filter(coalesce(col("d"), lit(0L)) < 2).count()
     assert(weak == 0)
   }
+
+  test("topCloseness: NB-cut pruned top-5 equals exact top-5 on karate") {
+    val karate = graft.io.GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
+    // tiny batches force pruning decisions across many batches
+    val pruned = ShortestPaths.topCloseness(karate, 5, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val all = ShortestPaths.bfs(karate, karate.vertices.select(col("id").as("source")))
+    val exact = ShortestPaths.closeness(all)
+      .orderBy(desc("closeness"), asc("id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.toSeq == exact.toSeq,
+      s"pruned=${pruned.mkString(",")} exact=${exact.mkString(",")}")
+  }
+
+  test("topCloseness: pruned == exact on a 400-node ER graph") {
+    val g = Generators.erdosRenyi(spark, 400, 0.02, seed = 13)
+    val pruned = ShortestPaths.topCloseness(g, 10, batchSize = 64)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+    val all = ShortestPaths.bfs(g, g.vertices.select(col("id").as("source")))
+    val exact = ShortestPaths.closeness(all)
+      .orderBy(desc("closeness"), asc("id")).limit(10)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9)))
+    assert(pruned.toSeq == exact.toSeq)
+  }
 }

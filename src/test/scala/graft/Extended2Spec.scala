@@ -60,6 +60,27 @@ class Extended2Spec extends SparkSpec {
     assert(m2.count() >= m1.count(), s"${m2.count()} vs ${m1.count()}")
   }
 
+  test("path-growing matching: valid, half-approx on a known-optimum path") {
+    // weighted P4: 0-1 (1), 1-2 (3), 2-3 (1) — optimum matching = {1-2} w=3;
+    // path growing from a degree-1 end follows the heaviest live edge
+    val p4 = graphOf(Seq((0L, 1L, 1.0), (1L, 2L, 3.0), (2L, 3L, 1.0)), 4)
+    val m = Matching.pathGrowing(p4)
+    val w = m.agg(sum("weight")).head.getDouble(0)
+    assert(w >= 1.5, s"weight $w below OPT/2") // ≥ OPT/2 = 1.5
+    val ends = m.select(col("u").as("id")).unionAll(m.select(col("v").as("id")))
+    assert(ends.count() == ends.distinct().count())
+  }
+
+  test("path-growing matching on karate: valid, within 2x of suitor both ways") {
+    val pg = Matching.pathGrowing(karate)
+    val ends = pg.select(col("u").as("id")).unionAll(pg.select(col("v").as("id")))
+    assert(ends.count() == ends.distinct().count())
+    val wPg = pg.agg(sum("weight")).head.getDouble(0)
+    val wSu = Matching.suitor(karate).agg(sum("weight")).head.getDouble(0)
+    // both are 1/2-approximations: each ≥ OPT/2 and ≤ OPT → ratio ∈ [0.5, 2]
+    assert(wPg >= wSu / 2 && wPg <= wSu * 2, s"pg=$wPg suitor=$wSu")
+  }
+
   test("square clustering: C4 of a 4-cycle corner is 1, star center is 0") {
     val square = graphOf(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 0L, 1.0)), 4)
     val sq = Triangles.localSquareClusteringCoefficient(square)

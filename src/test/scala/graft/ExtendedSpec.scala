@@ -95,6 +95,17 @@ class ExtendedSpec extends SparkSpec {
     assert(leaf == 0.0)
   }
 
+  test("betweenness: distributed kernel matches broadcast kernel on karate") {
+    val bc = Betweenness.runBroadcast(karate, sampleSources = None)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val di = Betweenness.runDistributed(karate, sampleSources = None)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc.keySet == di.keySet)
+    bc.foreach { case (id, s) =>
+      assert(math.abs(s - di(id)) < 1e-6, s"node $id broadcast=$s distributed=${di(id)}")
+    }
+  }
+
   test("betweenness: sampled variant correlates with exact top-5") {
     val exact = Betweenness.run(karate).orderBy(desc("score"), asc("id"))
       .limit(5).select("id").collect().map(_.getLong(0)).toSet
@@ -139,6 +150,22 @@ class ExtendedSpec extends SparkSpec {
     val approx = graph.HubLabeling.query(graph.HubLabeling.build(karate, 5), pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     approx.foreach { case (p, d) => assert(d >= bfs(p), s"$p: $d < ${bfs(p)}") }
+  }
+
+  test("dyn hub labeling: incremental insert equals rebuild from the same hubs") {
+    import spark.implicits._
+    val held = karate.edges.filter(col("src") < col("dst"))
+      .orderBy(xxhash64(lit(4L), col("src"), col("dst"))).limit(4)
+      .select("src", "dst").localCheckpoint(true)
+    val base = karate.edges.join(held, Seq("src", "dst"), "left_anti")
+      .join(held.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_anti")
+    val g1 = PropertyGraph(base, directed = false, Some(karate.vertices))
+    val hubs = karate.vertices.select(col("id").as("source")) // k = n → exact
+    val inc = HubLabeling.insert(karate, HubLabeling.buildFrom(g1, hubs), held)
+    val rebuilt = HubLabeling.buildFrom(karate, hubs)
+    assert(inc.count() == rebuilt.count())
+    assert(inc.except(rebuilt).isEmpty && rebuilt.except(inc).isEmpty)
   }
 
   test("sparsification: triangle score of karate edge (32,33) is high; threshold filters") {
