@@ -197,6 +197,82 @@ object ShortestPaths {
         (col("kv").cast("double") / col("fsum")).as("closeness"))
   }
 
+  /** Variance-split pivot closeness (reference
+    * `centrality/ApproxCloseness.cpp:71-160,298`, Cohen et al.,
+    * "Computing Classic Closeness Centrality, at Scale", COSN'14):
+    * the full three-way estimator, not the uniform pivot average of
+    * [[approxCloseness]]. For non-sample u with pivot p = closest
+    * sample, δ = d(u,p), T = δ/ε:
+    *   - far nodes (d(p,w) > T): farness contribution estimated via the
+    *     pivot, Σ d(p,w) — the (1±ε) band the threshold guarantees;
+    *   - samples: exact d(c_i,u), split into LC (d(c_i,p) ≤ T) and HC;
+    *   - the close stratum is inverse-propensity scaled from its LC
+    *     samples: LCSum·LNum/LCNum, LNum = n−1−HNum−k+LCNum.
+    * Sample nodes get exact farness. ε=0 degenerates to pure sampling
+    * (every sample LC, no pivot term) as in the reference. Assumes a
+    * connected graph like the reference ("input graph has to be
+    * connected"). Fully distributed: one k-source BFS, a k×k
+    * broadcast classification join, and per-pivot distance histograms
+    * (≤ eccentricity rows each) — nothing graph-sized on the driver.
+    * `(id, closeness)` normalized as (n−1)/farness. */
+  def approxClosenessSplit(g: PropertyGraph, nSamples: Int = 16,
+      epsilon: Double = 0.1, seed: Long = 42): DataFrame = {
+    val n = g.vertices.count()
+    val samples = g.vertices
+      .orderBy(xxhash64(lit(seed), col("id")).asc, col("id").asc)
+      .limit(nSamples).select(col("id").as("source")).localCheckpoint(true)
+    val k = samples.count()
+    val d = bfs(g, samples).localCheckpoint(true) // (source, id, dist)
+    val sampleIds = samples.select(col("source").as("id"))
+
+    // pivot = closest sample (tie → smaller sample id), δ = d(u, pivot)
+    val piv = d.groupBy("id")
+      .agg(min(struct(col("dist"), col("source"))).as("m"))
+      .select(col("id"), col("m.source").as("p"),
+        col("m.dist").cast("double").as("delta"))
+    // k×k sample-to-sample distances — broadcastable
+    val ss = d.join(sampleIds, Seq("id"), "left_semi")
+      .select(col("source").as("ci"), col("id").as("sj"), col("dist").as("dss"))
+    val nonSample = piv.join(sampleIds, Seq("id"), "left_anti")
+      // ε=0 → T=+∞ → every sample LC, no pivot stratum (pure sampling);
+      // explicit literal because ANSI mode rejects x/0
+      .withColumn("T", if (epsilon == 0.0) lit(Double.PositiveInfinity)
+        else col("delta") / lit(epsilon))
+
+    // classify each (sample c_i, non-sample u): LC iff d(c_i, p(u)) ≤ T_u
+    val sampleAgg = d.join(sampleIds, Seq("id"), "left_anti")
+      .join(nonSample, Seq("id"))
+      .join(broadcast(ss), col("source") === col("ci") && col("p") === col("sj"), "left")
+      .withColumn("isLC", coalesce(col("dss").cast("double"), lit(Double.MaxValue)) <= col("T"))
+      .groupBy("id", "p", "T")
+      .agg(coalesce(sum(when(col("isLC"), col("dist"))), lit(0L)).as("lcSum"),
+        count(when(col("isLC"), lit(1))).as("lcNum"),
+        coalesce(sum(when(!col("isLC"), col("dist"))), lit(0L)).as("hcSum"))
+
+    // per-pivot histogram of distances to NON-sample nodes (far stratum)
+    val hist = d.join(sampleIds, Seq("id"), "left_anti")
+      .groupBy(col("source").as("p"), col("dist").as("hd"))
+      .agg(sum("dist").as("sd"), count(lit(1)).as("cd"))
+    val est = sampleAgg.join(broadcast(hist), Seq("p"), "left")
+      .withColumn("inFar", col("hd") > col("T"))
+      .groupBy("id", "p", "T", "lcSum", "lcNum", "hcSum")
+      .agg(coalesce(sum(when(col("inFar"), col("sd"))), lit(0L)).as("hSum"),
+        coalesce(sum(when(col("inFar"), col("cd"))), lit(0L)).as("hNum"))
+      .withColumn("lNum",
+        lit(n - 1).cast("double") - col("hNum") - lit(k) + col("lcNum"))
+      // LCNum ≥ 1 always: u's own pivot is LC (d(p,p)=0 ≤ T)
+      .select(col("id"),
+        (col("hSum") + col("hcSum") +
+          col("lcSum") * col("lNum") / col("lcNum")).as("farness"))
+    val exactSamples = d.filter(col("id") =!= col("source"))
+      .groupBy(col("source"))
+      .agg(sum("dist").cast("double").as("farness"))
+      .select(col("source").as("id"), col("farness"))
+    est.unionAll(exactSamples)
+      .filter(col("farness") > 0)
+      .select(col("id"), (lit(n - 1).cast("double") / col("farness")).as("closeness"))
+  }
+
   /** Harmonic closeness: Σ 1/d (reference `HarmonicCloseness.hpp:18`). */
   def harmonicCloseness(dist: DataFrame): DataFrame =
     dist.filter(col("id") =!= col("source"))

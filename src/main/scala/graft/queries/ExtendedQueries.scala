@@ -755,6 +755,46 @@ object ExtendedQueries {
         .head.getDouble(0)
       Seq((5L, if (err < 0.5) 1L else 0L)).toDF("n_probes", "err_ok")
     }),
+    // variance-split pivot closeness (Cohen et al. three-way estimator)
+    // on the largest connected component: sampled nodes must be EXACT
+    // (the estimator computes them from their own BFS), non-samples
+    // within tolerance of exact closeness on 8 probes
+    "x63_approxsplit" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val cc = ConnectedComponents.run(g)
+      val big = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+        .orderBy(desc("sz"), asc("component")).limit(1)
+        .select("component")
+      val nodes = cc.join(big, "component").select("id").localCheckpoint(true)
+      val sub = GraphOps.subgraphFromNodes(g, nodes)
+      val nSub = nodes.count()
+      val split = ShortestPaths.approxClosenessSplit(sub, nSamples = 24)
+        .localCheckpoint(true)
+      // exact farness for the 24 sample nodes must match to 1e-9
+      val samples = sub.vertices
+        .orderBy(xxhash64(lit(42L), col("id")).asc, col("id").asc)
+        .limit(24).select(col("id").as("source")).localCheckpoint(true)
+      val exactS = ShortestPaths.bfs(sub, samples)
+        .filter(col("id") =!= col("source"))
+        .groupBy(col("source").as("id"))
+        .agg((lit(nSub - 1).cast("double") / sum("dist")).as("ex"))
+      val sampleBad = split.join(exactS, "id")
+        .filter(abs(col("closeness") - col("ex")) > 1e-9).count()
+      // 8 non-sample probes: estimator within 35% relative error
+      val probes = sub.vertices.join(samples.withColumnRenamed("source", "id"),
+          Seq("id"), "left_anti")
+        .orderBy("id").limit(8).select(col("id").as("source"))
+      // connected component: closeness() = reach/Σd = (nSub−1)/farness
+      val exactP = ShortestPaths.closeness(ShortestPaths.bfs(sub, probes))
+        .select(col("id"), col("closeness").as("exn"))
+      val errOk = split.join(exactP, "id")
+        .select(avg(abs(col("closeness") - col("exn")) / col("exn")).as("e"))
+        .head.getDouble(0) < 0.35
+      Seq((24L, 8L, sampleBad, if (errOk) 1L else 0L))
+        .toDF("n_samples", "n_probes", "inexact_samples", "err_ok")
+    }),
     // electrical kernels: spanning-edge centrality (effective resistance
     // of sampled edges; 0 < r ≤ 1/w for an edge of weight w) + forest and
     // electrical closeness positivity for 3 candidate hubs
@@ -998,6 +1038,9 @@ object ExtendedQueries {
       """SELECT 4::BIGINT AS group_size, 1::BIGINT AS farness_improved_or_equal""",
     "x52_approxcloseness" ->
       """SELECT 5::BIGINT AS n_probes, 1::BIGINT AS err_ok""",
+    "x63_approxsplit" ->
+      """SELECT 24::BIGINT AS n_samples, 8::BIGINT AS n_probes,
+        | 0::BIGINT AS inexact_samples, 1::BIGINT AS err_ok""".stripMargin,
     "x46_kpath" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT count(*)::BIGINT AS n FROM (SELECT DISTINCT src FROM sym)),

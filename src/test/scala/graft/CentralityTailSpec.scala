@@ -55,6 +55,35 @@ class CentralityTailSpec extends SparkSpec {
     assert(weak == 0)
   }
 
+  test("approxClosenessSplit: exact on samples, close elsewhere, eps=0 = sampling") {
+    val exact = ShortestPaths.closeness(
+        ShortestPaths.bfs(karate, karate.vertices.select(col("id").as("source"))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 34.0
+    val est = ShortestPaths.approxCloseness(karate) // keep uniform path compiling
+    assert(est.count() > 0)
+    val split = ShortestPaths.approxClosenessSplit(karate, nSamples = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(split.size == 34)
+    // closeness() is reach/sum(d); normalized (n-1)/farness = (n-1)/33 ratio
+    def norm(c: Double) = c * (n - 1) / 33.0 // karate connected: reach=33
+    // sampled nodes are computed exactly
+    val samples = karate.vertices
+      .orderBy(xxhash64(lit(42L), col("id")).asc, col("id").asc)
+      .limit(16).select("id").as[Long].collect().toSet
+    samples.foreach { s =>
+      assert(math.abs(split(s) - norm(exact(s))) < 1e-9, s"sample $s not exact")
+    }
+    // non-samples: variance-split estimate within 25% mean relative error
+    val errs = (split.keySet -- samples).toSeq
+      .map(u => math.abs(split(u) - norm(exact(u))) / norm(exact(u)))
+    assert(errs.sum / errs.size < 0.25, s"mean rel err ${errs.sum / errs.size}")
+    // eps = 0 → pure sampling degenerate path still runs and stays sane
+    val pure = ShortestPaths.approxClosenessSplit(karate, nSamples = 16, epsilon = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    samples.foreach { s => assert(math.abs(pure(s) - norm(exact(s))) < 1e-9) }
+  }
+
   test("topCloseness: NB-cut pruned top-5 equals exact top-5 on karate") {
     val karate = graft.io.GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
     // tiny batches force pruning decisions across many batches
