@@ -36,6 +36,57 @@ object GraphOps {
   def toUnweighted(g: PropertyGraph): PropertyGraph =
     g.copy(edges = g.edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
 
+  /** Weighted coercion (reference `GraphTools.hpp:321`): every edge gets
+    * an explicit weight, missing/null weights replaced by
+    * `defaultWeight` (the reference initializes new weights to 1). */
+  def toWeighted(g: PropertyGraph, defaultWeight: Double = 1.0): PropertyGraph =
+    g.copy(edges = g.edges.select(col("src"), col("dst"),
+      coalesce(col("weight"), lit(defaultWeight)).as("weight")))
+
+  /** Isolate a node set (reference `GraphTools.hpp:111`
+    * `removeEdgesFromIsolatedSet`): drop every edge incident to the
+    * set, leaving its nodes present but isolated. Two anti-joins. */
+  def removeEdgesFromIsolatedSet(g: PropertyGraph, nodes: DataFrame): PropertyGraph = {
+    val ids = nodes.select(col("id"))
+    g.copy(edges = g.edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+  }
+
+  /** Subgraph of a core set plus its neighbors (reference
+    * `GraphTools.cpp:265` `subgraphAndNeighborsFromNodes`): nodes =
+    * core ∪ selected neighbors; an edge survives iff one endpoint is
+    * core and the other is core-or-neighbor (relevance sum > 2 in the
+    * reference's scoring — neighbor-neighbor edges are dropped). For
+    * undirected graphs all neighbors are "out". */
+  def subgraphAndNeighbors(g: PropertyGraph, nodes: DataFrame,
+      includeOutNeighbors: Boolean = true,
+      includeInNeighbors: Boolean = false): PropertyGraph = {
+    val spark = g.edges.sparkSession
+    val core = nodes.select(col("id")).distinct()
+    val empty = spark.range(0).select(col("id"))
+    val outN =
+      if (includeOutNeighbors || !g.directed)
+        g.edges.join(core.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .select(col("dst").as("id"))
+      else empty
+    val inN =
+      if (includeInNeighbors || !g.directed)
+        g.edges.join(core.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select(col("src").as("id"))
+      else empty
+    val nbrOnly = outN.unionAll(inN).distinct()
+      .join(core, Seq("id"), "left_anti")
+    val rel = core.withColumn("rel", lit(2))
+      .unionAll(nbrOnly.withColumn("rel", lit(1)))
+    val e = g.edges
+      .join(rel.select(col("id").as("src"), col("rel").as("relSrc")), Seq("src"), "left")
+      .join(rel.select(col("id").as("dst"), col("rel").as("relDst")), Seq("dst"), "left")
+      .filter(coalesce(col("relSrc"), lit(0)) + coalesce(col("relDst"), lit(0)) > 2)
+      .select("src", "dst", "weight")
+    PropertyGraph(e, g.directed, Some(rel.select("id")))
+  }
+
   /** Dense re-id 0..n-1 (reference `getContinuousNodeIds`,
     * `graphtools.pyx:578`): rank over sorted ids, join-remapped onto
     * both endpoints. Window over a single global ordering — fine for

@@ -70,6 +70,40 @@ object GraphReaders {
     PropertyGraph(rows, directed)
   }
 
+  /** MatrixMarket coordinate reader (reference
+    * `io/MatrixMarketReader.cpp:37`): header
+    * `%%MatrixMarket matrix coordinate [real|pattern] [general|symmetric]`,
+    * `%` comments, one dims line `nrows ncols nnz`, then 1-based
+    * `i j [value]` entries. Returns a COO table `(i, j, v)` 0-based
+    * with symmetric off-diagonal entries mirrored (the CSRMatrix the
+    * reference builds) — feed `algebra.Coo` directly, or
+    * `PropertyGraph(df.toDF("src","dst","weight"), …)` for graph use.
+    * Header is a bounded driver read; the body parses distributed via
+    * `textFile.zipWithIndex` (line order is semantic, like METIS). */
+  def readMatrixMarket(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val s = scala.io.Source.fromFile(path)
+    val firstLine = try s.getLines().next() finally s.close()
+    val toks = firstLine.trim.toLowerCase.split("\\s+")
+    require(toks.length >= 4 &&
+      (toks(0) == "%%matrixmarket" || toks(0) == "%matrixmarket") &&
+      toks(2) == "coordinate", s"unsupported MatrixMarket header: $firstLine")
+    val weighted = !toks.contains("pattern")
+    val symmetric = toks.contains("symmetric")
+    val lines = spark.sparkContext.textFile(path).zipWithIndex()
+      .filter { case (l, _) => l.trim.nonEmpty && !l.trim.startsWith("%") }
+    val dimsIdx = lines.map(_._2).min()
+    val entries = lines.filter(_._2 != dimsIdx).map { case (l, _) =>
+      val p = l.trim.split("\\s+")
+      (p(0).toLong - 1, p(1).toLong - 1,
+        if (weighted && p.length > 2) p(2).toDouble else 1.0)
+    }.toDF("i", "j", "v")
+    if (symmetric)
+      entries.unionAll(entries.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("v")))
+    else entries
+  }
+
   /** DGS dynamic-graph event stream (reference
     * `dynamics/DGSStreamParser.hpp:23`, event model
     * `GraphEvent.hpp:18-35`): `an/dn/rn` node events, `ae/ce/de` edge

@@ -79,6 +79,25 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(sub.edges.filter(col("src") >= 17 || col("dst") >= 17).isEmpty)
   }
 
+  test("toWeighted/removeEdgesFromIsolatedSet/subgraphAndNeighbors semantics") {
+    // toWeighted: weight column present and non-null everywhere
+    val w = GraphOps.toWeighted(GraphOps.toUnweighted(karate))
+    assert(w.edges.filter(col("weight").isNull).isEmpty)
+    // isolating node 0 removes exactly its 16 incident undirected edges
+    val iso = GraphOps.removeEdgesFromIsolatedSet(karate,
+      spark.range(1).select(col("id")))
+    assert(iso.edges.filter(col("src") === 0 || col("dst") === 0).isEmpty)
+    assert(iso.numberOfEdges == karate.numberOfEdges - 16,
+      s"${iso.numberOfEdges}")
+    // core {0} + neighbors: edges = only the 16 core-incident ones,
+    // neighbor-neighbor edges dropped (reference relevance-sum rule)
+    val sn = GraphOps.subgraphAndNeighbors(karate,
+      spark.range(1).select(col("id")))
+    assert(sn.numberOfEdges == 16, s"${sn.numberOfEdges}")
+    assert(sn.edges.filter(col("src") =!= 0 && col("dst") =!= 0).isEmpty)
+    assert(sn.vertices.count() == 17) // 0 + its 16 neighbors
+  }
+
   test("link prediction: jaccard within [0,1], symmetric candidate set") {
     val j = LinkPrediction.jaccard(karate)
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).isEmpty)

@@ -36,6 +36,21 @@ class IoSpec extends SparkSpec {
       "posweighted directive must parse real weights")
   }
 
+  test("matrixmarket: symmetric real and pattern general fixtures parse") {
+    // LFAT5: 14x14 coordinate real symmetric, 30 stored entries
+    val lfat = GraphReaders.readMatrixMarket(spark, "/root/reference/input/LFAT5.mtx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val stored = 30
+    val diag = lfat.keys.count { case (i, j) => i == j }
+    assert(lfat.size == 2 * stored - diag, s"${lfat.size} entries, $diag diagonal")
+    assert(math.abs(lfat((3L, 0L)) - (-94.2528)) < 1e-9) // "4 1 -94.2528"
+    assert(math.abs(lfat((0L, 3L)) - (-94.2528)) < 1e-9) // mirrored
+    // GD01_b: 18x18 coordinate pattern general, 37 entries, value 1.0
+    val gd = GraphReaders.readMatrixMarket(spark, "/root/reference/input/GD01_b.mtx")
+    assert(gd.count() == 37)
+    assert(gd.filter(col("v") =!= 1.0).isEmpty)
+  }
+
   test("gml roundtrip: write karate, read it back identical") {
     val karate = GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
     val path = "/tmp/graft_karate_roundtrip.gml"
