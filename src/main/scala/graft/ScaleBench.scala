@@ -31,6 +31,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "48g"))
+      // iterative kernels emit thousands of stages; shuffle files are only
+      // reclaimed when the ContextCleaner GCs dead RDDs, and the default
+      // periodicGC.interval (30min) lets ~80 GB of dead shuffle/checkpoint
+      // blocks pile up mid-run on one box — collect aggressively instead
+      .config("spark.cleaner.periodicGC.interval", "45s")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,23 +49,31 @@ object ScaleBench {
     val n = g.vertices.count()
     val m = edges.count()
 
-    def timeIt(f: => Long): Double = {
+    def timeIt(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
       f
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc()
+      System.err.println(f"[scalebench] $name ${dt}%.1fs") // survive partial runs
       dt
     }
 
     val prIters = 10
-    val tPr = timeIt(PageRank.run(g, 0.85, tol = 0.0, maxIter = prIters).count())
-    val tCc = timeIt(ConnectedComponents.run(g).count())
+    val tPr = timeIt("pagerank10")(PageRank.run(g, 0.85, tol = 0.0, maxIter = prIters).count())
+    val tCc = timeIt("cc")(ConnectedComponents.run(g).count())
     val src = spark.range(1).select(lit(0L).as("source"))
-    val tBfs = timeIt(ShortestPaths.bfs(g, src).count())
-    val tDeg = timeIt(g.degrees.count())
-    val tCore = timeIt(GraphOps.coreDecomposition(g).count())
-    val tTri = timeIt { Triangles.triangleCount(g).count(); 1L }
+    val tBfs = timeIt("bfs")(ShortestPaths.bfs(g, src).count())
+    val tDeg = timeIt("degree")(g.degrees.count())
+    val tCore = timeIt("kcore")(GraphOps.coreDecomposition(g).count())
+    // exact triangle counting materializes the wedge set — ~m^1.5 shuffle
+    // rows, ~10^10 on a scale-21 skewed RMAT (hundreds of GB of shuffle):
+    // disk-infeasible on one box, and a non-iterative kernel besides, so
+    // it is opt-in here (arg 3 = "tri"); at cluster scale the same plan
+    // spreads across executors' disks
+    val tTri = if (args.length > 2 && args(2) == "tri")
+      timeIt("triangles") { Triangles.triangleCount(g).count(); 1L }
+    else -1.0
 
     // per-iteration edge throughput: symmetric edge traversals per second
     val prEps = 2.0 * m * prIters / tPr

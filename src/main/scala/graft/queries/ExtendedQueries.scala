@@ -753,7 +753,12 @@ object ExtendedQueries {
       val err = approx.join(exact.withColumnRenamed("closeness", "ex"), "id")
         .select(avg(abs(col("closeness") - col("ex")) / col("ex")).as("e"))
         .head.getDouble(0)
-      Seq((5L, if (err < 0.5) 1L else 0L)).toDF("n_probes", "err_ok")
+      // per-probe exact closeness re-derived from scratch by the oracle's
+      // recursive-CTE BFS — the error gate rides on oracle-checked rows
+      exact.select(col("id"), round(col("closeness"), 6).as("exact_closeness"))
+        .withColumn("n_probes", lit(5L))
+        .withColumn("err_ok", lit(if (err < 0.5) 1L else 0L))
+        .select("n_probes", "err_ok", "id", "exact_closeness")
     }),
     // variance-split pivot closeness (Cohen et al. three-way estimator)
     // on the largest connected component: sampled nodes must be EXACT
@@ -1037,7 +1042,18 @@ object ExtendedQueries {
     "x51_growshrink" ->
       """SELECT 4::BIGINT AS group_size, 1::BIGINT AS farness_improved_or_equal""",
     "x52_approxcloseness" ->
-      """SELECT 5::BIGINT AS n_probes, 1::BIGINT AS err_ok""",
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |probes AS (SELECT id FROM nodes ORDER BY id LIMIT 5),
+         |r(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM probes
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id
+         |  WHERE r.dist < 30),
+         |dd AS (SELECT s, id, min(dist) AS dist FROM r GROUP BY s, id)
+         |SELECT 5::BIGINT AS n_probes, 1::BIGINT AS err_ok,
+         |  s AS id, round(count(*)*1.0/sum(dist), 6) AS exact_closeness
+         |FROM dd WHERE id <> s GROUP BY s""".stripMargin,
     "x63_approxsplit" ->
       """SELECT 24::BIGINT AS n_samples, 8::BIGINT AS n_probes,
         | 0::BIGINT AS inexact_samples, 1::BIGINT AS err_ok""".stripMargin,
