@@ -429,7 +429,11 @@ object GraphQueries {
       val maxDiff = warm.select(col("id"), col("score").as("w"))
         .join(cold.select(col("id"), col("score").as("c")), "id")
         .agg(max(abs(col("w") - col("c")))).as[Double].head()
-      Seq((if (maxDiff <= 1e-6) 1L else 0L, 1L)).toDF("same_fixpoint", "ran")
+      // the cold scores are re-derived by the oracle's unrolled weighted
+      // power iteration (same α = 0.9/maxWeightedDegree, re-derived too)
+      cold.select(col("id"), round(col("score"), 6).as("score"))
+        .withColumn("same_fixpoint", lit(if (maxDiff <= 1e-6) 1L else 0L))
+        .withColumn("ran", lit(1L))
     }),
     // PageRank-Nibble sweep from the smallest node id: best prefix size
     // and conductance, exactly replayed by unrolled PPR + window SQL
@@ -653,8 +657,29 @@ object GraphQueries {
          |  WHERE r.dist < 20)
          |SELECT s AS source, id, min(dist)::BIGINT AS dist
          |FROM reach GROUP BY s, id""".stripMargin,
-    "x42_dynkatz" ->
-      "SELECT 1::BIGINT AS same_fixpoint, 1::BIGINT AS ran",
+    "x42_dynkatz" -> {
+      // cold Katz (x = αAx + β, β=1, weighted) re-derived by unrolled
+      // power iterations; α·λmax ≤ 0.9 means tol=1e-9 is never met
+      // before Spark's 100-iteration cap, and past ~iteration 60 the
+      // tail moves scores < 1e-9 — invisible at round-6 either way
+      val iters = 100
+      val steps = (1 to iters).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT nodes.id,
+           | (SELECT a FROM alpha) * coalesce(s.t, 0) + 1.0 AS x
+           | FROM nodes LEFT JOIN (
+           |   SELECT symw.src AS id, sum(k${i - 1}.x * symw.c) AS t
+           |   FROM k${i - 1} JOIN symw ON symw.dst = k${i - 1}.id
+           |   GROUP BY symw.src) s
+           | USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${graphCte(2)},
+         |wdeg AS (SELECT src AS id, sum(c)*1.0 AS wd FROM symw GROUP BY src),
+         |alpha AS (SELECT 0.9 / max(wd) AS a FROM wdeg),
+         |k0 AS (SELECT id, 0.0 AS x FROM nodes),
+         |$steps
+         |SELECT 1::BIGINT AS same_fixpoint, 1::BIGINT AS ran,
+         |  id, round(x, 6) AS score FROM k$iters""".stripMargin
+    },
     "g25_laplacian" ->
       s"""WITH ${graphCte(2)},
          |nd AS (SELECT s.src AS id, sum(dg.d) AS sn FROM sym s
