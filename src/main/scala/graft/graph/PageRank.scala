@@ -54,35 +54,40 @@ object PageRank {
       g.adjacency.select(col("dst").as("id")).distinct(),
       Seq("id"), "left_anti").isEmpty
 
-    // One shuffle job per iteration. The rank table is persisted each
-    // round and materialized by exactly one action: the L1-convergence
-    // aggregate when tol > 0 (the diff join reads `cur` from cache and
-    // fills `next`'s cache as a side effect), or a bare count when
-    // tol <= 0 — the fixed-iteration path never pays the prev-attach
-    // join at all (round 2 joined prev unconditionally, adding a
-    // rank-table shuffle per round: the g7 regression).
-    var cur = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count()
-    var i = 0
-    var done = false
-    while (i < maxIter && !done) {
-      val sinkMass =
-        if (!hasSinks) 0.0
-        else cur.join(sinks, Seq("id"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
-      val contrib = cur.join(adj, cur("id") === adj("src"))
+    // Iterations are fused into spans: on a sink-free graph (any
+    // undirected graph) no per-iteration scalar is needed, so `span`
+    // lazy steps chain into ONE job — one action per span instead of
+    // per iteration, cutting job-scheduling overhead ~span×. Sinked
+    // graphs need the sink-mass aggregate each round → span 1. The
+    // L1-convergence check (tol > 0) then compares across the span,
+    // which is a STRICTER stop than per-iteration (the span diff upper-
+    // bounds each step's diff), so results are equal-or-more converged.
+    def step(r: DataFrame, sinkMass: Double): DataFrame = {
+      val contrib = r.join(adj, r("id") === adj("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") * col("share")).as("contrib"))
       val completed =
         if (inCovered) contrib
         else nodes.join(contrib, Seq("id"), "left")
-      val stepped = completed
-        .select(col("id"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
-      val next =
-        if ((i + 1) % 4 == 0) stepped.localCheckpoint(false)
-        else stepped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      completed.select(col("id"),
+        (lit((1.0 - damping) / n) + lit(damping) *
+          (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
+    }
+    val checkEvery = if (hasSinks) 1 else 4
+    var cur = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val span = math.min(checkEvery, maxIter - i)
+      val sinkMass =
+        if (!hasSinks) 0.0
+        else cur.join(sinks, Seq("id"), "left_semi")
+          .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      var stepped = cur
+      for (_ <- 0 until span) stepped = step(stepped, sinkMass)
+      // localCheckpoint truncates the span's chained lineage each round
+      val next = stepped.localCheckpoint(false)
       if (tol > 0) {
         val diff = next.select(col("id"), col("rank"))
           .join(cur.select(col("id"), col("rank").as("prev")), "id")
@@ -91,7 +96,7 @@ object PageRank {
       } else next.count()
       cur.unpersist(blocking = false)
       cur = next
-      i += 1
+      i += span
     }
     val result = cur.select("id", "rank")
     adj.unpersist(false); sinks.unpersist(false); nodes.unpersist(false)
