@@ -64,8 +64,14 @@ object Fixpoint {
     * fingerprint aggregate doubles as the materializing action, so a
     * round costs exactly one Spark job (plus the step's own shuffles)
     * instead of a count job + a fingerprint job. `fingerprint` may
-    * return any equality-comparable value (a Long, a tuple…). */
-  def loopFusedFingerprint(init: DataFrame, maxIter: Int)(
+    * return any equality-comparable value (a Long, a tuple…).
+    *
+    * `span` > 1 chains that many lazy steps between fingerprints — one
+    * job per span instead of per round. Only safe when `step` references
+    * its input ONCE (a chained re-reference would recompute the whole
+    * span per reference); the fixpoint is unchanged (extra rounds past
+    * it are idempotent), at most span−1 idempotent rounds run extra. */
+  def loopFusedFingerprint(init: DataFrame, maxIter: Int, span: Int = 1)(
       step: (DataFrame, Int) => DataFrame)(
       fingerprint: DataFrame => Any): DataFrame = {
     val debug = sys.env.contains("GRAFT_FIXPOINT_DEBUG")
@@ -75,14 +81,17 @@ object Fixpoint {
     var done = false
     while (i < maxIter && !done) {
       val t0 = System.nanoTime()
-      val next = step(cur, i).localCheckpoint(false) // lazy cut
+      val w = math.min(span, maxIter - i)
+      var stepped = cur
+      for (k <- 0 until w) stepped = step(stepped, i + k)
+      val next = stepped.localCheckpoint(false) // lazy cut
       val f = fingerprint(next) // materializes the checkpoint + aggregates
       if (debug) System.err.println(
-        f"[fixpoint-fused] iter $i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        f"[fixpoint-fused] iter $i span=$w ${(System.nanoTime() - t0) / 1e9}%.2fs")
       done = prev.contains(f)
       prev = Some(f)
       cur = next
-      i += 1
+      i += w
     }
     cur
   }

@@ -196,7 +196,9 @@ object GraphOps {
       .agg(count(lit(1)).as("h"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("nh").desc, col("dst"))
-    val fin = Fixpoint.loopFusedFingerprint(init, maxIter) { (h, _) =>
+    // span 4: the h-index step reads `h` exactly once, so four monotone
+    // rounds chain into one job; the fixpoint is unchanged
+    val fin = Fixpoint.loopFusedFingerprint(init, maxIter, span = 4) { (h, _) =>
       // H-index of the neighbor multiset: rank neighbors by h desc,
       // H = max over ranks of min(rank, h)
       adj.join(h.select(col("id").as("dst"), col("h").as("nh")), "dst")

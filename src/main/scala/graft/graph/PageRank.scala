@@ -40,13 +40,23 @@ object PageRank {
       .persist()
     adj.count()
 
-    val nodes = g.vertices.select("id").persist()
+    // pre-partitioned like the per-iteration contrib (hash on id) so the
+    // in-coverage completion join never re-exchanges the node table
+    val nodes = g.vertices.select("id")
+      .repartition(shufflePartitions, col("id")).persist()
     val n = nodes.count().toDouble
     val init = nodes.select(col("id"), lit(1.0 / n).as("rank"))
 
     // nodes with no out-edges: their rank is redistributed uniformly
     val sinks = nodes.join(outW.select("id"), Seq("id"), "left_anti").persist()
-    val hasSinks = sinks.count() > 0
+    val nSinks = sinks.count()
+    val hasSinks = nSinks > 0
+    // a sink with no in-edges (every sink of an undirected graph is an
+    // isolated vertex) receives only teleport + sink share, so the total
+    // sink mass follows a closed-form scalar recurrence on the driver —
+    // no per-iteration aggregate, which keeps iterations fusable
+    val sinksIsolated = !hasSinks || sinks.join(
+      g.adjacency.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi").isEmpty
     // nodes with no in-edges keep only the teleport term; when every
     // node has an in-edge (any undirected graph) the per-iteration
     // "nodes LEFT JOIN contrib" completion is pure overhead — skip it
@@ -73,19 +83,28 @@ object PageRank {
         (lit((1.0 - damping) / n) + lit(damping) *
           (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
     }
-    val checkEvery = if (hasSinks) 1 else 4
+    val debug = sys.env.contains("GRAFT_FIXPOINT_DEBUG")
+    val checkEvery = if (sinksIsolated) 4 else 1
     var cur = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cur.count()
+    // isolated-sink mass recurrence: s₀ = nSinks/n (initial uniform rank),
+    // s_{k+1} = nSinks·((1−d)/n + d·s_k/n)
+    var isoMass = nSinks / n
     var i = 0
     var done = false
     while (i < maxIter && !done) {
+      val t0 = System.nanoTime()
       val span = math.min(checkEvery, maxIter - i)
-      val sinkMass =
-        if (!hasSinks) 0.0
-        else cur.join(sinks, Seq("id"), "left_semi")
-          .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
       var stepped = cur
-      for (_ <- 0 until span) stepped = step(stepped, sinkMass)
+      for (_ <- 0 until span) {
+        val sinkMass =
+          if (!hasSinks) 0.0
+          else if (sinksIsolated) isoMass
+          else cur.join(sinks, Seq("id"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+        stepped = step(stepped, sinkMass)
+        isoMass = nSinks * ((1.0 - damping) / n + damping * isoMass / n)
+      }
       // localCheckpoint truncates the span's chained lineage each round
       val next = stepped.localCheckpoint(false)
       if (tol > 0) {
@@ -94,6 +113,8 @@ object PageRank {
           .agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
         done = diff < tol
       } else next.count()
+      if (debug) System.err.println(
+        f"[pagerank] iters $i..${i + span} ${(System.nanoTime() - t0) / 1e9}%.2fs")
       cur.unpersist(blocking = false)
       cur = next
       i += span

@@ -51,6 +51,44 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(top == 33L) // the instructor-side hub
   }
 
+  test("pagerank: sink with in-edges and isolated vertex match naive iteration") {
+    import spark.implicits._
+    // 0→1→2 (node 2: sink WITH in-edges → per-iteration sink aggregate),
+    // node 3 isolated (sink with none)
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val verts = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val g = PropertyGraph(edges, directed = true, Some(verts))
+    val got = PageRank.run(g, 0.85, tol = 0.0, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var r = Array.fill(4)(0.25)
+    for (_ <- 0 until 12) {
+      val sink = r(2) + r(3)
+      val nr = Array.fill(4)(0.15 / 4 + 0.85 * sink / 4)
+      nr(1) += 0.85 * r(0)
+      nr(2) += 0.85 * r(1)
+      r = nr
+    }
+    (0 until 4).foreach(i => assert(math.abs(got(i.toLong) - r(i)) < 1e-12,
+      s"node $i: ${got(i.toLong)} vs ${r(i)}"))
+
+    // undirected edge + isolated vertex → the fused isolated-sink
+    // recurrence path; maxIter not divisible by the span
+    val g2 = PropertyGraph(Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"),
+      directed = false, Some(Seq(0L, 1L, 2L).toDF("id")))
+    val got2 = PageRank.run(g2, 0.85, tol = 0.0, maxIter = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var s = Array.fill(3)(1.0 / 3)
+    for (_ <- 0 until 7) {
+      val sink = s(2)
+      val ns = Array.fill(3)(0.05 + 0.85 * sink / 3)
+      ns(1) += 0.85 * s(0)
+      ns(0) += 0.85 * s(1)
+      s = ns
+    }
+    (0 until 3).foreach(i => assert(math.abs(got2(i.toLong) - s(i)) < 1e-12,
+      s"node $i: ${got2(i.toLong)} vs ${s(i)}"))
+  }
+
   test("bfs == dijkstra on unit weights (all sources)") {
     val sources = ShortestPaths.sourcesOf(karate, Seq(0L, 16L, 33L))
     val b = ShortestPaths.bfs(karate, sources)
