@@ -927,6 +927,40 @@ object ExtendedQueries {
       val labelsOk = if (labels.count() == nEdges) 1L else 0L
       Biconnected.bridgeCertificate(g, bridges)
         .withColumn("labels_ok", lit(labelsOk))
+    }),
+    // eigenvector centrality: a fixed 30 power iterations (tol=0
+    // disables early stop) so the oracle can unroll the identical
+    // weighted recurrence; the per-step L2 normalization telescopes to
+    // one final normalization in exact arithmetic
+    "x64_eigenvector" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      PageRank.eigenvector(g, tol = 0.0, maxIter = 30)
+        .select(col("id"), round(col("score"), 6).as("score"))
+    }),
+    // A* s-t search with a zero heuristic (valid, so branch-and-bound
+    // Dijkstra) on the unit-weight graph; s,t = the two lowest ids of
+    // the largest component and the hop distance are all re-derived by
+    // the oracle (label-prop CC + recursive-CTE BFS)
+    "x65_astar" -> ((s, dir) => {
+      val g0 = DerivedGraphs.partGraph(s, dir, 2)
+      val g = GraphOps.toUnweighted(g0)
+      val spark = s
+      import spark.implicits._
+      val cc = ConnectedComponents.run(g0)
+      val big = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+        .orderBy(desc("sz"), asc("component")).limit(1).select("component")
+      val st = cc.join(big, "component").select("id").orderBy("id").limit(2)
+        .as[Long].collect()
+      val h = g.vertices.select(col("id"), lit(0.0).as("h"))
+      Paths.aStar(g, st(0), st(1), h)
+        .select(col("s"), col("t"), col("dist").cast("long").as("dist"))
+    }),
+    // topological levels of the co-order DAG (edges oriented src<dst by
+    // construction): the peel round of v equals the longest path ending
+    // at v, which the oracle re-derives with a longest-path CTE
+    "x66_toposort" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      Digraph.topologicalSort(PropertyGraph(g.edges, directed = true))
     })
   )
 
@@ -1564,6 +1598,52 @@ object ExtendedQueries {
     "x36_generators2" ->
       """SELECT gen, 1::BIGINT AS ok1, 1::BIGINT AS ok2 FROM (VALUES
         |  ('ring'), ('dm'), ('havelhakimi'), ('curveball'),
-        |  ('pubweb'), ('mocnik'), ('forestfire')) t(gen)""".stripMargin
+        |  ('pubweb'), ('mocnik'), ('forestfire')) t(gen)""".stripMargin,
+    "x64_eigenvector" -> {
+      // 30 unrolled weighted mat-vec products A·x over sym (weight c),
+      // normalized once at the end — identical to per-step L2
+      // normalization in exact arithmetic
+      val iters = 30
+      val levels = (1 to iters).map { k =>
+        s"""v$k AS MATERIALIZED (
+           |  SELECT e2.src AS id, sum(v.x * e2.c) AS x
+           |  FROM sym e2 JOIN v${k - 1} v ON v.id = e2.dst GROUP BY e2.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |v0 AS (SELECT id, 1.0::DOUBLE AS x FROM nodes),
+         |$levels,
+         |nrm AS (SELECT sqrt(sum(x*x)) AS z FROM v$iters)
+         |SELECT v.id, round(v.x / n.z, 6) AS score FROM v$iters v, nrm n""".stripMargin
+    },
+    "x65_astar" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |c(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e2.dst, c.lbl FROM c JOIN sym e2 ON e2.src = c.id),
+         |comp AS MATERIALIZED (SELECT id, min(lbl) AS comp FROM c GROUP BY id),
+         |big AS (SELECT comp AS b FROM comp GROUP BY comp
+         |        ORDER BY count(*) DESC, comp ASC LIMIT 1),
+         |sub AS MATERIALIZED (SELECT id FROM comp WHERE comp = (SELECT b FROM big)),
+         |r(id, dist) AS (
+         |  SELECT id, 0 FROM (SELECT min(id) AS id FROM sub)
+         |  UNION
+         |  SELECT e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id
+         |  WHERE r.dist < 30),
+         |dmin AS (SELECT id, min(dist) AS dist FROM r GROUP BY id)
+         |SELECT (SELECT min(id) FROM sub)::BIGINT AS s, t.id::BIGINT AS t,
+         |  d.dist::BIGINT AS dist
+         |FROM (SELECT id FROM sub ORDER BY id LIMIT 1 OFFSET 1) t
+         |JOIN dmin d ON d.id = t.id""".stripMargin,
+    "x66_toposort" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |r(id, d) AS (
+         |  SELECT id, 0 FROM nodes WHERE id NOT IN (SELECT dst FROM e)
+         |  UNION
+         |  SELECT e2.dst, r.d+1 FROM r JOIN e e2 ON e2.src=r.id WHERE r.d < 500)
+         |SELECT id, max(d)::BIGINT AS level FROM r GROUP BY id""".stripMargin
   )
 }
