@@ -27,29 +27,45 @@ object PageRank {
       maxIter: Int = 100, weighted: Boolean = false): DataFrame = {
     val spark = g.edges.sparkSession
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val debugT0 = System.nanoTime()
+    def dbg(what: String): Unit = if (sys.env.contains("GRAFT_FIXPOINT_DEBUG"))
+      System.err.println(f"[pagerank] $what ${(System.nanoTime() - debugT0) / 1e9}%.2fs")
 
+    // an undirected graph whose vertex set is derived from its endpoints
+    // has, structurally, no sinks and no in-uncovered nodes — skip the
+    // probe jobs (a distinct over the full edge table each) entirely
+    val structurallyCovered = !g.directed && g.verticesOpt.isEmpty
+
+    // ONE exchange of the edge table; out-degree agg and the share join
+    // both reuse hash(src) partitioning, so setup is a single wide job
+    val adjRep = g.adjacency.repartition(shufflePartitions, col("src"))
     val outW =
-      if (weighted) g.adjacency.groupBy(col("src").as("id")).agg(sum("weight").as("out"))
-      else g.adjacency.groupBy(col("src").as("id")).agg(count(lit(1)).cast("double").as("out"))
-
-    // adjacency with per-edge contribution share, co-partitioned by src once
-    val adj = g.adjacency.join(outW, g.adjacency("src") === outW("id"))
+      if (weighted) adjRep.groupBy("src").agg(sum("weight").as("out"))
+      else adjRep.groupBy("src").agg(count(lit(1)).cast("double").as("out"))
+    val adj = adjRep.join(outW, "src")
       .select(col("src"), col("dst"),
         (if (weighted) col("weight") / col("out") else lit(1.0) / col("out")).as("share"))
-      .repartition(shufflePartitions, col("src"))
       .persist()
     adj.count()
+    dbg("adj materialized")
 
     // pre-partitioned like the per-iteration contrib (hash on id) so the
-    // in-coverage completion join never re-exchanges the node table
-    val nodes = g.vertices.select("id")
-      .repartition(shufflePartitions, col("id")).persist()
+    // in-coverage completion join never re-exchanges the node table; for
+    // the structurally-covered case the distinct over `src` of the
+    // persisted adj reuses its partitioning — no extra exchange
+    val nodes = (
+      if (structurallyCovered) adj.select(col("src").as("id")).distinct()
+      else g.vertices.select("id").repartition(shufflePartitions, col("id"))
+    ).persist()
     val n = nodes.count().toDouble
+    dbg("nodes counted")
     val init = nodes.select(col("id"), lit(1.0 / n).as("rank"))
 
     // nodes with no out-edges: their rank is redistributed uniformly
-    val sinks = nodes.join(outW.select("id"), Seq("id"), "left_anti").persist()
-    val nSinks = sinks.count()
+    val sinks =
+      if (structurallyCovered) null
+      else nodes.join(outW.select(col("src").as("id")), Seq("id"), "left_anti").persist()
+    val nSinks = if (structurallyCovered) 0L else sinks.count()
     val hasSinks = nSinks > 0
     // a sink with no in-edges (every sink of an undirected graph is an
     // isolated vertex) receives only teleport + sink share, so the total
@@ -60,7 +76,7 @@ object PageRank {
     // nodes with no in-edges keep only the teleport term; when every
     // node has an in-edge (any undirected graph) the per-iteration
     // "nodes LEFT JOIN contrib" completion is pure overhead — skip it
-    val inCovered = nodes.join(
+    val inCovered = structurallyCovered || nodes.join(
       g.adjacency.select(col("dst").as("id")).distinct(),
       Seq("id"), "left_anti").isEmpty
 
@@ -84,9 +100,16 @@ object PageRank {
           (coalesce(col("contrib"), lit(0.0)) + lit(sinkMass / n))).as("rank"))
     }
     val debug = sys.env.contains("GRAFT_FIXPOINT_DEBUG")
+    // 4-step spans measured faster than wider ones: a 10-deep chained
+    // plan pays more in planning/AQE than it saves in job scheduling
     val checkEvery = if (sinksIsolated) 4 else 1
-    var cur = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+    // with tol<=0 there is no diff join, so `cur` is read exactly once
+    // per span — materializing init separately would be pure overhead
+    var cur =
+      if (tol > 0) {
+        val c = init.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count(); dbg("init materialized"); c
+      } else init
     // isolated-sink mass recurrence: s₀ = nSinks/n (initial uniform rank),
     // s_{k+1} = nSinks·((1−d)/n + d·s_k/n)
     var isoMass = nSinks / n
@@ -120,7 +143,8 @@ object PageRank {
       i += span
     }
     val result = cur.select("id", "rank")
-    adj.unpersist(false); sinks.unpersist(false); nodes.unpersist(false)
+    adj.unpersist(false); nodes.unpersist(false)
+    if (sinks != null) sinks.unpersist(false)
     result
   }
 
