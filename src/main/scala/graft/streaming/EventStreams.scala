@@ -15,22 +15,24 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (driver testdata layout)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-backed event stream over the testdata `events.parquet`
-    * (nanos → timestamp, same as the batch loader). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
+  /** File-backed event stream over the testdata `events.parquet`.
+    * The schema is taken from the file itself (one driver-side footer
+    * read) so the stream survives testdata layout changes — `ts` has
+    * shipped both as INT64 nanos and as TIMESTAMP(NTZ) across rounds —
+    * and the long→timestamp conversion mirrors [[Tables.load]] exactly,
+    * keeping streaming == batch comparable. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (fileSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // watermarks require TIMESTAMP (not NTZ); sessions pin UTC, so the
+    // cast keeps the same wall-clock and the batch's window boundaries
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** Watermarked tumbling-window aggregate — streaming analog of the
     * batch query `ev1_tumbling`. */
