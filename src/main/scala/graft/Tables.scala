@@ -21,8 +21,10 @@ object Tables {
     else df
   }
 
-  /** Required session configs for the testdata. */
+  /** Required session configs for the testdata + the engine's session
+    * extensions (checkpoint-stats clamp; see [[GraftExtensions]]). */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 }

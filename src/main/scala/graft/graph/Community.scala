@@ -158,6 +158,9 @@ object Community {
     * Returns `(id, community)`. */
   def agglomerative(g: PropertyGraph, maxLevels: Int = 24,
       relThresh: Double = 5e-3): DataFrame = {
+    val debugT0 = System.nanoTime()
+    def dbg(what: String): Unit = if (sys.env.contains("GRAFT_FIXPOINT_DEBUG"))
+      System.err.println(f"[agglo] $what ${(System.nanoTime() - debugT0) / 1e9}%.2fs")
     var cur = g
     var labels = g.vertices.select(col("id"), col("id").as("community"))
       .localCheckpoint(true)
@@ -165,6 +168,7 @@ object Community {
     var repeat = n >= 2
     var level = 0
     while (repeat && level < maxLevels) {
+      dbg(s"level $level start n=$n")
       val w = cur.edges.agg(coalesce(sum("weight"), lit(0.0))).head.getDouble(0)
       if (w == 0.0) { repeat = false }
       else {
@@ -176,8 +180,10 @@ object Community {
             (col("weight") / w -
               (col("du") / (2.0 * w)) * (col("dv") / (2.0 * w))).as("weight"))
           .filter(col("weight") > 0)
+        dbg("scored")
         val matched = Matching.suitor(
           PropertyGraph(scored, directed = false, Some(cur.vertices.select("id"))))
+        dbg("matched")
         // matched pairs (u < v) contract to u; everyone else stays singleton
         val pairMap = matched.select(col("u").as("id"), col("u").as("community"))
           .unionAll(matched.select(col("v").as("id"), col("u").as("community")))
@@ -186,8 +192,10 @@ object Community {
           .select(col("id"),
             coalesce(col("community"), col("id")).as("community"))
           .localCheckpoint(true)
+        dbg("part")
         val coarse = coarsen(cur, part)
         val cn = coarse.vertices.count()
+        dbg("coarse counted")
         repeat = cn < n && cn >= 2 && (n - cn).toDouble / n > relThresh
         if (repeat) {
           labels = labels

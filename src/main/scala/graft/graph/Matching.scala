@@ -28,7 +28,10 @@ object Matching {
     var first = true
     var done = false
     var i = 0
+    val debugT0 = System.nanoTime()
     while (!done && i < maxIter) {
+      if (sys.env.contains("GRAFT_FIXPOINT_DEBUG"))
+        System.err.println(f"[suitor] round $i ${(System.nanoTime() - debugT0) / 1e9}%.2fs")
       // best proposal per node via max(struct): (weight desc, dst asc)
       // — a hash agg, no per-partition sort, and avoids a Spark 4
       // analyzer bug self-joining window outputs ("key not found: #N")

@@ -1,0 +1,54 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Clamps the size statistics that `localCheckpoint`ed frames inherit
+  * from their origin plan.
+  *
+  * `Dataset.localCheckpoint` stores `optimizedPlan.stats` on the new
+  * `LogicalRDD` leaf. Catalyst's fallback estimator
+  * (`SizeInBytesOnlyStatsPlanVisitor`) multiplies children's
+  * `sizeInBytes` at every join, so an iterative algorithm that
+  * checkpoints each round re-feeds an already-inflated product into the
+  * next round's product: the estimate's BIT LENGTH grows geometrically
+  * with iteration count. After a few dozen rounds the `BigInt` has
+  * millions of digits and a single stats pass spends minutes inside
+  * `BigInteger.multiplyToomCook3` — the driver appears hung while
+  * planning a trivially small query (observed: the multi-level
+  * matching-coarsening loop in `graft.graph.Community.agglomerative`).
+  *
+  * A checkpointed frame's true size is never astronomical — the RDD is
+  * materialized in the block manager — so any inherited estimate above
+  * the clamp can only be product noise. Clamping at the leaves keeps
+  * every downstream product polynomial in plan depth while leaving
+  * genuinely-small estimates (broadcast decisions) untouched.
+  *
+  * Injected by [[graft.GraftExtensions]] via `spark.sql.extensions`.
+  */
+class GraftStatsClampRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case lr: LogicalRDD if lr.stats.sizeInBytes > GraftStatsClampRule.cap =>
+      if (sys.env.contains("GRAFT_FIXPOINT_DEBUG"))
+        System.err.println(s"[clamp] LogicalRDD bits=${lr.stats.sizeInBytes.bitLength}")
+      val clamped = Statistics(
+        sizeInBytes = GraftStatsClampRule.cap,
+        rowCount = lr.stats.rowCount.filter(_ <= GraftStatsClampRule.maxRows))
+      // The replacement must NOT be case-equal to the original:
+      // LogicalRDD equality ignores the curried originStats, and
+      // TreeNode.mapChildren silently keeps the OLD child when the new
+      // one compares equal — an identity-wrapped RDD makes the node
+      // structurally distinct at zero execution cost.
+      val rddCopy = lr.rdd.mapPartitions(it => it, preservesPartitioning = true)
+      LogicalRDD(lr.output, rddCopy, lr.outputPartitioning, lr.outputOrdering,
+        lr.isStreaming, lr.stream)(
+        session.asInstanceOf[classic.SparkSession], Some(clamped), None)
+  }
+}
+
+object GraftStatsClampRule {
+  /** 1 TiB — far above any broadcast threshold, far below compounding. */
+  val cap: BigInt = BigInt(1L) << 40
+  val maxRows: BigInt = BigInt(Long.MaxValue)
+}
