@@ -23,8 +23,11 @@ object Tables {
 
   /** Required session configs for the testdata + the engine's session
     * extensions (checkpoint-stats clamp; see [[GraftExtensions]]). */
-  val sessionConfigs: Map[String, String] = Map(
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.extensions" -> "graft.GraftExtensions")
+  val sessionConfigs: Map[String, String] = {
+    val base = Map(
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.session.timeZone" -> "UTC")
+    if (sys.env.contains("GRAFT_DISABLE_CLAMP")) base
+    else base + ("spark.sql.extensions" -> "graft.GraftExtensions")
+  }
 }

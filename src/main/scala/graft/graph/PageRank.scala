@@ -142,6 +142,7 @@ object PageRank {
       cur = next
       i += span
     }
+    dbg("loop done")
     val result = cur.select("id", "rank")
     adj.unpersist(false); nodes.unpersist(false)
     if (sinks != null) sinks.unpersist(false)

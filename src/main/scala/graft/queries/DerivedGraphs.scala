@@ -31,13 +31,20 @@ object DerivedGraphs {
           .filter(col("weight") >= minShared)
           .localCheckpoint(true)
       else {
-        val op = Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        op.as("a")
-          .join(op.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        // one groupBy(order) with collect_set replaces distinct + the
+        // orderkey self-join (two fewer wide shuffles of the pair table;
+        // the k² pair expansion happens map-side inside codegen'd array
+        // transforms, bounded by the per-order fan-out, not the table)
+        val pairs = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(flatten(expr(
+            """transform(ps, (x, i) ->
+              |  transform(slice(ps, i + 2, size(ps)), y ->
+              |    struct(x AS src, y AS dst)))""".stripMargin))).as("e"))
+          .select(col("e.src"), col("e.dst"))
+        pairs
+          .groupBy(col("src"), col("dst"))
           .agg(count(lit(1)).as("c"))
           .select(col("src"), col("dst"), col("c").cast("double").as("weight"))
           .localCheckpoint(true)

@@ -39,8 +39,13 @@ class GraftStatsClampRule(session: SparkSession) extends Rule[LogicalPlan] {
       // LogicalRDD equality ignores the curried originStats, and
       // TreeNode.mapChildren silently keeps the OLD child when the new
       // one compares equal — an identity-wrapped RDD makes the node
-      // structurally distinct at zero execution cost.
-      val rddCopy = lr.rdd.mapPartitions(it => it, preservesPartitioning = true)
+      // structurally distinct at zero execution cost. The wrapper is
+      // memoized per source-RDD id: optimization runs once per plan
+      // occurrence and again per AQE re-plan, and a fresh wrapper each
+      // time would give each occurrence a distinct rdd.id — defeating
+      // canonical plan equality and with it ReuseExchange/ReuseSubquery,
+      // which recomputes shared branches of iterative self-joins.
+      val rddCopy = GraftStatsClampRule.stableWrapper(lr.rdd)
       LogicalRDD(lr.output, rddCopy, lr.outputPartitioning, lr.outputOrdering,
         lr.isStreaming, lr.stream)(
         session.asInstanceOf[classic.SparkSession], Some(clamped), None)
@@ -51,4 +56,18 @@ object GraftStatsClampRule {
   /** 1 TiB — far above any broadcast threshold, far below compounding. */
   val cap: BigInt = BigInt(1L) << 40
   val maxRows: BigInt = BigInt(Long.MaxValue)
+
+  private val wrappers = new java.util.concurrent.ConcurrentHashMap[
+    Int, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]()
+
+  /** Identity-mapPartitions wrapper, one stable instance per source RDD
+    * (see rule body). The map is pruned wholesale past a bound — entries
+    * are tiny (a narrow RDD handle) and a run touches thousands at most. */
+  private[sql] def stableWrapper(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    if (wrappers.size > 100000) wrappers.clear()
+    wrappers.computeIfAbsent(
+      rdd.id, _ => rdd.mapPartitions(it => it, preservesPartitioning = true))
+  }
 }
