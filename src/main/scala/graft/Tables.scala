@@ -22,7 +22,14 @@ object Tables {
   }
 
   /** Required session configs for the testdata + the engine's session
-    * extensions (checkpoint-stats clamp; see [[GraftExtensions]]). */
+    * extensions (checkpoint-stats clamp; see [[GraftExtensions]]).
+    *
+    * Escape hatch: setting env `GRAFT_DISABLE_CLAMP` (debug-only,
+    * evaluated once at object load) omits the extensions entry and thus
+    * re-enables the exponential checkpoint-stats planning blowup that
+    * [[org.apache.spark.sql.GraftStatsClampRule]] exists to fix —
+    * iterative algorithms (agglomerative clustering, PageRank) will
+    * appear to hang while planning. Never set it in normal runs. */
   val sessionConfigs: Map[String, String] = {
     val base = Map(
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",

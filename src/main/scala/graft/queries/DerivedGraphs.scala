@@ -35,7 +35,12 @@ object DerivedGraphs {
         // orderkey self-join (two fewer wide shuffles of the pair table;
         // the k² pair expansion happens map-side inside codegen'd array
         // transforms, bounded by the per-order fan-out, not the table)
+        // isNotNull guard: the old self-join formulation dropped
+        // null-orderkey rows implicitly (null never equi-joins); groupBy
+        // would instead bucket them together and fabricate pairs. TPC-H
+        // l_orderkey is non-null, but keep the SQL-join semantics exact.
         val pairs = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull)
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
           .select(explode(flatten(expr(

@@ -25,6 +25,71 @@ object ExtendedQueries {
       |sym AS (SELECT src, dst, c FROM e UNION ALL SELECT dst, src, c FROM e),
       |deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)""".stripMargin
 
+  /** The media payload dimension contract (`Multimodal.widthOf` etc.):
+    * every encoded size and decoded dimension is a pure function of
+    * `n_chars`, so the x10–x12 oracles re-derive them here. */
+  private val mediaDimsCte =
+    """m AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  8 + n_chars % 24 AS w, 8 + n_chars % 16 AS h,
+      |  256 + n_chars % 512 AS ns, 1 + n_chars % 5 AS nf
+      |FROM documents)""".stripMargin
+
+  /** Exact Brandes dependency sums (layered σ/δ DP, the x18 shape) from
+    * the `nSources` lowest-id sources, top-`topK` ranked by score —
+    * independent oracle for the x39 exact-betweenness slice. `depth` must
+    * exceed the max source eccentricity (12 at sf0.01; extra levels are
+    * empty and idempotent). */
+  private def brandes64Sql(nSources: Int, depth: Int, topK: Int): String = {
+    val sigLevels = (1 to depth).map { k =>
+      s"""sig$k AS MATERIALIZED (
+         |  SELECT d.s, d.id, sum(sp.sigma) AS sigma
+         |  FROM dm d JOIN symm e2 ON e2.dst = d.id
+         |  JOIN sig${k - 1} sp ON sp.s = d.s AND sp.id = e2.src
+         |  JOIN dm dp ON dp.s = d.s AND dp.id = e2.src AND dp.dist = ${k - 1}
+         |  WHERE d.dist = $k GROUP BY d.s, d.id)""".stripMargin
+    }.mkString(",\n")
+    val delLevels = (s"delL$depth AS MATERIALIZED (SELECT s, id, 0.0 AS delta FROM dm WHERE dist = $depth)" +:
+      (depth - 1 to 0 by -1).map { k =>
+        s"""delL$k AS MATERIALIZED (
+           |  SELECT v.s, v.id,
+           |    coalesce(sum(sv.sigma / sw.sigma * (1.0 + dw.delta)), 0.0) AS delta
+           |  FROM dm v
+           |  JOIN sig sv ON sv.s = v.s AND sv.id = v.id
+           |  LEFT JOIN symm e2 ON e2.src = v.id
+           |  LEFT JOIN dm w ON w.s = v.s AND w.id = e2.dst AND w.dist = ${k + 1}
+           |  LEFT JOIN sig sw ON sw.s = v.s AND sw.id = w.id
+           |  LEFT JOIN delL${k + 1} dw ON dw.s = v.s AND dw.id = w.id
+           |  WHERE v.dist = $k
+           |  GROUP BY v.s, v.id)""".stripMargin
+      }).mkString(",\n")
+    val allDel = (0 to depth).map(k => s"SELECT * FROM delL$k").mkString(" UNION ALL ")
+    val allSig = (0 to depth).map(k => s"SELECT * FROM sig$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $graphCte,
+       |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym),
+       |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT $nSources),
+       |reach(s, id, dist) AS (
+       |  SELECT id, id, 0 FROM srcs
+       |  UNION
+       |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src=r.id
+       |  WHERE r.dist < $depth),
+       |dm AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id),
+       |sig0 AS MATERIALIZED (SELECT s, id, 1.0 AS sigma FROM dm WHERE dist = 0),
+       |$sigLevels,
+       |sig AS MATERIALIZED ($allSig),
+       |$delLevels,
+       |alldel AS ($allDel),
+       |sc AS (SELECT n.id,
+       |  coalesce(sum(CASE WHEN a.id <> a.s THEN a.delta END), 0.0) / 2.0 AS score
+       |FROM nodes n LEFT JOIN alldel a ON a.id = n.id
+       |GROUP BY n.id),
+       |t AS (SELECT row_number() OVER (ORDER BY score DESC, id ASC)::BIGINT AS rank,
+       |  id, round(score, 2) AS dep64 FROM sc)
+       |SELECT rank, id, dep64, 1::BIGINT AS within_err FROM t WHERE rank <= $topK""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
@@ -307,18 +372,30 @@ object ExtendedQueries {
       Multimodal.sampleFrames(media, 1000L)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
     }),
-    // multimodal: stub decode plumbing — byte counts are SQL-derivable;
-    // feature-shape validity (8 floats, each in the stub's [0,2) range)
-    // is checked distributedly and pinned to 1 by the oracle
+    // multimodal: REAL decode (BMP/WAV/GRV1 parse) — the oracle
+    // re-derives the encoded byte totals from the format size formulas
+    // AND the decoded dimensions (width/sample-rate, pixel/sample/frame
+    // counts) from n_chars, so a header mis-parse fails the hash; the
+    // decoded-dims-match-metadata gate runs Spark-side
     "x12_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media)
         .select(col("kind"), col("byte_len"),
-          (size(col("features")) === 8 &&
-            expr("forall(features, x -> x >= 0.0 AND x <= 2.0)")).cast("long").as("ok"))
+          col("features").getItem(0).cast("long").as("f0"),
+          col("features").getItem(5).cast("long").as("units"),
+          (when(col("kind") === "image",
+              col("features").getItem(0) === col("meta_width").cast("float") &&
+              col("features").getItem(1) === col("meta_height").cast("float"))
+            .when(col("kind") === "audio",
+              col("features").getItem(0) === lit(8000f))
+            .otherwise(
+              col("features").getItem(0) === col("meta_width").cast("float") &&
+              col("features").getItem(5) * 1000 === col("meta_duration_ms").cast("float")))
+            .cast("long").as("ok"))
         .groupBy("kind")
         .agg(count(lit(1)).as("n"), sum("byte_len").as("total_bytes"),
-          min("ok").as("features_ok"))
+          sum("f0").as("sum_f0"), sum("units").as("sum_units"),
+          min("ok").as("decoded_dims_ok"))
     }),
     // harmonic closeness for 5 sources (recursive-CTE oracle)
     "x13_harmonic" -> ((s, dir) => {
@@ -477,8 +554,12 @@ object ExtendedQueries {
       )).toDF("covers_edges", "nonnegative", "some_burnt")
     }),
     // KADABRA sampled betweenness vs exact Brandes: the (err=0.1)
-    // additive guarantee must hold on the normalized scores
-    // (constants-if-valid gate; sampling is seed-deterministic)
+    // additive guarantee must hold on the normalized scores (Spark-side
+    // gate; sampling is seed-deterministic). The oracle independently
+    // re-derives the exact side on a fixed slice: dependency sums from
+    // the 64 lowest-id sources (x18's layered σ/δ DP), top-5 ranked —
+    // so a broken Brandes kernel fails the hash even if the comparison
+    // logic were broken identically on both Spark sides.
     "x39_kadabra" -> ((s, dir) => {
       import s.implicits._
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -488,7 +569,14 @@ object ExtendedQueries {
         .select(col("id"), (col("score") * 2.0 / (n * (n - 1.0))).as("exact"))
       val maxDev = est.join(exact, "id")
         .agg(max(abs(col("kadabra") - col("exact")))).as[Double].head()
-      Seq((if (maxDev <= 0.1) 1L else 0L, 1L)).toDF("within_err", "ran")
+      val srcs = g.vertices.orderBy("id").limit(64).select("id").as[Long].collect().toSeq
+      val ex64 = Betweenness.run(g, sourceIds = Some(srcs))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      ex64.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("rank"), col("id"), round(col("score"), 2).as("dep64"),
+          lit(if (maxDev <= 0.1) 1L else 0L).as("within_err"))
     }),
     // generator tail (ring lattice, Dorogovtsev-Mendes, Havel-Hakimi,
     // PubWeb, Mocnik, forest fire) + curveball randomization: each row
@@ -636,11 +724,14 @@ object ExtendedQueries {
         df.agg(count(lit(1)).cast("string"),
           expr("cast(bit_xor(xxhash64(source, id, cast(round(dist, 6) as string))) as string)"))
           .head.toSeq.mkString(":")
-      // reachability (hop-bounded) is weight-independent → the oracle
-      // re-derives the incremental state's row count from scratch
-      val rows = inc.count()
-      Seq((12L, if (fp(inc) == fp(scratch)) 1L else 0L, rows))
-        .toDF("n_sources", "incremental_matches", "state_rows")
+      // the oracle re-derives BOTH the state's row count and the exact
+      // weighted distance sum (edge weights are integer co-occurrence
+      // counts, so Dijkstra distances are exactly-representable integers
+      // and the sum is exact on both sides) via unrolled Bellman–Ford
+      val st = inc.agg(count(lit(1)),
+        coalesce(sum(col("dist").cast("long")), lit(0L))).head
+      Seq((12L, if (fp(inc) == fp(scratch)) 1L else 0L, st.getLong(0), st.getLong(1)))
+        .toDF("n_sources", "incremental_matches", "state_rows", "dist_sum")
     }),
     // DynTopHarmonicCloseness: top-k harmonic maintained through an
     // insertion batch — gate: equals the top-k recomputed from scratch
@@ -918,15 +1009,22 @@ object ExtendedQueries {
         if (Planarity.isPlanar(graphOf(grid))) 1L else 0L
       )).toDF("k4_planar", "k5_planar", "k33sub_planar", "grid_planar")
     }),
-    // biconnected decomposition: distributed bridge certificate + a
-    // labels-cover-edges invariant (constants-if-valid gate)
+    // biconnected decomposition: the oracle independently re-derives the
+    // bridge count (an edge is a bridge iff its endpoints disconnect
+    // without it — per-edge removal reachability CTE) and the
+    // articulation count (per-vertex removal: some neighbor pair
+    // disconnects), so the Hopcroft–Tarjan DFS is cross-checked by a
+    // DFS-free formulation; the distributed certificate flags stay
+    // Spark-side gates
     "x35_bicc" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
-      val (labels, _, bridges) = Biconnected.run(g)
+      val (labels, artic, bridges) = Biconnected.run(g)
       val nEdges = g.edges.filter(col("src") =!= col("dst")).distinct().count()
       val labelsOk = if (labels.count() == nEdges) 1L else 0L
       Biconnected.bridgeCertificate(g, bridges)
         .withColumn("labels_ok", lit(labelsOk))
+        .withColumn("n_bridges", lit(bridges.count()))
+        .withColumn("n_artic", lit(artic.count()))
     }),
     // eigenvector centrality: a fixed 30 power iterations (tol=0
     // disables early stop) so the oracle can unroll the identical
@@ -1048,18 +1146,31 @@ object ExtendedQueries {
          |da AS (SELECT s, id, min(dist) AS dist FROM ra GROUP BY s, id)
          |SELECT (SELECT max(dist) FROM d2)::BIGINT AS diameter_lb,
          |  (SELECT max(dist) FROM da)::BIGINT AS ecc_max_64""".stripMargin,
-    "x55_dyndijkstra" ->
-      s"""WITH RECURSIVE $graphCte,
+    "x55_dyndijkstra" -> {
+      // unrolled Bellman–Ford over the integer co-occurrence weights:
+      // d_{k+1}(s,v) = min(d_k(s,v), min_{(u,v)∈E} d_k(s,u)+w(u,v)).
+      // 30 relaxation steps (converged at ≤25 at sf0.01; extra steps are
+      // idempotent at the fixpoint) — exact BIGINT arithmetic, so this
+      // re-derives the Dijkstra state's weighted distance sum, not just
+      // the weight-independent reachability row count.
+      val steps = 30
+      val bf = (1 to steps).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT s, id, min(dist) AS dist FROM (
+           |    SELECT s, id, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT d.s, e2.dst AS id, d.dist + e2.c AS dist
+           |    FROM d${k - 1} d JOIN sym e2 ON e2.src = d.id) GROUP BY s, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
          |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 12),
-         |r(s, id, dist) AS (
-         |  SELECT id, id, 0 FROM srcs
-         |  UNION
-         |  SELECT r.s, e2.dst, r.dist+1 FROM r JOIN sym e2 ON e2.src=r.id
-         |  WHERE r.dist < 30),
-         |dd AS (SELECT s, id FROM r GROUP BY s, id)
+         |d0 AS MATERIALIZED (SELECT id AS s, id, 0::BIGINT AS dist FROM srcs),
+         |$bf
          |SELECT 12::BIGINT AS n_sources, 1::BIGINT AS incremental_matches,
-         |  count(*)::BIGINT AS state_rows FROM dd""".stripMargin,
+         |  count(*)::BIGINT AS state_rows, sum(dist)::BIGINT AS dist_sum
+         |FROM d$steps""".stripMargin
+    },
     "x56_dynharmonic" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -1290,12 +1401,16 @@ object ExtendedQueries {
         | ('ws', 0::BIGINT, 1::BIGINT),
         | ('rmat', 0::BIGINT, 1::BIGINT)) AS t(gen, bad_rows, m_in_range)""".stripMargin,
     "x12_features" ->
-      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        | count(*) AS n,
-        | sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
-        | 1::BIGINT AS features_ok
-        |FROM documents GROUP BY 1""".stripMargin,
+      s"""WITH $mediaDimsCte
+         |SELECT kind, count(*) AS n,
+         |  sum(CASE kind WHEN 'image' THEN 54 + ((3*w+3)//4*4)*h
+         |    WHEN 'audio' THEN 44 + 2*ns
+         |    ELSE 16 + nf*w*h*3 END)::BIGINT AS total_bytes,
+         |  sum(CASE kind WHEN 'audio' THEN 8000 ELSE w END)::BIGINT AS sum_f0,
+         |  sum(CASE kind WHEN 'image' THEN w*h WHEN 'audio' THEN ns
+         |    ELSE nf END)::BIGINT AS sum_units,
+         |  1::BIGINT AS decoded_dims_ok
+         |FROM m GROUP BY 1""".stripMargin,
     "x15_walks" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
@@ -1461,16 +1576,18 @@ object ExtendedQueries {
          |SELECT e.src, e.dst, round(coalesce(ag.v, 0), 6) AS score
          |FROM e LEFT JOIN ag ON ag.s = e.src AND ag.t2 = e.dst""".stripMargin,
     "x10_media" ->
-      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        | count(*) AS n,
-        | sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
-        | sum(n_chars * 10)::BIGINT AS total_ms
-        |FROM documents GROUP BY 1""".stripMargin,
+      s"""WITH $mediaDimsCte
+         |SELECT kind, count(*) AS n,
+         |  sum(CASE kind WHEN 'image' THEN 54 + ((3*w+3)//4*4)*h
+         |    WHEN 'audio' THEN 44 + 2*ns
+         |    ELSE 16 + nf*w*h*3 END)::BIGINT AS total_bytes,
+         |  sum(CASE kind WHEN 'image' THEN 0
+         |    WHEN 'audio' THEN ns*1000//8000 ELSE nf*1000 END)::BIGINT AS total_ms
+         |FROM m GROUP BY 1""".stripMargin,
     "x11_frames" ->
-      """SELECT doc_id AS media_id, count(*) AS n_frames
-        |FROM documents, unnest(range(0, greatest(n_chars*10 - 1, 0) + 1, 1000)) AS t(f)
-        |WHERE doc_id % 3 = 2 GROUP BY doc_id""".stripMargin,
+      s"""WITH $mediaDimsCte
+         |SELECT doc_id AS media_id, nf::BIGINT AS n_frames
+         |FROM m WHERE kind = 'video'""".stripMargin,
     "x16_scc" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -1565,10 +1682,38 @@ object ExtendedQueries {
          |  coalesce(sum(len), 0)::BIGINT AS total_len
          |FROM paths WHERE id = (SELECT id FROM two WHERE rn = 2)""".stripMargin,
     "x35_bicc" ->
-      """SELECT 1::BIGINT AS n_bridges_ok, 1::BIGINT AS separated_ok,
-        |  1::BIGINT AS labels_ok""".stripMargin,
-    "x39_kadabra" ->
-      "SELECT 1::BIGINT AS within_err, 1::BIGINT AS ran",
+      // DFS-free re-derivation: a bridge is an edge whose removal
+      // disconnects its endpoints (per-edge removal reachability); an
+      // articulation point is a vertex whose removal disconnects some
+      // neighbor pair (per-vertex removal BFS from the minimum
+      // neighbor). Both recursive CTEs run to their natural fixpoint.
+      s"""WITH RECURSIVE $graphCte,
+         |edges AS MATERIALIZED (SELECT src AS u, dst AS v FROM e),
+         |br(u, v, id) AS (
+         |  SELECT u, v, u FROM edges
+         |  UNION
+         |  SELECT r.u, r.v, s.dst FROM br r JOIN sym s ON s.src = r.id
+         |  WHERE NOT (least(s.src, s.dst) = r.u AND greatest(s.src, s.dst) = r.v)),
+         |bridges AS (
+         |  SELECT e1.u, e1.v FROM edges e1
+         |  WHERE NOT EXISTS (SELECT 1 FROM br
+         |    WHERE br.u = e1.u AND br.v = e1.v AND br.id = e1.v)),
+         |cand AS (SELECT id AS x FROM deg WHERE d >= 2),
+         |startn AS (SELECT c2.x, min(s.dst) AS st
+         |  FROM cand c2 JOIN sym s ON s.src = c2.x GROUP BY c2.x),
+         |ar(x, id) AS (
+         |  SELECT x, st FROM startn
+         |  UNION
+         |  SELECT r.x, s.dst FROM ar r JOIN sym s ON s.src = r.id
+         |  WHERE s.dst <> r.x AND r.id <> r.x),
+         |artic AS (
+         |  SELECT DISTINCT c2.x FROM cand c2 JOIN sym s ON s.src = c2.x
+         |  WHERE NOT EXISTS (SELECT 1 FROM ar WHERE ar.x = c2.x AND ar.id = s.dst))
+         |SELECT 1::BIGINT AS n_bridges_ok, 1::BIGINT AS separated_ok,
+         |  1::BIGINT AS labels_ok,
+         |  (SELECT count(*) FROM bridges)::BIGINT AS n_bridges,
+         |  (SELECT count(*) FROM artic)::BIGINT AS n_artic""".stripMargin,
+    "x39_kadabra" -> brandes64Sql(nSources = 64, depth = 16, topK = 5),
     "x43_localsim" ->
       s"""WITH $graphCte,
          |cn AS MATERIALIZED (SELECT a.dst AS u, b.dst AS v, count(*) AS cnt

@@ -58,16 +58,28 @@ object GraftStatsClampRule {
   val maxRows: BigInt = BigInt(Long.MaxValue)
 
   private val wrappers = new java.util.concurrent.ConcurrentHashMap[
-    Int, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]()
+    (String, Int), org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]()
+  @volatile private var wrappersApp: String = null
 
   /** Identity-mapPartitions wrapper, one stable instance per source RDD
-    * (see rule body). The map is pruned wholesale past a bound — entries
-    * are tiny (a narrow RDD handle) and a run touches thousands at most. */
+    * (see rule body). RDD ids restart at 0 per SparkContext, so the key
+    * includes the applicationId; when a new application appears the map
+    * is dropped wholesale — the cached wrappers belong to a stopped
+    * context and would fail at execution, and clearing also releases
+    * their lineages (and the stopped SparkContext) for GC. Within one
+    * application entries are never evicted: each is a narrow RDD handle
+    * and a run touches thousands at most, and evicting mid-run would
+    * hand two occurrences of the same source RDD different wrapper
+    * instances, defeating the canonical-plan equality this memo exists
+    * to provide. */
   private[sql] def stableWrapper(
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
-    if (wrappers.size > 100000) wrappers.clear()
+    val app = rdd.sparkContext.applicationId
+    if (wrappersApp != app) synchronized {
+      if (wrappersApp != app) { wrappers.clear(); wrappersApp = app }
+    }
     wrappers.computeIfAbsent(
-      rdd.id, _ => rdd.mapPartitions(it => it, preservesPartitioning = true))
+      (app, rdd.id), _ => rdd.mapPartitions(it => it, preservesPartitioning = true))
   }
 }
