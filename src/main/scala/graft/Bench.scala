@@ -38,27 +38,39 @@ object Bench {
     // one tiny warmup action so JVM/codegen startup isn't billed to q1
     spark.range(1000).count()
 
+    // medians of `runs` (default 3) so single-run noise (JIT, GC, page
+    // cache) doesn't masquerade as a regression; min is reported too so
+    // best-case cost stays visible
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     var anyFailed = false
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
-          anyFailed = true; false
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+            anyFailed = true; false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // housekeeping OUTSIDE the timed section: drop caches left by
+        // the query and collect garbage so GC pauses aren't billed to
+        // the next measurement
+        spark.catalog.clearCache()
+        System.gc()
+        if (ok) Some(dt) else None
       }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // housekeeping OUTSIDE the timed section: drop caches left by the
-      // query and collect garbage so GC pauses aren't billed to the
-      // next query
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+      val sorted = times.sorted
+      val median = if (sorted.isEmpty) -1.0 else sorted(sorted.length / 2)
+      val minT = if (sorted.isEmpty) -1.0 else sorted.head
+      (name, median, minT)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def fmt(sel: ((String, Double, Double)) => Double) = results
+      .map { r => "\"" + r._1 + "\":" + f"${sel(r)}%.3f" }.mkString("{", ",", "}")
+    val qs = fmt(_._2)
+    val qsMin = fmt(_._3)
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

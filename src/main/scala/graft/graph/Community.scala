@@ -62,6 +62,56 @@ object Community {
     res
   }
 
+  /** Degree-ordered label propagation (reference
+    * `community/LPDegreeOrdered.hpp:22`): the reference processes nodes
+    * in increasing-degree order, so labels carried by low-degree nodes
+    * settle — and propagate — first. Spark adaptation (documented
+    * deviation, same spirit as the synchronous-PLP standardization
+    * above): synchronous rounds, but the frequency tie-break prefers the
+    * label arriving via the lowest-degree neighbor — (count desc,
+    * min sending-degree asc, label asc) — which is the degree-precedence
+    * the sequential ordering encodes, made deterministic and
+    * partitioning-independent. One extra broadcast-sized join per round
+    * (degrees onto the adjacency, computed once). */
+  def plpDegreeOrdered(g: PropertyGraph, maxIter: Int = 30,
+      threshold: Long = 0): DataFrame = {
+    val adj = sym(g).select("src", "dst")
+      .join(g.degrees.select(col("id").as("src"), col("degree").as("srcDeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = g.vertices.select(col("id"), col("id").as("community"))
+      .withColumn("changed", lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val labels = cur.select("id", "community")
+      val freq = labels.join(adj, labels("id") === adj("src"))
+        .groupBy(col("dst").as("id"), col("community"))
+        .agg(count(lit(1)).as("cnt"), min("srcDeg").as("minDeg"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("cnt").desc, col("minDeg").asc, col("community").asc)
+      val best = freq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("community").as("newCommunity"))
+      val stepped = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("newCommunity"), col("community")).as("community"),
+          (coalesce(col("newCommunity"), col("community")) =!= col("community"))
+            .cast("long").as("changed"))
+      val next =
+        if ((i + 1) % 4 == 0) stepped.localCheckpoint(false)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.agg(sum("changed")).head.getLong(0)
+      cur.unpersist(blocking = false)
+      cur = next
+      done = changed <= threshold
+      i += 1
+    }
+    val res = cur.select("id", "community")
+    adj.unpersist(false)
+    res
+  }
+
   /** Modularity Q of a partition `(id, community)` (reference
     * `community/Modularity.hpp:28`): Q = Σ_c [in_c/2m − (tot_c/2m)²]
     * over the symmetric weighted adjacency (2m = total sym weight). */
@@ -579,7 +629,15 @@ object Community {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = joined.count().toDouble
     val cells = joined.groupBy("c1", "c2").agg(count(lit(1)).as("nij"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = nmiOfCells(cells, n)
+    joined.unpersist(false)
+    out
+  }
+
+  /** NMI from an explicit contingency table `(c1, c2, nij)` with total
+    * mass `n` — shared by [[nmi]] and the incremental [[dynamicNmi]]. */
+  private def nmiOfCells(cellsIn: DataFrame, n: Double): Double = {
+    val cells = cellsIn.persist(StorageLevel.MEMORY_AND_DISK)
     val rows = cells.groupBy("c1").agg(sum("nij").as("ai"))
     val cols = cells.groupBy("c2").agg(sum("nij").as("bj"))
     val mi = cells.join(rows, "c1").join(cols, "c2")
@@ -592,8 +650,52 @@ object Community {
     val h1 = entropy(rows, "ai")
     val h2 = entropy(cols, "bj")
     cells.unpersist(false)
-    joined.unpersist(false)
     if (h1 + h2 == 0.0) 1.0 else 2.0 * mi / (h1 + h2)
+  }
+
+  /** DynamicNMIDistance (reference `community/DynamicNMIDistance.hpp`):
+    * NMI between a fixed reference partition and an EVOLVING partition,
+    * maintained through label-change events. The `(c1, c2)` contingency
+    * table is distributed state updated per step with only the changed
+    * nodes' −old/+new cell deltas — never rebuilt from the full n-row
+    * join — so a step costs O(|changes| + |cells|) regardless of n; NMI
+    * is then recomputed from the (community-count-sized) table. Events:
+    * `(step, id, community)` reassignments, steps 1..maxStep. Returns
+    * one row per step `(step, nmi)`, step 0 = base vs initial. */
+  def dynamicNmi(base: DataFrame, initial: DataFrame, changes: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val ref = base.select(col("id"), col("community").as("c1"))
+      .localCheckpoint(true)
+    val n = ref.count().toDouble
+    var labels = initial.select(col("id"), col("community").as("c2"))
+      .localCheckpoint(true)
+    var cells = ref.join(labels, "id")
+      .groupBy("c1", "c2").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val maxStep = changes.agg(coalesce(max("step"), lit(0L))).head.getLong(0)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Double)](
+      (0L, nmiOfCells(cells, n)))
+    for (t <- 1L to maxStep) {
+      val delta = changes.filter(col("step") === t)
+        .select(col("id"), col("community").as("cNew"))
+      val moved = delta.join(labels, "id").join(ref, "id")
+        .select(col("id"), col("c1"), col("c2").as("cOld"), col("cNew"))
+        .localCheckpoint(true)
+      val dec = moved.groupBy(col("c1"), col("cOld").as("c2"))
+        .agg((-count(lit(1))).as("nij"))
+      val inc = moved.groupBy(col("c1"), col("cNew").as("c2"))
+        .agg(count(lit(1)).as("nij"))
+      cells = cells.unionAll(dec).unionAll(inc)
+        .groupBy("c1", "c2").agg(sum("nij").as("nij"))
+        .filter(col("nij") > 0)
+        .localCheckpoint(true)
+      labels = labels.join(moved.select("id", "cNew"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cNew"), col("c2")).as("c2"))
+        .localCheckpoint(true)
+      out += ((t, nmiOfCells(cells, n)))
+    }
+    out.toSeq.toDF("step", "nmi")
   }
 
   /** Two-level map-equation codelength L(M) in bits (reference

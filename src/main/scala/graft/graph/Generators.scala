@@ -267,8 +267,20 @@ object Generators {
     * predicate). */
   def hyperbolic(spark: SparkSession, n: Long, radius: Double,
       gamma: Double = 3.0, seed: Long = 42, nBands: Int = 16): PropertyGraph = {
-    val coshR = math.cosh(radius)
     val nodes = hyperbolicCoords(spark, n, radius, gamma, seed)
+    val edges = hyperbolicEdgesFromCoords(spark, nodes, radius, nBands)
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+    PropertyGraph(edges, directed = false,
+      Some(spark.range(n).select(col("id"))))
+  }
+
+  /** Banded candidate join over explicit coordinates `(id, theta, r)` →
+    * canonical `(src, dst)` edges of the threshold predicate. Shared by
+    * [[hyperbolic]] and [[dynamicHyperbolic]] (which re-evaluates it on
+    * moved coordinates each step). */
+  private[graft] def hyperbolicEdgesFromCoords(spark: SparkSession,
+      nodes: DataFrame, radius: Double, nBands: Int): DataFrame = {
+    val coshR = math.cosh(radius)
     val bandW = radius / nBands
     val withBand = nodes.withColumn("band",
       least(lit(nBands - 1), floor(col("r") / bandW)).cast("int"))
@@ -311,10 +323,73 @@ object Generators {
       .select(least(col("u"), col("v")).as("src"),
         greatest(col("u"), col("v")).as("dst"))
       .distinct()
-      .select(col("src"), col("dst"), lit(1.0).as("weight"))
-    PropertyGraph(edges, directed = false,
-      Some(spark.range(n).select(col("id"))))
+    edges
   }
+
+  /** Dynamic hyperbolic generator (reference
+    * `generators/DynamicHyperbolicGenerator.hpp:18`): per step a hashed
+    * `moveFraction` of the nodes drifts — angular rotation plus a
+    * radius perturbation clamped to (0, R], both deterministic in
+    * (seed, step, id) — and the threshold graph is re-evaluated on the
+    * moved coordinates through the same banded candidate join as the
+    * static scale path. Emitted events: step 0 = every initial edge as
+    * an addition; step t>0 = the symmetric difference vs step t−1
+    * (EDGE_ADDITION / EDGE_REMOVAL). Output `(step, type, u, v)`,
+    * u < v canonical. */
+  def dynamicHyperbolic(spark: SparkSession, n: Long, radius: Double,
+      steps: Int, moveFraction: Double = 0.3, gamma: Double = 3.0,
+      seed: Long = 42, nBands: Int = 16): DataFrame = {
+    import spark.implicits._
+    def coordsAt(t: Int): DataFrame =
+      dynamicHyperbolicCoords(spark, n, radius, t, moveFraction, gamma, seed)
+    var prev = hyperbolicEdgesFromCoords(spark, coordsAt(0), radius, nBands)
+      .localCheckpoint(true)
+    var events = prev.select(lit(0L).as("step"), lit("EDGE_ADDITION").as("type"),
+      col("src").as("u"), col("dst").as("v"))
+    for (t <- 1 to steps) {
+      val cur = hyperbolicEdgesFromCoords(spark, coordsAt(t), radius, nBands)
+        .localCheckpoint(true)
+      val adds = cur.except(prev).select(lit(t.toLong).as("step"),
+        lit("EDGE_ADDITION").as("type"), col("src").as("u"), col("dst").as("v"))
+      val rems = prev.except(cur).select(lit(t.toLong).as("step"),
+        lit("EDGE_REMOVAL").as("type"), col("src").as("u"), col("dst").as("v"))
+      events = events.unionAll(adds).unionAll(rems).localCheckpoint(true)
+      prev = cur
+    }
+    events
+  }
+
+  /** Coordinates after `t` movement steps — closed-form accumulated
+    * drift (theta_t = theta_0 + Σ_{s≤t} dθ_s, r likewise clamped to
+    * (0, R]), so any step is one column expression with no lineage
+    * growth. Exposed for the replay oracle gate. */
+  private[graft] def dynamicHyperbolicCoords(spark: SparkSession, n: Long,
+      radius: Double, t: Int, moveFraction: Double, gamma: Double,
+      seed: Long): DataFrame = {
+    var theta = u01(seed, col("id")) * (2 * math.Pi)
+    val alpha = (gamma - 1.0) / 2.0
+    val coshAR = math.cosh(alpha * radius)
+    var r = acosh(lit(1.0) + u01(seed + 1, col("id")) * (coshAR - 1.0)) / alpha
+    for (s <- 1 to t) {
+      val moving = u01(seed ^ (0x900 + s), col("id")) < moveFraction
+      val dTh = (u01(seed ^ (0xa00 + s), col("id")) - 0.5) * (0.2 * math.Pi)
+      val dR = (u01(seed ^ (0xb00 + s), col("id")) - 0.5) * (0.1 * radius)
+      theta = theta + when(moving, dTh).otherwise(lit(0.0))
+      r = least(lit(radius), greatest(lit(1e-9),
+        r + when(moving, dR).otherwise(lit(0.0))))
+    }
+    spark.range(n).select(col("id"),
+      pmod(theta, lit(2 * math.Pi)).as("theta"), r.as("r"))
+  }
+
+  /** Threshold edges at movement step `t` — the from-scratch snapshot
+    * the event replay must reproduce. */
+  private[graft] def dynamicHyperbolicSnapshot(spark: SparkSession, n: Long,
+      radius: Double, t: Int, moveFraction: Double = 0.3, gamma: Double = 3.0,
+      seed: Long = 42, nBands: Int = 16): DataFrame =
+    hyperbolicEdgesFromCoords(spark,
+      dynamicHyperbolicCoords(spark, n, radius, t, moveFraction, gamma, seed),
+      radius, nBands)
 
   private def hyperbolicCoords(spark: SparkSession, n: Long, radius: Double,
       gamma: Double, seed: Long): DataFrame = {

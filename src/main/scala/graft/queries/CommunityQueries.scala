@@ -345,6 +345,46 @@ object CommunityQueries {
         math.rint(selfSim * 1e6) / 1e6,
         math.rint(ab * 1e6) / 1e6
       )).toDF("onmi_self", "onmi_ab")
+    }),
+    // degree-ordered label propagation: c7's validity gates plus the
+    // variant-specific check that it actually differs in mechanism —
+    // modularity must be no worse than a degree-blind random partition
+    "c22_lpdegord" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = Community.plpDegreeOrdered(g, maxIter = 15)
+      val q = Community.modularity(g, p)
+      val qRand = Community.modularity(g,
+        g.vertices.select(col("id"), (col("id") % 8).as("community")))
+      p.agg(count(lit(1)).as("n_labeled"),
+          countDistinct(col("id")).as("distinct_ids"))
+        .select(col("n_labeled"), col("distinct_ids"),
+          lit(if (q >= -1e-9 && q >= qRand - 1e-9) 1L else 0L).as("q_ok"))
+    }),
+    // DynamicNMIDistance: NMI(base, evolving) maintained incrementally
+    // through a deterministic label-change schedule (step t moves the
+    // id%10==t class to 100+id%3). The oracle re-derives every step's
+    // NMI from the closed-form evolved partition; the incremental-
+    // equals-from-scratch gate runs Spark-side.
+    "c23_dynnmi" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val base = g.vertices.select(col("id"), (col("id") % 6).as("community"))
+      val initial = g.vertices.select(col("id"), (col("id") % 4).as("community"))
+      val changes = (1 to 3).map(t =>
+        g.vertices.filter(col("id") % 10 === t)
+          .select(lit(t.toLong).as("step"), col("id"),
+            (lit(100L) + col("id") % 3).as("community")))
+        .reduce(_ unionAll _)
+      val dyn = Community.dynamicNmi(base, initial, changes).localCheckpoint(true)
+      val scratchOk = (0 to 3).forall { t =>
+        val evolved = g.vertices.select(col("id"),
+          when(col("id") % 10 >= 1 && col("id") % 10 <= t,
+            lit(100L) + col("id") % 3).otherwise(col("id") % 4).as("community"))
+        val sN = Community.nmi(base, evolved)
+        val dN = dyn.filter(col("step") === t).head.getDouble(1)
+        math.abs(sN - dN) < 1e-9
+      }
+      dyn.select(col("step"), round(col("nmi"), 6).as("nmi"),
+        lit(if (scratchOk) 1L else 0L).as("matches_scratch"))
     })
   )
 
@@ -417,6 +457,38 @@ object CommunityQueries {
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
          |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
          |  1::BIGINT AS q_ok FROM nodes""".stripMargin,
+    "c22_lpdegord" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_labeled, count(*) AS distinct_ids,
+         |  1::BIGINT AS q_ok FROM nodes""".stripMargin,
+    "c23_dynnmi" -> {
+      // one NMI block per step over the closed-form evolved partition
+      // (c10's contingency/entropy SQL, instantiated at t = 0..3)
+      val blocks = (0 to 3).map { t =>
+        s"""cells$t AS MATERIALIZED (SELECT c1, c2, count(*)*1.0 AS nij FROM (
+           |    SELECT id % 6 AS c1,
+           |      CASE WHEN id % 10 BETWEEN 1 AND $t THEN 100 + id % 3
+           |        ELSE id % 4 END AS c2 FROM n2) GROUP BY c1, c2),
+           |rws$t AS (SELECT c1, sum(nij) AS ai FROM cells$t GROUP BY c1),
+           |cls$t AS (SELECT c2, sum(nij) AS bj FROM cells$t GROUP BY c2),
+           |mi$t AS (SELECT sum(nij/(SELECT n FROM nn)
+           |        * ln(nij*(SELECT n FROM nn)/(ai*bj))) AS v
+           |       FROM cells$t JOIN rws$t USING (c1) JOIN cls$t USING (c2)),
+           |h1x$t AS (SELECT -sum(ai/(SELECT n FROM nn)*ln(ai/(SELECT n FROM nn))) AS v FROM rws$t),
+           |h2x$t AS (SELECT -sum(bj/(SELECT n FROM nn)*ln(bj/(SELECT n FROM nn))) AS v FROM cls$t)""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to 3).map { t =>
+        s"""SELECT $t::BIGINT AS step,
+           |  round(2*(SELECT v FROM mi$t)/((SELECT v FROM h1x$t)+(SELECT v FROM h2x$t)), 6) AS nmi,
+           |  1::BIGINT AS matches_scratch""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $graphCte,
+         |n2 AS (SELECT DISTINCT src AS id FROM sym),
+         |nn AS MATERIALIZED (SELECT count(*)*1.0 AS n FROM n2),
+         |$blocks
+         |$rows""".stripMargin
+    },
     "c8_louvain" ->
       s"""WITH $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym)

@@ -1059,6 +1059,73 @@ object ExtendedQueries {
     "x66_toposort" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       Digraph.topologicalSort(PropertyGraph(g.edges, directed = true))
+    }),
+    // random spanning forest (seeded random-weight Borůvka): the oracle
+    // re-derives n, the component count (min-label CC CTE) and the
+    // forest size n−c; spanning (no original edge crosses forest
+    // components) and acyclicity (|F| = n − c_F) are Spark gates
+    "x67_randforest" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val f = SpanningForest.randomSpanningForest(g, seed = 42).localCheckpoint(true)
+      val n = g.vertices.count()
+      val nComp = ConnectedComponents.run(g).select("component").distinct().count()
+      val fe = f.count()
+      val fcc = ConnectedComponents.run(
+        PropertyGraph(f, directed = false, Some(g.vertices))).localCheckpoint(true)
+      val cross = g.edges
+        .join(fcc.withColumnRenamed("id", "src").withColumnRenamed("component", "ca"), "src")
+        .join(fcc.withColumnRenamed("id", "dst").withColumnRenamed("component", "cb"), "dst")
+        .filter(col("ca") =!= col("cb")).count()
+      val fComp = fcc.select("component").distinct().count()
+      Seq((n, nComp, fe,
+        if (cross == 0) 1L else 0L,
+        if (fe == n - fComp) 1L else 0L))
+        .toDF("n_nodes", "n_components", "forest_edges", "spanning_ok", "acyclic_ok")
+    }),
+    // union of all maximum spanning forests, on the minShared=1 graph
+    // (weight classes 1..k make the union genuinely selective): edge
+    // count and total weight re-derived by a per-weight-class CC oracle;
+    // maxSF ⊆ UMSF is the Spark gate
+    "x68_umsf" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 1)
+      val um = SpanningForest.unionMaximumSpanningForest(g).localCheckpoint(true)
+      val maxf = SpanningForest.maxSpanningForest(g)
+      val notIn = maxf.select("src", "dst")
+        .join(um.select("src", "dst"), Seq("src", "dst"), "left_anti").count()
+      um.agg(count(lit(1)).as("umsf_edges"),
+          sum(col("weight").cast("long")).as("umsf_weight"))
+        .select(col("umsf_edges"), col("umsf_weight"),
+          lit(if (notIn == 0) 1L else 0L).as("contains_maxsf"))
+    }),
+    // dynamic hyperbolic generator (x45's event-stream gate pattern):
+    // step 0 must equal the static banded generator edge-exactly,
+    // last-event-wins replay must equal the from-scratch snapshot at the
+    // final coordinates, and movement must actually remove edges
+    "x69_dynhyperbolic" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val n = 300L; val radius = 4.0; val steps = 3
+      val ev = Generators.dynamicHyperbolic(s, n, radius, steps)
+        .localCheckpoint(true)
+      val static0 = Generators.hyperbolic(s, n, radius).edges.select("src", "dst")
+      val init = ev.filter(col("step") === 0)
+        .select(col("u").as("src"), col("v").as("dst"))
+      val initMatches = init.except(static0).isEmpty && static0.except(init).isEmpty
+      val lastState = ev.groupBy("u", "v")
+        .agg(max(struct(col("step"), (col("type") === "EDGE_ADDITION").as("on")))
+          .as("last"))
+        .filter(col("last.on"))
+        .select(col("u").as("src"), col("v").as("dst"))
+      val direct = Generators.dynamicHyperbolicSnapshot(s, n, radius, steps)
+      val replayOk = lastState.except(direct).isEmpty && direct.except(lastState).isEmpty
+      val nRems = ev.filter(col("type") === "EDGE_REMOVAL").count()
+      Seq((
+        if (initMatches) 1L else 0L,
+        if (replayOk) 1L else 0L,
+        if (nRems > 0) 1L else 0L
+      )).toDF("initial_matches_static", "replay_ok", "has_removals")
     })
   )
 
@@ -1740,6 +1807,9 @@ object ExtendedQueries {
     "x45_dynpubweb" ->
       """SELECT 1::BIGINT AS has_adds, 1::BIGINT AS first_step_pure,
         |  1::BIGINT AS replay_ok""".stripMargin,
+    "x69_dynhyperbolic" ->
+      """SELECT 1::BIGINT AS initial_matches_static, 1::BIGINT AS replay_ok,
+        |  1::BIGINT AS has_removals""".stripMargin,
     "x36_generators2" ->
       """SELECT gen, 1::BIGINT AS ok1, 1::BIGINT AS ok2 FROM (VALUES
         |  ('ring'), ('dm'), ('havelhakimi'), ('curveball'),
@@ -1789,6 +1859,43 @@ object ExtendedQueries {
          |  SELECT id, 0 FROM nodes WHERE id NOT IN (SELECT dst FROM e)
          |  UNION
          |  SELECT e2.dst, r.d+1 FROM r JOIN e e2 ON e2.src=r.id WHERE r.d < 500)
-         |SELECT id, max(d)::BIGINT AS level FROM r GROUP BY id""".stripMargin
+         |SELECT id, max(d)::BIGINT AS level FROM r GROUP BY id""".stripMargin,
+    "x67_randforest" ->
+      // min-label CC to fixpoint: any spanning forest has exactly n − c
+      // edges, independent of the random draw
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |r(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.dst, r.comp FROM r JOIN sym s ON s.src = r.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+         |SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+         |  count(DISTINCT comp)::BIGINT AS n_components,
+         |  ((SELECT count(*) FROM nodes) - count(DISTINCT comp))::BIGINT AS forest_edges,
+         |  1::BIGINT AS spanning_ok, 1::BIGINT AS acyclic_ok FROM cc""".stripMargin,
+    "x68_umsf" ->
+      // cut-property re-derivation on the minShared=1 graph: an edge is
+      // in some maximum spanning forest iff its endpoints are in
+      // different components of the STRICTLY-heavier subgraph — one
+      // min-label CC per distinct weight class, keyed by threshold w
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+        |      FROM op a JOIN op b ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey
+        |      GROUP BY 1,2),
+        |sym AS (SELECT src, dst, c FROM e UNION ALL SELECT dst, src, c FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |wcls AS (SELECT DISTINCT c AS w FROM e),
+        |r(w, id, comp) AS (
+        |  SELECT w.w, n.id, n.id FROM wcls w, nodes n
+        |  UNION
+        |  SELECT r.w, s.dst, r.comp FROM r JOIN sym s ON s.src = r.id AND s.c > r.w),
+        |cc AS (SELECT w, id, min(comp) AS comp FROM r GROUP BY w, id),
+        |umsf AS (SELECT e1.src, e1.dst, e1.c FROM e e1
+        |  JOIN cc a ON a.w = e1.c AND a.id = e1.src
+        |  JOIN cc b ON b.w = e1.c AND b.id = e1.dst
+        |  WHERE a.comp <> b.comp)
+        |SELECT count(*)::BIGINT AS umsf_edges, sum(c)::BIGINT AS umsf_weight,
+        |  1::BIGINT AS contains_maxsf FROM umsf""".stripMargin
   )
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph._
+
+/** Specs for the round-5 long-tail operators: random / union-max
+  * spanning forests, degree-ordered PLP, incremental NMI distance, and
+  * the dynamic hyperbolic generator. */
+class ForestDynSpec extends SparkSpec {
+
+  private def graphOf(edges: Seq[(Long, Long, Double)]): PropertyGraph = {
+    import spark.implicits._
+    PropertyGraph(edges.toDF("src", "dst", "weight"), directed = false)
+  }
+
+  test("randomSpanningForest: n-c edges, subset of E, seed-sensitive") {
+    // two squares joined by a bridge: 8 nodes, 9 edges, 1 component
+    val edges = Seq((0L,1L), (1L,2L), (2L,3L), (3L,0L), (3L,4L),
+      (4L,5L), (5L,6L), (6L,7L), (7L,4L)).map { case (u,v) => (u, v, 1.0) }
+    val g = graphOf(edges)
+    val forests = Seq(1L, 2L, 3L, 4L).map { seed =>
+      val f = SpanningForest.randomSpanningForest(g, seed)
+      val fs = f.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fs.size == 7, s"seed $seed: expected n-c=7 edges, got ${fs.size}")
+      assert(fs.subsetOf(edges.map(e =>
+        (math.min(e._1, e._2), math.max(e._1, e._2))).toSet))
+      fs
+    }
+    // the two 4-cycles give 16 spanning trees; 4 seeds should not all agree
+    assert(forests.distinct.size > 1, "all seeds produced the same forest")
+  }
+
+  test("maxSpanningForest picks the heavy edges") {
+    // triangle 0-1-2 with weights 5,3,1 plus pendant: maxSF = {5,3,pendant}
+    val g = graphOf(Seq((0L,1L,5.0), (1L,2L,3.0), (0L,2L,1.0), (2L,3L,2.0)))
+    val f = SpanningForest.maxSpanningForest(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(f == Set((0L,1L,5.0), (1L,2L,3.0), (2L,3L,2.0)))
+  }
+
+  test("unionMaximumSpanningForest keeps ties, drops dominated edges") {
+    // triangle with weights 2,2,1: both 2s are in some maxSF, the 1 is not
+    val g = graphOf(Seq((0L,1L,2.0), (1L,2L,2.0), (0L,2L,1.0)))
+    val um = SpanningForest.unionMaximumSpanningForest(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(um == Set((0L,1L), (1L,2L)))
+    // equal-weight square: every edge is in some maxSF
+    val sq = graphOf(Seq((0L,1L,1.0), (1L,2L,1.0), (2L,3L,1.0), (0L,3L,1.0)))
+    assert(SpanningForest.unionMaximumSpanningForest(sq).count() == 4)
+  }
+
+  test("plpDegreeOrdered labels two cliques like plp") {
+    // two 4-cliques joined by one edge
+    val cl = (base: Long) => for { i <- 0 until 4; j <- i + 1 until 4 }
+      yield (base + i, base + j, 1.0)
+    val g = graphOf(cl(0L) ++ cl(10L) :+ (3L, 10L, 1.0))
+    val p = Community.plpDegreeOrdered(g, maxIter = 10)
+    val byComm = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    // each clique must be uniform (the bridge may merge them or not)
+    val cliqueA = Set(0L, 1L, 2L, 3L); val cliqueB = Set(10L, 11L, 12L, 13L)
+    assert(byComm.forall(c => cliqueA.subsetOf(c) || cliqueB.subsetOf(c) ||
+      c.intersect(cliqueA ++ cliqueB).isEmpty))
+  }
+
+  test("dynamicNmi equals from-scratch nmi at every step") {
+    import spark.implicits._
+    val ids = (0L until 60L)
+    val base = ids.map(i => (i, i % 5)).toDF("id", "community")
+    val initial = ids.map(i => (i, i % 3)).toDF("id", "community")
+    val changes = ids.filter(_ % 7 == 0).map(i => (1L, i, 99L))
+      .++(ids.filter(_ % 7 == 1).map(i => (2L, i, 98L)))
+      .toDF("step", "id", "community")
+    val dyn = Community.dynamicNmi(base, initial, changes).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def evolved(t: Long) = ids.map { i =>
+      val c = if (i % 7 == 0 && t >= 1) 99L
+        else if (i % 7 == 1 && t >= 2) 98L else i % 3
+      (i, c)
+    }.toDF("id", "community")
+    (0L to 2L).foreach { t =>
+      val s = Community.nmi(base, evolved(t))
+      assert(math.abs(dyn(t) - s) < 1e-9, s"step $t: ${dyn(t)} vs $s")
+    }
+  }
+
+  test("dynamicHyperbolic: step-0 equals static, replay equals snapshot") {
+    val n = 150L; val radius = 3.5; val steps = 2
+    val ev = Generators.dynamicHyperbolic(spark, n, radius, steps)
+      .localCheckpoint(true)
+    val static0 = Generators.hyperbolic(spark, n, radius).edges
+      .select("src", "dst")
+    val init = ev.filter(col("step") === 0)
+      .select(col("u").as("src"), col("v").as("dst"))
+    assert(init.except(static0).isEmpty && static0.except(init).isEmpty)
+    val lastState = ev.groupBy("u", "v")
+      .agg(max(struct(col("step"), (col("type") === "EDGE_ADDITION").as("on")))
+        .as("last"))
+      .filter(col("last.on"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val direct = Generators.dynamicHyperbolicSnapshot(spark, n, radius, steps)
+    assert(lastState.except(direct).isEmpty && direct.except(lastState).isEmpty)
+  }
+}
