@@ -271,7 +271,11 @@ object Community {
     * nodes — `xxhash64(id, round) % 2 == 0` — may move; convergence =
     * two consecutive rounds with zero moves. Returns `(id, community)`. */
   def louvainLocalMove(g: PropertyGraph, maxRounds: Int = 24,
-      gamma: Double = 1.0, initPartition: Option[DataFrame] = None): DataFrame = {
+      gamma: Double = 1.0, initPartition: Option[DataFrame] = None,
+      minMovesFrac: Double = 5e-3): DataFrame = {
+    val debugT0 = System.nanoTime()
+    def dbg(what: String): Unit = if (sys.env.contains("GRAFT_FIXPOINT_DEBUG"))
+      System.err.println(f"[plm] $what ${(System.nanoTime() - debugT0) / 1e9}%.2fs")
     val adj = sym(g).persist(StorageLevel.MEMORY_AND_DISK)
     val m2 = adj.agg(sum("weight")).head.getDouble(0) // = 2m
     val ku = adj.groupBy(col("src").as("id")).agg(sum("weight").as("ku"))
@@ -279,6 +283,15 @@ object Community {
         g.vertices.select(col("id"), col("id").as("community")))
       .withColumn("moved", lit(1L))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // relative convergence, like the reference PLM's moved-nodes
+    // threshold: rounds that move ≲ minMovesFrac·n nodes shift
+    // modularity negligibly but each costs full shuffle rounds — the
+    // profile shows a long tail of <1%-move rounds dominating level
+    // wall-clock. Two consecutive sub-threshold rounds are required
+    // because the parity alternation lets only half the nodes move per
+    // round.
+    val quietBar = math.max(0L,
+      math.ceil(g.vertices.count() * minMovesFrac).toLong - 1L)
     var quietRounds = 0
     var round = 0
     while (round < maxRounds && quietRounds < 2) {
@@ -304,12 +317,15 @@ object Community {
         .withColumn("gain",
           col("wuc") / lit(m2 / 2.0) -
             lit(gamma) * col("totAdj") * col("ku") / lit(m2 * m2 / 2.0))
-      val w = Window.partitionBy("id")
-        .orderBy(col("gain").desc, col("cNbr").asc)
-      val best = cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("gain") > 1e-12)
+      // argmax via one hash aggregate — (gain desc, cNbr asc) tie-break
+      // encoded as max(struct(gain, -cNbr)); replaces a sort-based
+      // row_number window (one fewer per-round sort of the candidate set)
+      val best = cand
         .filter(pmod(xxhash64(col("id"), lit(round)), lit(2)) === 0)
-        .select(col("id"), col("cNbr").as("newCommunity"))
+        .groupBy("id")
+        .agg(max(struct(col("gain"), (-col("cNbr")).as("negC"))).as("top"))
+        .filter(col("top.gain") > 1e-12)
+        .select(col("id"), (-col("top.negC")).as("newCommunity"))
       val stepped = labels.join(best, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("newCommunity"), col("community")).as("community"),
@@ -320,7 +336,8 @@ object Community {
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
       // one action: materializes the round AND reads the moved count
       val moved = next.agg(sum("moved")).head.getLong(0)
-      quietRounds = if (moved == 0) quietRounds + 1 else 0
+      dbg(s"round $round moved=$moved")
+      quietRounds = if (moved <= quietBar) quietRounds + 1 else 0
       cur.unpersist(blocking = false)
       cur = next
       round += 1
@@ -334,12 +351,16 @@ object Community {
     * then project labels back down the level mappings (reference
     * `PLM.hpp:19` move→coarsen→recurse, `ClusteringProjector.hpp:19`). */
   def louvain(g: PropertyGraph, maxLevels: Int = 6, gamma: Double = 1.0): DataFrame = {
+    val debugT0 = System.nanoTime()
+    def dbg(what: String): Unit = if (sys.env.contains("GRAFT_FIXPOINT_DEBUG"))
+      System.err.println(f"[louvain] $what ${(System.nanoTime() - debugT0) / 1e9}%.2fs")
     var cur = g
     var mapping = g.vertices.select(col("id"), col("id").as("community"))
     var level = 0
     var improved = true
     var lastQ = modularity(g, mapping)
     while (improved && level < maxLevels) {
+      dbg(s"level $level start")
       val part = louvainLocalMove(cur, gamma = gamma).localCheckpoint(true)
       // project: node → its supernode's new community
       val sup = part.select(col("id").as("supernode"),
