@@ -33,7 +33,13 @@ object Tables {
   val sessionConfigs: Map[String, String] = {
     val base = Map(
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-      "spark.sql.session.timeZone" -> "UTC")
+      "spark.sql.session.timeZone" -> "UTC",
+      // with AQE on, plan wide shuffles at 8× the session parallelism and
+      // let coalescing shrink small ones back — big intermediates (the
+      // part-graph pair explosion at high SF) stop funneling through
+      // `shuffle.partitions`-sized reducers, while small queries still
+      // end up with few partitions after coalesce
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256")
     if (sys.env.contains("GRAFT_DISABLE_CLAMP")) base
     else base + ("spark.sql.extensions" -> "graft.GraftExtensions")
   }
