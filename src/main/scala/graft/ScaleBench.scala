@@ -37,6 +37,14 @@ object ScaleBench {
       // blocks pile up mid-run on one box — collect aggressively instead
       .config("spark.cleaner.periodicGC.interval", "45s")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    // iterative kernels re-shuffle a same-sized frame every round, so
+    // planning width 8× the cores (the suite default, right for one-shot
+    // wide explosions like the sf10 pair build) only multiplies the
+    // per-stage scheduling floor here — measured at RMAT-21: CC 85 s at
+    // 256 vs 28 s at 32. Pin kernel sessions to the core count
+    // (overridable for A/B via SPARK_GRAFT_INIT_PARTITIONS).
+    builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", cpus))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).count() // warmup

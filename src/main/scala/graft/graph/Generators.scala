@@ -494,6 +494,22 @@ object Generators {
       Some(degrees.select(col("id"))))
   }
 
+  /** EXACT configuration model (reference
+    * `generators/ConfigurationModelGenerator.hpp:19` +
+    * `EdgeSwitchingMarkovChainGenerator.hpp:17`): realize the degree
+    * sequence exactly with Havel–Hakimi (the reference's own exact
+    * path — sequential, driver-bounded by the sequence length like the
+    * reference), then randomize with seed-deterministic global
+    * Curveball trades, which preserve every degree exactly. Unlike the
+    * erased [[configurationModel]] above, the output meets the sequence
+    * with zero erased stubs (requires a graphical sequence, as does the
+    * reference). */
+  def configurationModelExact(spark: SparkSession, degrees: Seq[(Long, Int)],
+      trades: Int = 5, seed: Long = 42): PropertyGraph = {
+    val realized = havelHakimi(spark, degrees)
+    Randomization.globalCurveball(realized, trades, seed)
+  }
+
   /** Regular ring lattice (reference `RegularRingLatticeGenerator.hpp:18`):
     * node i ~ i±1..±k mod n. Fully deterministic — one range scan, no
     * shuffle, no randomness. */

@@ -1179,6 +1179,30 @@ object ExtendedQueries {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       Sparsification.algebraicDistance(g, numSystems = 4, iters = 10)
         .select(col("src"), col("dst"), round(col("score"), 6).as("score"))
+    }),
+    // EXACT configuration model (Havel–Hakimi + Curveball): the realized
+    // degree histogram must equal the part graph's — re-derived by the
+    // oracle from the co-order degrees — with zero per-node mismatches
+    // and at least one edge changed by the randomization trades
+    "x72_configmodel" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val spark = s
+      import spark.implicits._
+      val degSeq = g.degrees.select("id", "degree").as[(Long, Long)].collect()
+        .map { case (i, d) => (i, d.toInt) }.toSeq
+      val cm = Generators.configurationModelExact(s, degSeq, trades = 3)
+      val mismatch = cm.degrees
+        .join(g.degrees.withColumnRenamed("degree", "want"), Seq("id"), "full")
+        .filter(coalesce(col("degree"), lit(0L)) =!= coalesce(col("want"), lit(0L)))
+        .count()
+      val canon = (df: org.apache.spark.sql.DataFrame) => df
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst")).distinct()
+      val changed = canon(cm.edges)
+        .join(canon(g.edges), Seq("src", "dst"), "left_anti").count()
+      cm.degrees.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .withColumn("deg_exact", lit(if (mismatch == 0) 1L else 0L))
+        .withColumn("randomized", lit(if (changed > 0) 1L else 0L))
     })
   )
 
@@ -1879,6 +1903,11 @@ object ExtendedQueries {
          |  (SELECT count(*) FROM max3)::BIGINT AS n_max3,
          |  1::BIGINT AS cliques_valid, 1::BIGINT AS maximal_ok,
          |  1::BIGINT AS edges_covered""".stripMargin,
+    "x72_configmodel" ->
+      s"""WITH $graphCte
+         |SELECT d AS degree, count(*) AS n_nodes,
+         |  1::BIGINT AS deg_exact, 1::BIGINT AS randomized
+         |FROM deg GROUP BY d""".stripMargin,
     "x71_algdist" -> {
       // identical LCG init + 10 unrolled Jacobi sweeps, ω = 0.5
       val sysIdx = 0 until 4

@@ -29,7 +29,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 class GraftStatsClampRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case lr: LogicalRDD if lr.stats.sizeInBytes > GraftStatsClampRule.cap =>
+    // Fire on BIT LENGTH, not magnitude: merely-too-big estimates
+    // (2^40..2^70 — every iterative span inherits these) are harmless
+    // overestimates whose only effect, suppressing broadcast, is the
+    // same after clamping; rewriting them bought nothing and cost a
+    // re-run of the operator-optimization fixpoint batch on every
+    // planned span (~30 % of RMAT-18 PageRank wall-clock). The
+    // pathology this rule exists for grows the bit length GEOMETRICALLY
+    // per checkpoint round — it blows through 200 bits within a round
+    // or two of going bad and is clamped there, long before BigInt
+    // arithmetic is measurable.
+    case lr: LogicalRDD if lr.stats.sizeInBytes.bitLength > GraftStatsClampRule.maxBits =>
       if (sys.env.contains("GRAFT_FIXPOINT_DEBUG"))
         System.err.println(s"[clamp] LogicalRDD bits=${lr.stats.sizeInBytes.bitLength}")
       val clamped = Statistics(
@@ -55,6 +65,8 @@ class GraftStatsClampRule(session: SparkSession) extends Rule[LogicalPlan] {
 object GraftStatsClampRule {
   /** 1 TiB — far above any broadcast threshold, far below compounding. */
   val cap: BigInt = BigInt(1L) << 40
+  /** Fire only past this estimate bit length (≈ 10^60 bytes) — see rule. */
+  val maxBits: Int = 200
   val maxRows: BigInt = BigInt(Long.MaxValue)
 
   private val wrappers = new java.util.concurrent.ConcurrentHashMap[
