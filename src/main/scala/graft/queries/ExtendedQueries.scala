@@ -85,7 +85,7 @@ object ExtendedQueries {
        |  coalesce(sum(CASE WHEN a.id <> a.s THEN a.delta END), 0.0) / 2.0 AS score
        |FROM nodes n LEFT JOIN alldel a ON a.id = n.id
        |GROUP BY n.id),
-       |t AS (SELECT row_number() OVER (ORDER BY score DESC, id ASC)::BIGINT AS rank,
+       |t AS (SELECT row_number() OVER (ORDER BY round(score, 2) DESC, id ASC)::BIGINT AS rank,
        |  id, round(score, 2) AS dep64 FROM sc)
        |SELECT rank, id, dep64, 1::BIGINT AS within_err FROM t WHERE rank <= $topK""".stripMargin
   }
@@ -571,8 +571,11 @@ object ExtendedQueries {
         .agg(max(abs(col("kadabra") - col("exact")))).as[Double].head()
       val srcs = g.vertices.orderBy("id").limit(64).select("id").as[Long].collect().toSeq
       val ex64 = Betweenness.run(g, sourceIds = Some(srcs))
+      // rank on the SAME precision the comparison uses (2 dp): ranking
+      // the unrounded double would let sub-noise score differences swap
+      // ranks between Spark and the DuckDB oracle
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("id").asc)
+        .orderBy(round(col("score"), 2).desc, col("id").asc)
       ex64.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("rank"), col("id"), round(col("score"), 2).as("dep64"),
