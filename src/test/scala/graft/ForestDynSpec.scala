@@ -101,6 +101,35 @@ class ForestDynSpec extends SparkSpec {
     assert(mp == (0L until 4L).map(i => Set(i, i + 1)).toSet)
   }
 
+  test("maximalCliques emits singleton cliques for isolated vertices") {
+    import spark.implicits._
+    // triangle {0,1,2}; vertices 7 and 8 isolated; 9 has only a self-loop
+    val edges = Seq((0L,1L,1.0), (0L,2L,1.0), (1L,2L,1.0), (9L,9L,1.0))
+      .toDF("src", "dst", "weight")
+    val verts = Seq(0L, 1L, 2L, 7L, 8L, 9L).toDF("id")
+    val g = PropertyGraph(edges, directed = false, Some(verts))
+    val mc = Cliques.maximalCliques(g).collect().map(_.getSeq[Long](0).toSet).toSet
+    assert(mc == Set(Set(0L,1L,2L), Set(7L), Set(8L), Set(9L)))
+  }
+
+  test("maximalCliques handles a planted high-degree hub") {
+    import spark.implicits._
+    // a 10^4-leaf star plus one leaf-leaf edge: maximal cliques are the
+    // triangle {hub, 1, 2} and every other star edge. The hub has the
+    // highest rank, so its subproblem must stay O(triangle support)
+    val hub = 0L
+    val n = 10000
+    val star = (1 to n).map(i => (hub, i.toLong, 1.0))
+    val g = graphOf(star :+ (1L, 2L, 1.0))
+    val mc = Cliques.maximalCliques(g)
+    val bySize = mc.groupBy(size(col("members")).as("sz")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bySize == Map(3 -> 1L, 2 -> (n - 2).toLong), s"got $bySize")
+    val tri = mc.filter(size(col("members")) === 3).collect()
+      .map(_.getSeq[Long](0).toSet)
+    assert(tri.toSet == Set(Set(hub, 1L, 2L)))
+  }
+
   test("algebraicDistance: symmetric-role nodes get zero, far pairs positive") {
     // two K3s joined by one edge: intra-clique distances shrink under
     // smoothing; every score is finite and >= 0, and the recurrence is
