@@ -57,7 +57,11 @@ object ScaleBench {
     val n = g.vertices.count()
     val m = edges.count()
 
+    // optional comma-separated kernel filter for local iteration
+    // (e.g. SPARK_GRAFT_KERNELS=kcore); default runs all
+    val kernels = sys.env.get("SPARK_GRAFT_KERNELS").map(_.split(",").toSet)
     def timeIt(name: String)(f: => Long): Double = {
+      if (!kernels.forall(_.contains(name))) return -1.0
       val t0 = System.nanoTime()
       f
       val dt = (System.nanoTime() - t0) / 1e9

@@ -177,43 +177,89 @@ object GraphOps {
     PropertyGraph(fin.withColumn("weight", lit(1.0)), directed = false)
   }
 
-  /** Core number per node `(id, core)` via h-index convergence (Lü et
-    * al., "The H-index of a network node", 2016): start from h = degree
-    * and repeatedly set h(v) to the H-index of its neighbors' h values
-    * — the fixpoint is exactly the coreness. One shuffle per round and
-    * O(log-ish) rounds, instead of peeling k = 1..k_max sequentially
-    * (O(k_max) nested fixpoints — measured 100-400× slower at 24k-240k
-    * edges; see BASELINE.md). Reference semantics:
-    * `centrality/CoreDecomposition.hpp:26`. */
-  def coreDecomposition(g: PropertyGraph, maxIter: Int = 100): DataFrame = {
+  /** Core number per node `(id, core)` via two-phase frontier-driven
+    * h-index convergence (Lü et al., "The H-index of a network node",
+    * 2016; reference semantics `centrality/CoreDecomposition.hpp:26`):
+    * start from h = degree and repeatedly set h(v) to the H-index of
+    * its neighbors' h values — the fixpoint is exactly the coreness.
+    *
+    * Shuffle discipline: the graph lives as ONE neighbor-list row per
+    * vertex, hash-partitioned by vertex. Each round explodes
+    * neighbor lists, joins h, and re-aggregates — and because the
+    * explode preserves the src partitioning and the h side joins
+    * broadcast (phase 1: the n-row h table when it fits; phase 2: the
+    * small candidate explosion, picked by AQE), a round runs with NO
+    * 2m-row shuffle and NO window sort: the H-index comes from a
+    * sort_array + higher-order-function fold per row, inside codegen.
+    *
+    * Phase structure: while the changed frontier is wide, recompute
+    * every vertex (phase 1). A vertex's h can only drop when a
+    * neighbor's h dropped, so once the frontier narrows, each round
+    * recomputes only the neighbors of the previous round's changed set
+    * (phase 2) — two semi-joins against the n-row neighbor-list table.
+    * Round depth on a power-law degree tail is long (60+ rounds
+    * observed at RMAT-21), but late rounds now cost ~1-3 s instead of
+    * a full 2m-row recompute — the fix for the RMAT-21 k-core wall
+    * (BASELINE.md ScaleBench). Convergence is exact: stop when no h
+    * decreased.
+    *
+    * 100 TB note: the phase-1 broadcast of h is bounded to graphs
+    * under `broadcastHLimit` vertices; above it phase 1 falls back to
+    * a shuffle join, which is the right plan on a real cluster anyway. */
+  def coreDecomposition(g: PropertyGraph, maxIter: Int = 100,
+      broadcastHLimit: Long = 50000000L): DataFrame = {
     val adj0 = PropertyGraph.canonicalizeUndirected(
       g.adjacency.filter(col("src") =!= col("dst"))).select("src", "dst")
-    val adj = adj0.unionAll(adj0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+    val adjFlat = adj0.unionAll(adj0.select(col("dst").as("src"), col("src").as("dst")))
+    val nbrs = adjFlat.repartition(col("src"))
+      .groupBy("src").agg(collect_list(col("dst")).as("vs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    adj.count()
-    val init = adj.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("nh").desc, col("dst"))
-    // span 4: the h-index step reads `h` exactly once, so four monotone
-    // rounds chain into one job; the fixpoint is unchanged
-    val fin = Fixpoint.loopFusedFingerprint(init, maxIter, span = 4) { (h, _) =>
-      // H-index of the neighbor multiset: rank neighbors by h desc,
-      // H = max over ranks of min(rank, h)
-      adj.join(h.select(col("id").as("dst"), col("h").as("nh")), "dst")
-        .withColumn("rn", row_number().over(win))
-        .groupBy(col("src").as("id"))
-        .agg(max(least(col("rn"), col("nh"))).as("h"))
-    } { df =>
-      df.agg(bit_xor(xxhash64(col("id"), col("h")))).head.getLong(0)
+    val nVerts = nbrs.count()
+    // H-index of a value multiset: sort desc, count ranks i with a[i] >= i+1
+    val hIndexExpr = expr(
+      "size(filter(transform(sort_array(hs, false), (x, i) -> x >= i + 1), b -> b))")
+    val debug = sys.env.contains("GRAFT_FIXPOINT_DEBUG")
+    var h = nbrs.select(col("src").as("id"), size(col("vs")).cast("long").as("h"))
+      .withColumn("chg", lit(true)).localCheckpoint(true)
+    var nChanged = nVerts
+    var iter = 0
+    while (iter < maxIter && nChanged > 0) {
+      val t0 = System.nanoTime()
+      // a broadcast-h full recompute round is ~1 scan of `nbrs` with no
+      // shuffle, so the narrow path (2 semi scans + a distinct) only
+      // wins once the frontier is deep-tail small
+      val wide = nChanged > math.max(256L, nVerts / 4096)
+      val target =
+        if (wide) nbrs
+        else {
+          // phase 2: only neighbors of the changed set can drop
+          val changed = h.filter(col("chg")).select(col("id").as("src"))
+          val cand = nbrs.join(changed, Seq("src"), "left_semi")
+            .select(explode(col("vs")).as("src")).distinct()
+          nbrs.join(cand, Seq("src"), "left_semi")
+        }
+      val nh0 = h.select(col("id").as("dst"), col("h").as("nh"))
+      val nh = if (wide && nVerts <= broadcastHLimit) broadcast(nh0) else nh0
+      val upd = target.select(col("src"), explode(col("vs")).as("dst"))
+        .join(nh, "dst")
+        .groupBy("src").agg(collect_list(col("nh")).as("hs"))
+        .select(col("src").as("id"), hIndexExpr.cast("long").as("h2"))
+      h = h.join(upd, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("h2"), col("h")).as("h"),
+          (col("h2").isNotNull && col("h2") < col("h")).as("chg"))
+        .localCheckpoint(true)
+      nChanged = h.filter(col("chg")).count() // cached blocks — cheap
+      if (debug) System.err.println(
+        f"[kcore-delta] iter $iter wide=$wide changed=$nChanged ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      iter += 1
     }
-    val cores = fin.select(col("id"), col("h").cast("int").as("core"))
+    val cores = h.select(col("id"), col("h").cast("int").as("core"))
     // isolated / zero-degree vertices keep core 0
     val out = g.vertices.select("id").join(cores, Seq("id"), "left")
       .select(col("id"), coalesce(col("core"), lit(0)).as("core"))
       .localCheckpoint(true)
-    adj.unpersist(blocking = false)
+    nbrs.unpersist(blocking = false)
     out
   }
 

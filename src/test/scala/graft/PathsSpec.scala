@@ -109,4 +109,25 @@ class PathsSpec extends SparkSpec {
     val cert = Biconnected.bridgeCertificate(karate, kBridges).head()
     assert(cert.getLong(0) == 1L && cert.getLong(1) == 1L)
   }
+
+  test("biconnected: distributed run equals Hopcroft-Tarjan on golden graphs") {
+    // partition-of-edges equality up to block renaming, plus exact
+    // bridge and articulation sets
+    def blocksOf(labels: org.apache.spark.sql.DataFrame): Set[Set[(Long, Long)]] =
+      labels.as[(Long, Long, Long)].collect()
+        .groupBy(_._3).values.map(_.map(t => (t._1, t._2)).toSet).toSet
+    // golden graphs: karate; two components w/ isolated bridge chains;
+    // a theta graph (two vertices joined by three paths — one block)
+    val chainy = g((0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3),
+      (10, 11), (11, 12), (12, 13), (13, 10), (13, 14))
+    val theta = g((0, 1), (0, 2), (2, 1), (0, 3), (3, 4), (4, 1))
+    for (gg <- Seq(karate, chainy, theta)) {
+      val (dl, da, db) = Biconnected.run(gg)
+      val (sl, sa, sb) = Biconnected.runSequential(gg)
+      assert(blocksOf(dl) == blocksOf(sl))
+      assert(da.as[Long].collect().toSet == sa.as[Long].collect().toSet)
+      assert(db.as[(Long, Long)].collect().toSet ==
+        sb.as[(Long, Long)].collect().toSet)
+    }
+  }
 }
