@@ -634,6 +634,71 @@ object Generators {
     events.toSeq.toDF("step", "type", "u", "v")
   }
 
+  /** Dynamic path event stream (reference
+    * `generators/DynamicPathGenerator.hpp:19`): step 0 adds node 0;
+    * step t ∈ 1..nSteps adds node t and edge (t−1, t) — a dynamically
+    * growing path, as pure column math over `spark.range`. Output
+    * `(step, type, u, v)` in the engine's event schema. */
+  def dynamicPath(spark: SparkSession, nSteps: Int): DataFrame = {
+    val nodes = spark.range(nSteps + 1L).select(col("id").as("step"),
+      lit("NODE_ADDITION").as("type"), col("id").as("u"),
+      lit(null: java.lang.Long).as("v"))
+    val edges = spark.range(1L, nSteps + 1L).select(col("id").as("step"),
+      lit("EDGE_ADDITION").as("type"), (col("id") - 1).as("u"), col("id").as("v"))
+    nodes.unionAll(edges)
+  }
+
+  /** Dynamic Barabási–Albert event stream (reference
+    * `generators/DynamicBarabasiAlbertGenerator.hpp:22`): the graph
+    * starts as a k-node path (step 0 events); step t ∈ 1..nSteps adds
+    * node k−1+t plus k preferential-attachment edges. The
+    * degree-proportional draw uses the same Batagelj–Brandes
+    * virtual-endpoint-array decoding as the static [[barabasiAlbert]]
+    * (a uniform cell over the first 2j endpoint occurrences is a draw
+    * ∝ degree; odd cells resolve one level, except init-path cells
+    * which resolve exactly) — so the sequential attachment process is
+    * pure column math, no driver loop. Within-step duplicate targets
+    * collapse, so a step may emit fewer than k edges (the reference
+    * redraws until k distinct targets; documented deviation, same
+    * class as the static generator's one-level resolution). Output
+    * `(step, type, u, v)`, edges canonical u < v, fully deterministic
+    * in (seed, k, nSteps). */
+  def dynamicBarabasiAlbert(spark: SparkSession, k: Int, nSteps: Int,
+      seed: Long = 42): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val kL = k.toLong
+    val initNodes = spark.range(kL).select(lit(0L).as("step"),
+      lit("NODE_ADDITION").as("type"), col("id").as("u"),
+      lit(null: java.lang.Long).as("v"))
+    val initEdges = spark.range(1L, kL).select(lit(0L).as("step"),
+      lit("EDGE_ADDITION").as("type"), (col("id") - 1).as("u"), col("id").as("v"))
+    val newNodes = spark.range(1L, nSteps + 1L).select(col("id").as("step"),
+      lit("NODE_ADDITION").as("type"), (col("id") + kL - 1).as("u"),
+      lit(null: java.lang.Long).as("v"))
+    // global edge index j: init path edges are 0..k-2; step t's slots
+    // are k-1+(t-1)k .. k-2+tk. Source of edge e: init → e+1 (reference
+    // addEdge(u, u-1)); BA → its step's new node k-1+t(e).
+    def srcOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(e < kL - 1, e + 1)
+        .otherwise(((e - (kL - 1)) / kL).cast("long") + kL)
+    val baEdges = spark.range(nSteps.toLong * kL).select(
+        (col("id") + kL - 1).as("j"),
+        ((col("id") / kL).cast("long") + 1).as("step"))
+      .withColumn("src", col("step") + kL - 1)
+      .withColumn("cell",
+        pmod(xxhash64(lit(seed), col("j")), greatest(col("j") * 2, lit(1L))))
+      .withColumn("e", (col("cell") / 2).cast("long"))
+      .withColumn("dst",
+        when(col("cell") % 2 === 1 && col("e") < kL - 1, col("e"))
+          .otherwise(srcOf(col("e"))))
+      .filter(col("dst") =!= col("src"))
+      .select(col("step"), lit("EDGE_ADDITION").as("type"),
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    initNodes.unionAll(initEdges).unionAll(newNodes).unionAll(baEdges)
+  }
+
   /** Driver-side xxhash-ish mixer for the few scalar draws the driver
     * makes (community sizes) — splitmix64, seed-stable. */
   private def xxhash64scala(seed: Long, x: Long): Long = {

@@ -1130,6 +1130,46 @@ object ExtendedQueries {
         if (nRems > 0) 1L else 0L
       )).toDF("initial_matches_static", "replay_ok", "has_removals")
     }),
+    // dynamic Barabási–Albert + dynamic path event streams (x45's gate
+    // pattern): the path stream's counts are closed-form and the oracle
+    // re-derives them arithmetically; the BA gates check the step-0
+    // path seed, that every step-t edge touches that step's new node
+    // with an older target, per-step edge counts in 1..k, and bitwise
+    // determinism across two invocations
+    "x73_dyngrow" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val nP = 50
+      val pEv = Generators.dynamicPath(s, nP).localCheckpoint(true)
+      val pNodes = pEv.filter(col("type") === "NODE_ADDITION").count()
+      val pEdges = pEv.filter(col("type") === "EDGE_ADDITION").count()
+      val pChainBad = pEv.filter(col("type") === "EDGE_ADDITION")
+        .filter(col("v") =!= col("u") + 1 || col("v") =!= col("step")).count()
+      val k = 3; val nB = 60
+      val ev = Generators.dynamicBarabasiAlbert(s, k, nB, seed = 7)
+        .localCheckpoint(true)
+      val ev2 = Generators.dynamicBarabasiAlbert(s, k, nB, seed = 7)
+      val deterministic = ev.except(ev2).isEmpty && ev2.except(ev).isEmpty
+      val step0Nodes = ev.filter(col("type") === "NODE_ADDITION" &&
+        col("step") === 0).count()
+      val step0Edges = ev.filter(col("type") === "EDGE_ADDITION" &&
+        col("step") === 0).count()
+      val later = ev.filter(col("type") === "EDGE_ADDITION" && col("step") > 0)
+        .localCheckpoint(true)
+      val badTouch = later.filter(col("v") =!= col("step") + (k - 1)).count()
+      val badOld = later.filter(col("u") >= col("v")).count()
+      val badCount = later.groupBy("step").agg(count(lit(1)).as("c"))
+        .filter(col("c") > k || col("c") < 1).count()
+      Seq((pNodes, pEdges, if (pChainBad == 0) 1L else 0L,
+        step0Nodes, step0Edges,
+        if (badTouch == 0) 1L else 0L,
+        if (badOld == 0) 1L else 0L,
+        if (badCount == 0) 1L else 0L,
+        if (deterministic) 1L else 0L
+      )).toDF("path_nodes", "path_edges", "path_chain_ok",
+        "ba_step0_nodes", "ba_step0_edges", "ba_touch_new_ok",
+        "ba_targets_older_ok", "ba_per_step_ok", "ba_deterministic")
+    }),
     // full maximal-clique enumeration (degeneracy-ordered BK, no size
     // cap): the oracle re-derives the maximal-2-clique count (edges with
     // no common neighbor) and maximal-3-clique count (triangles with no
@@ -1890,6 +1930,15 @@ object ExtendedQueries {
     "x69_dynhyperbolic" ->
       """SELECT 1::BIGINT AS initial_matches_static, 1::BIGINT AS replay_ok,
         |  1::BIGINT AS has_removals""".stripMargin,
+    "x73_dyngrow" ->
+      // path stream counts re-derived arithmetically (nSteps = 50:
+      // nSteps+1 node events, nSteps edge events); BA step-0 seed is a
+      // k = 3 path (k nodes, k-1 edges); validity gates are Spark-side
+      """SELECT (50 + 1)::BIGINT AS path_nodes, 50::BIGINT AS path_edges,
+        |  1::BIGINT AS path_chain_ok, 3::BIGINT AS ba_step0_nodes,
+        |  (3 - 1)::BIGINT AS ba_step0_edges, 1::BIGINT AS ba_touch_new_ok,
+        |  1::BIGINT AS ba_targets_older_ok, 1::BIGINT AS ba_per_step_ok,
+        |  1::BIGINT AS ba_deterministic""".stripMargin,
     "x70_maxcliques" ->
       s"""WITH $graphCte,
          |max2 AS (SELECT e1.src, e1.dst FROM e e1
