@@ -102,6 +102,33 @@ object SpanningForest {
       .select(col("src"), col("dst"), (-col("weight")).as("weight"))
   }
 
+  /** Random maximum-weight spanning forest (reference
+    * `graph/RandomMaximumSpanningForest.hpp:18` — Kruskal with the
+    * order of equal-weight edges randomized). Spark formulation:
+    * replace each weight by its dense descending class rank plus a
+    * seed-deterministic hash fraction in [0, 1), then run [[boruvka]]
+    * on the composite — minimizing the composite processes classes
+    * heaviest-first with a uniform-hash tie-break inside each class,
+    * exactly Kruskal's randomized order. The class rank comes from a
+    * distributed sortBy + zipWithIndex (no single-partition window).
+    * Seed-deterministic; returns forest edges with ORIGINAL weights. */
+  def randomMaximumSpanningForest(g: PropertyGraph, seed: Long = 42): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val base = PropertyGraph.canonicalizeUndirected(
+      g.edges.filter(col("src") =!= col("dst"))).localCheckpoint(true)
+    val wRank = spark.createDataFrame(
+      base.select("weight").distinct().sort(desc("weight")).rdd.zipWithIndex
+        .map { case (r, i) => (r.getDouble(0), i) }).toDF("weight", "wrank")
+    val composite = base.join(wRank, "weight")
+      .select(col("src"), col("dst"),
+        (col("wrank") + Generators.u01(seed, col("src"), col("dst"))).as("weight"))
+    boruvka(PropertyGraph(composite, directed = false))
+      .select("src", "dst")
+      .join(base, Seq("src", "dst"))
+      .select("src", "dst", "weight")
+  }
+
   /** Union of ALL maximum spanning forests (reference
     * `graph/UnionMaximumSpanningForest.hpp:15` — the sparsification
     * backbone). Cut-property characterization: an edge e=(u,v,w) lies in

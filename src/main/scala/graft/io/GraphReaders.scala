@@ -21,31 +21,36 @@ object GraphReaders {
     * handled; comment lines (%) skipped. */
   def readMetis(spark: SparkSession, path: String): PropertyGraph = {
     import spark.implicits._
+    // keep EMPTY lines: line order is semantic and an isolated vertex's
+    // adjacency line is legitimately blank — dropping it would shift
+    // every later node id by one
     val lines = spark.sparkContext.textFile(path)
       .zipWithIndex()
-      .filter { case (l, _) => !l.trim.startsWith("%") && l.trim.nonEmpty }
+      .filter { case (l, _) => !l.trim.startsWith("%") }
       .map { case (l, i) => (i, l.trim) }
       .sortByKey()
       .zipWithIndex()
       .map { case ((_, l), rank) => (rank, l) }
 
-    val header = lines.filter(_._1 == 0L).map(_._2).collect().head
+    val headerRank = lines.filter(_._2.nonEmpty).map(_._1).min()
+    val header = lines.filter(_._1 == headerRank).map(_._2).collect().head
     val headerParts = header.split("\\s+").map(_.toLong)
     val fmt = if (headerParts.length > 2) headerParts(2) else 0L
     val hasEdgeWeights = fmt % 10 == 1
     val hasNodeWeights = (fmt / 10) % 10 == 1
-
-    val edges = lines.filter(_._1 > 0L).flatMap { case (rank, l) =>
-      val u = rank - 1 // 0-based node id
-      val nums = l.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
-      val adj = if (hasNodeWeights) nums.drop(1) else nums
-      if (hasEdgeWeights)
-        adj.grouped(2).collect { case Array(v, w) => (u, v.toLong - 1, w) }.toSeq
-      else
-        adj.map(v => (u, v.toLong - 1, 1.0)).toSeq
-    }.toDF("src", "dst", "weight")
-
     val n = headerParts(0)
+
+    val edges = lines
+      .filter(r => r._1 > headerRank && r._1 <= headerRank + n && r._2.nonEmpty)
+      .flatMap { case (rank, l) =>
+        val u = rank - headerRank - 1 // 0-based node id
+        val nums = l.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+        val adj = if (hasNodeWeights) nums.drop(1) else nums
+        if (hasEdgeWeights)
+          adj.grouped(2).collect { case Array(v, w) => (u, v.toLong - 1, w) }.toSeq
+        else
+          adj.map(v => (u, v.toLong - 1, 1.0)).toSeq
+      }.toDF("src", "dst", "weight")
     val vertices = spark.range(n).select(col("id"))
     PropertyGraph(
       PropertyGraph.canonicalizeUndirected(edges)
@@ -261,5 +266,95 @@ object GraphReaders {
     spark.sparkContext.textFile(path).zipWithIndex()
       .map { case (l, i) => (i, l.trim.toLong) }
       .toDF("id", "community")
+  }
+
+  /** Write an ordered single text file: the format's line order is
+    * semantic, so the lines are shuffled to ONE partition and sorted
+    * there — Spark writes `path/part-*` which every reader here accepts
+    * (textFile on a directory). Lines carry an explicit order key. */
+  private def writeOrderedLines(lines: DataFrame, path: String): Unit =
+    lines.repartition(1).sortWithinPartitions("ord")
+      .select(col("line"))
+      .write.mode("overwrite").text(path)
+
+  /** METIS adjacency writer (reference `io/METISGraphWriter.hpp:18`):
+    * header `n m [fmt]`, then line i = the 1-based neighbors of node
+    * i−1 (each undirected edge appears in both endpoint lines; isolated
+    * vertices get a blank line — see [[readMetis]]). Writes fmt 1 with
+    * `v w` pairs when any weight ≠ 1. Node ids must be 0..n−1 (the
+    * format has no id column). Adjacency lines are BUILT distributed
+    * (group + sort_array per node); only the final single-file sink is
+    * serial, which the line-ordered format itself dictates. */
+  def writeMetis(g: PropertyGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    val n = g.vertices.agg(max(col("id"))).head.getLong(0) + 1
+    val m = g.edges.filter(col("src") =!= col("dst")).count()
+    val weighted = g.edges.filter(col("weight") =!= 1.0).limit(1).count() > 0
+    val adj = g.adjacency.filter(col("src") =!= col("dst"))
+    val body0 =
+      if (weighted)
+        adj.groupBy(col("src").as("id"))
+          .agg(sort_array(collect_list(struct(col("dst"), col("weight")))).as("ns"))
+          .select(col("id"), expr(
+            """array_join(transform(ns, s ->
+              |  concat(cast(s.dst + 1 AS STRING), ' ',
+              |         cast(s.weight AS STRING))), ' ')""".stripMargin)
+            .as("line"))
+      else
+        adj.groupBy(col("src").as("id"))
+          .agg(sort_array(collect_list(col("dst") + 1)).as("ns"))
+          .select(col("id"), expr(
+            "array_join(transform(ns, x -> cast(x AS STRING)), ' ')").as("line"))
+    val body = spark.range(n).select(col("id"))
+      .join(body0, Seq("id"), "left")
+      .select((col("id") + 1).as("ord"), coalesce(col("line"), lit("")).as("line"))
+    val fmtSuffix = if (weighted) " 1" else ""
+    val header = spark.range(1).select(lit(0L).as("ord"),
+      lit(s"$n $m$fmtSuffix").as("line"))
+    writeOrderedLines(header.unionAll(body), path)
+  }
+
+  /** Delimited edge-list writer (reference `io/EdgeListWriter.hpp:21`):
+    * one `src<sep>dst[<sep>weight]` line per stored edge, fully
+    * distributed (order is not semantic in the format; parts are
+    * written in parallel and [[readEdgeList]] reads the directory). */
+  def writeEdgeList(g: PropertyGraph, path: String, separator: String = " ",
+      firstNode: Long = 0L, writeWeights: Boolean = true): Unit = {
+    val lines =
+      if (writeWeights)
+        g.edges.select(concat_ws(separator,
+          col("src") + firstNode, col("dst") + firstNode, col("weight")).as("value"))
+      else
+        g.edges.select(concat_ws(separator,
+          col("src") + firstNode, col("dst") + firstNode).as("value"))
+    lines.write.mode("overwrite").text(path)
+  }
+
+  /** DGS event-stream writer (reference `dynamics/DGSWriter.hpp:21`):
+    * serializes a GraphEvent table `(seq, type, u, v, w)` (the
+    * [[readDgs]] schema) back to DGS lines in sequence order. Edge
+    * lines carry both the `u-v` label and explicit endpoint tokens,
+    * which [[readDgs]] and the reference parser both accept. */
+  def writeDgs(events: DataFrame, path: String): Unit = {
+    val us = col("u").cast("string"); val vs = col("v").cast("string")
+    val ws = col("w").cast("string")
+    val line = when(col("type") === "NODE_ADDITION", concat(lit("an "), us))
+      .when(col("type") === "NODE_REMOVAL", concat(lit("dn "), us))
+      .when(col("type") === "NODE_RESTORATION", concat(lit("rn "), us))
+      .when(col("type") === "EDGE_ADDITION",
+        concat(lit("ae "), us, lit("-"), vs, lit(" "), us,
+          lit(" "), vs, lit(" weight="), ws))
+      .when(col("type") === "EDGE_WEIGHT_UPDATE",
+        concat(lit("ce "), us, lit("-"), vs, lit(" weight="), ws))
+      .when(col("type") === "EDGE_REMOVAL",
+        concat(lit("de "), us, lit("-"), vs))
+      .when(col("type") === "TIME_STEP", lit("st"))
+    val header = events.sparkSession.range(2).select(
+      (col("id") - 2).as("ord"),
+      when(col("id") === 0, "DGS004").otherwise("null 0 0").as("line"))
+    writeOrderedLines(
+      header.unionAll(events.select(col("seq").as("ord"), line.as("line"))
+        .filter(col("line").isNotNull)),
+      path)
   }
 }

@@ -1130,6 +1130,41 @@ object ExtendedQueries {
         if (nRems > 0) 1L else 0L
       )).toDF("initial_matches_static", "replay_ok", "has_removals")
     }),
+    // random maximum spanning forest (Kruskal with randomized order
+    // inside weight ties): the forest itself is seed-dependent, but its
+    // edge COUNT and total WEIGHT are invariants of all maximum forests
+    // — the oracle re-derives both per weight class via the cut
+    // property (edges added at class w = comps(>w) − comps(≥w)).
+    // Forest validity, UMSF containment, and seed sensitivity are
+    // Spark-side gates
+    "x74_rmsf" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 1)
+      val f = SpanningForest.randomMaximumSpanningForest(g, seed = 11)
+        .localCheckpoint(true)
+      val umsf = SpanningForest.unionMaximumSpanningForest(g)
+        .localCheckpoint(true)
+      val notInUmsf = f.select("src", "dst")
+        .join(umsf.select("src", "dst"), Seq("src", "dst"), "left_anti").count()
+      val nNodes = g.vertices.count()
+      val cG = ConnectedComponents.run(g).select("component").distinct().count()
+      val cF = ConnectedComponents.run(
+          PropertyGraph(f, directed = false, Some(g.vertices.select("id"))))
+        .select("component").distinct().count()
+      val nF = f.count()
+      val forestOk = nF == nNodes - cG && cF == cG
+      val f2 = SpanningForest.randomMaximumSpanningForest(g, seed = 12)
+      val seedOk = // distinct forests, unless the maximum forest is unique
+        umsf.count() == nF ||
+          f.select("src", "dst").except(f2.select("src", "dst")).count() > 0
+      f.agg(count(lit(1)).as("rmsf_edges"),
+          sum(col("weight").cast("long")).as("rmsf_weight"))
+        .select(col("rmsf_edges"), col("rmsf_weight"),
+          lit(if (notInUmsf == 0) 1L else 0L).as("in_umsf_ok"),
+          lit(if (forestOk) 1L else 0L).as("forest_ok"),
+          lit(if (seedOk) 1L else 0L).as("seed_ok"))
+    }),
     // dynamic Barabási–Albert + dynamic path event streams (x45's gate
     // pattern): the path stream's counts are closed-form and the oracle
     // re-derives them arithmetically; the BA gates check the step-0
@@ -1930,6 +1965,37 @@ object ExtendedQueries {
     "x69_dynhyperbolic" ->
       """SELECT 1::BIGINT AS initial_matches_static, 1::BIGINT AS replay_ok,
         |  1::BIGINT AS has_removals""".stripMargin,
+    "x74_rmsf" ->
+      // cut property on the minShared=1 graph: Kruskal heaviest-first
+      // adds comps(>w) − comps(≥w) edges at weight class w; summing
+      // counts and w·counts gives the (unique) maximum-forest size and
+      // weight. Validity gates are Spark-side.
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+        |      FROM op a JOIN op b ON a.l_orderkey=b.l_orderkey AND a.l_partkey<b.l_partkey
+        |      GROUP BY 1,2),
+        |sym AS (SELECT src, dst, c FROM e UNION ALL SELECT dst, src, c FROM e),
+        |nodes AS (SELECT DISTINCT src AS id FROM sym),
+        |wcls AS (SELECT DISTINCT c AS w FROM e),
+        |r1(w, id, comp) AS (
+        |  SELECT w.w, n.id, n.id FROM wcls w, nodes n
+        |  UNION
+        |  SELECT r1.w, s.dst, r1.comp FROM r1 JOIN sym s ON s.src = r1.id AND s.c > r1.w),
+        |cc1 AS (SELECT w, id, min(comp) AS comp FROM r1 GROUP BY w, id),
+        |above AS (SELECT w, count(DISTINCT comp) AS nc FROM cc1 GROUP BY w),
+        |r2(w, id, comp) AS (
+        |  SELECT w.w, n.id, n.id FROM wcls w, nodes n
+        |  UNION
+        |  SELECT r2.w, s.dst, r2.comp FROM r2 JOIN sym s ON s.src = r2.id AND s.c >= r2.w),
+        |cc2 AS (SELECT w, id, min(comp) AS comp FROM r2 GROUP BY w, id),
+        |atw AS (SELECT w, count(DISTINCT comp) AS nc FROM cc2 GROUP BY w),
+        |per AS (SELECT above.w, above.nc - atw.nc AS cnt
+        |        FROM above JOIN atw ON above.w = atw.w)
+        |SELECT coalesce(sum(cnt), 0)::BIGINT AS rmsf_edges,
+        |  coalesce(sum(w * cnt), 0)::BIGINT AS rmsf_weight,
+        |  1::BIGINT AS in_umsf_ok, 1::BIGINT AS forest_ok,
+        |  1::BIGINT AS seed_ok
+        |FROM per""".stripMargin,
     "x73_dyngrow" ->
       // path stream counts re-derived arithmetically (nSteps = 50:
       // nSteps+1 node events, nSteps edge events); BA step-0 seed is a
