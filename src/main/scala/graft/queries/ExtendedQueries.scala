@@ -1130,6 +1130,43 @@ object ExtendedQueries {
         if (nRems > 0) 1L else 0L
       )).toDF("initial_matches_static", "replay_ok", "has_removals")
     }),
+    // interchange readers, oracle-gated: KONECT (directed weighted),
+    // GML (undirected with self-loops), MatrixMarket (symmetric real)
+    // fixtures parsed by the engine's readers; the oracle re-parses the
+    // SAME files character-level in DuckDB (read_csv + regexp) and
+    // re-derives the full per-node (out-)degree + weighted-degree
+    // table — a row-level gate on n, m, weights, and id mapping
+    "x75_readers" -> ((s, dir) => {
+      val kon = graft.io.GraphReaders.readKonect(
+        s, "/root/reference/input/foodweb-baydry.konect")
+      val konDeg = {
+        val e = kon.edges
+        val verts = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+        val d = e.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"), sum("weight").as("wdeg"))
+        verts.join(d, Seq("id"), "left")
+          .select(lit("konect").as("source"), col("id"),
+            coalesce(col("deg"), lit(0L)).as("deg"),
+            round(coalesce(col("wdeg"), lit(0.0)), 4).as("wdeg"))
+      }
+      val gml = graft.io.GraphReaders.readGml(
+        s, "/root/reference/input/jazz2_undirected.gml")
+      val gmlDeg = {
+        val adj = gml.adjacency // self-loops count twice, by expansion
+        val d = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        gml.vertices.select("id").join(d, Seq("id"), "left")
+          .select(lit("gml").as("source"), col("id"),
+            coalesce(col("deg"), lit(0L)).as("deg"),
+            round(coalesce(col("deg"), lit(0L)).cast("double"), 4).as("wdeg"))
+      }
+      val mtx = graft.io.GraphReaders.readMatrixMarket(
+        s, "/root/reference/input/LFAT5.mtx")
+      val mtxDeg = mtx.groupBy(col("i").as("id"))
+        .agg(count(lit(1)).as("deg"), round(sum("v"), 4).as("wdeg"))
+        .select(lit("mtx").as("source"), col("id"), col("deg"), col("wdeg"))
+      konDeg.unionAll(gmlDeg).unionAll(mtxDeg)
+    }),
     // random maximum spanning forest (Kruskal with randomized order
     // inside weight ties): the forest itself is seed-dependent, but its
     // edge COUNT and total WEIGHT are invariants of all maximum forests
@@ -1965,6 +2002,56 @@ object ExtendedQueries {
     "x69_dynhyperbolic" ->
       """SELECT 1::BIGINT AS initial_matches_static, 1::BIGINT AS replay_ok,
         |  1::BIGINT AS has_removals""".stripMargin,
+    "x75_readers" ->
+      // character-level re-parse of the same interchange fixtures:
+      // KONECT lines are "u v w" 1-based with % comments; GML edges are
+      // paired source/target lines in document order; MatrixMarket is
+      // 1-based "i j v" after one dims line, symmetric mirror off-diag
+      raw"""WITH kraw AS (SELECT trim(l) AS l
+        |  FROM read_csv('/root/reference/input/foodweb-baydry.konect',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |klines AS (SELECT l FROM kraw WHERE left(l, 1) <> '%' AND length(l) > 0),
+        |kedges AS (SELECT
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 1) AS BIGINT) - 1 AS u,
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 2) AS BIGINT) - 1 AS v,
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 3) AS DOUBLE) AS w
+        |  FROM klines),
+        |kverts AS (SELECT DISTINCT u AS id FROM kedges UNION SELECT DISTINCT v FROM kedges),
+        |kout AS (SELECT u AS id, count(*) AS deg, sum(w) AS wdeg FROM kedges GROUP BY u),
+        |kdeg AS (SELECT 'konect' AS source, n.id, coalesce(o.deg, 0) AS deg,
+        |    round(coalesce(o.wdeg, 0), 4) AS wdeg
+        |  FROM kverts n LEFT JOIN kout o ON o.id = n.id),
+        |graw AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/root/reference/input/jazz2_undirected.gml',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |gnodes AS (SELECT cast(regexp_extract(l, '^id (\d+)', 1) AS BIGINT) AS id
+        |  FROM graw WHERE regexp_matches(l, '^id \d+')),
+        |gsrc AS (SELECT row_number() OVER (ORDER BY ln) AS k,
+        |    cast(regexp_extract(l, '^source (\d+)', 1) AS BIGINT) AS u
+        |  FROM graw WHERE regexp_matches(l, '^source \d+')),
+        |gtgt AS (SELECT row_number() OVER (ORDER BY ln) AS k,
+        |    cast(regexp_extract(l, '^target (\d+)', 1) AS BIGINT) AS v
+        |  FROM graw WHERE regexp_matches(l, '^target \d+')),
+        |gedges AS (SELECT u, v FROM gsrc JOIN gtgt USING (k)),
+        |gsym AS (SELECT u, v FROM gedges UNION ALL SELECT v AS u, u AS v FROM gedges),
+        |gdeg AS (SELECT 'gml' AS source, n.id, count(s.u) AS deg,
+        |    round(count(s.u)::DOUBLE, 4) AS wdeg
+        |  FROM gnodes n LEFT JOIN gsym s ON s.u = n.id GROUP BY n.id),
+        |mraw AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/root/reference/input/LFAT5.mtx',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |mdata AS (SELECT row_number() OVER (ORDER BY ln) AS k, l FROM mraw
+        |  WHERE left(l, 1) <> '%' AND length(l) > 0),
+        |mentries AS (SELECT
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 1) AS BIGINT) - 1 AS i,
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 2) AS BIGINT) - 1 AS j,
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 3) AS DOUBLE) AS v
+        |  FROM mdata WHERE k > 1),
+        |mmir AS (SELECT i, j, v FROM mentries
+        |  UNION ALL SELECT j AS i, i AS j, v FROM mentries WHERE i <> j),
+        |mdeg AS (SELECT 'mtx' AS source, i AS id, count(*) AS deg,
+        |    round(sum(v), 4) AS wdeg FROM mmir GROUP BY i)
+        |SELECT * FROM kdeg UNION ALL SELECT * FROM gdeg UNION ALL SELECT * FROM mdeg""".stripMargin,
     "x74_rmsf" ->
       // cut property on the minShared=1 graph: Kruskal heaviest-first
       // adds comps(>w) − comps(≥w) edges at weight class w; summing
