@@ -355,11 +355,14 @@ object Community {
     * then project labels back down the level mappings (reference
     * `PLM.hpp:19` move→coarsen→recurse, `ClusteringProjector.hpp:19`).
     *
-    * Approximation note: each local-moving pass stops once two
+    * Approximation note — a DELIBERATE deviation from the reference:
+    * PLM's local moving converges only on zero moves (bounded by
+    * maxIter; `PLM.cpp:223` `while(moved && iter<=maxIter)`), with no
+    * relative threshold. Here each local-moving pass stops once two
     * consecutive rounds move fewer than `minMovesFrac`·n nodes (default
-    * 0.5 %), mirroring the reference PLM's relative moved-nodes
-    * threshold — the long tail of sub-1 %-move rounds shifts modularity
-    * negligibly but dominates wall-clock. Pass `minMovesFrac = 0` for
+    * 0.5 %), because on Spark the long tail of sub-1 %-move rounds
+    * shifts modularity negligibly but dominates wall-clock (each round
+    * is a full shuffle). Pass `minMovesFrac = 0` for the reference's
     * exact zero-move convergence. */
   def louvain(g: PropertyGraph, maxLevels: Int = 6, gamma: Double = 1.0,
       minMovesFrac: Double = 5e-3): DataFrame = {
@@ -420,9 +423,12 @@ object Community {
     * *initialized to their P-community* — the aggregate level starts
     * from P, not singletons, which is what lets later levels undo
     * badly-merged Louvain communities. Returns `(id, community)` for the
-    * original graph's nodes; stops when γ-modularity stops improving. */
+    * original graph's nodes; stops when γ-modularity stops improving.
+    * `minMovesFrac` is threaded to both the local-move and refinement
+    * passes (same semantics and same deliberate deviation as
+    * [[louvain]]; 0 = exact zero-move convergence). */
   def leiden(g: PropertyGraph, maxLevels: Int = 6,
-      gamma: Double = 1.0): DataFrame = {
+      gamma: Double = 1.0, minMovesFrac: Double = 5e-3): DataFrame = {
     var cur = g
     var mapping = g.vertices.select(col("id"), col("id").as("community"))
     var constraint = Option.empty[DataFrame] // supernode → P-community seed
@@ -432,7 +438,7 @@ object Community {
     var improved = true
     while (improved && level < maxLevels) {
       val p = louvainLocalMove(cur, gamma = gamma, initPartition = constraint,
-          minMovesFrac = 5e-3)
+          minMovesFrac = minMovesFrac)
         .localCheckpoint(true)
       // final labels this level = mapping ∘ p
       val supP = p.select(col("id").as("supernode"), col("community").as("cp"))
@@ -445,7 +451,7 @@ object Community {
         lastQ = q
         best = projected
         // refinement: connected sub-communities inside P
-        val r = leidenRefine(cur, p, gamma, minMovesFrac = 5e-3)
+        val r = leidenRefine(cur, p, gamma, minMovesFrac = minMovesFrac)
           .localCheckpoint(true)
         val supR = r.select(col("id").as("supernode"), col("community").as("cr"))
         mapping = mapping.join(supR, mapping("community") === supR("supernode"))
@@ -697,7 +703,15 @@ object Community {
     * join — so a step costs O(|changes| + |cells|) regardless of n; NMI
     * is then recomputed from the (community-count-sized) table. Events:
     * `(step, id, community)` reassignments, steps 1..maxStep. Returns
-    * one row per step `(step, nmi)`, step 0 = base vs initial. */
+    * one row per step `(step, nmi)`, step 0 = base vs initial.
+    *
+    * Contract: events carry no intra-step order, so duplicate
+    * reassignments of one node within a step are collapsed
+    * deterministically (max community wins). If intra-step order is
+    * meaningful (last event should win), pre-resolve duplicates
+    * upstream — e.g. `max_by(community, seq)` per (step, id) — before
+    * calling; the reference DynamicNMIDistance applies events
+    * sequentially and would keep the last. */
   def dynamicNmi(base: DataFrame, initial: DataFrame, changes: DataFrame): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._

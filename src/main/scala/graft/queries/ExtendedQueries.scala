@@ -85,8 +85,9 @@ object ExtendedQueries {
        |  coalesce(sum(CASE WHEN a.id <> a.s THEN a.delta END), 0.0) / 2.0 AS score
        |FROM nodes n LEFT JOIN alldel a ON a.id = n.id
        |GROUP BY n.id),
-       |t AS (SELECT row_number() OVER (ORDER BY round(score, 2) DESC, id ASC)::BIGINT AS rank,
-       |  id, round(score, 2) AS dep64 FROM sc)
+       |t AS (SELECT row_number() OVER (
+       |    ORDER BY cast(floor(score * 100 + 0.5) AS BIGINT) DESC, id ASC)::BIGINT AS rank,
+       |  id, cast(floor(score * 100 + 0.5) AS BIGINT) AS dep64 FROM sc)
        |SELECT rank, id, dep64, 1::BIGINT AS within_err FROM t WHERE rank <= $topK""".stripMargin
   }
 
@@ -571,14 +572,17 @@ object ExtendedQueries {
         .agg(max(abs(col("kadabra") - col("exact")))).as[Double].head()
       val srcs = g.vertices.orderBy("id").limit(64).select("id").as[Long].collect().toSeq
       val ex64 = Betweenness.run(g, sourceIds = Some(srcs))
-      // rank on the SAME precision the comparison uses (2 dp): ranking
-      // the unrounded double would let sub-noise score differences swap
-      // ranks between Spark and the DuckDB oracle
+      // rank and report on an INTEGER-scaled score (floor(s*100+0.5)):
+      // both engines evaluate the identical IEEE multiply/add/floor on
+      // the same double, unlike round(), whose decimal semantics differ
+      // between Spark (HALF_UP on the shortest decimal) and DuckDB
+      // (binary value) near .xx5 boundaries — scaling removes the flake
+      val scaled = floor(col("score") * 100 + 0.5).cast("long")
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(round(col("score"), 2).desc, col("id").asc)
+        .orderBy(scaled.desc, col("id").asc)
       ex64.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
-        .select(col("rank"), col("id"), round(col("score"), 2).as("dep64"),
+        .select(col("rank"), col("id"), scaled.as("dep64"),
           lit(if (maxDev <= 0.1) 1L else 0L).as("within_err"))
     }),
     // generator tail (ring lattice, Dorogovtsev-Mendes, Havel-Hakimi,
@@ -1016,18 +1020,21 @@ object ExtendedQueries {
     // bridge count (an edge is a bridge iff its endpoints disconnect
     // without it — per-edge removal reachability CTE) and the
     // articulation count (per-vertex removal: some neighbor pair
-    // disconnects), so the Hopcroft–Tarjan DFS is cross-checked by a
-    // DFS-free formulation; the distributed certificate flags stay
-    // Spark-side gates
+    // disconnects), so the chain-decomposition run is cross-checked by
+    // a DFS-free formulation. The distributed bridge certificate and
+    // the label-coverage invariant are HARD Spark-side gates: the query
+    // throws (→ correctness FAIL) instead of emitting flag columns the
+    // oracle could only echo as literals
     "x35_bicc" -> ((s, dir) => {
+      import s.implicits._
       val g = DerivedGraphs.partGraph(s, dir, 2)
       val (labels, artic, bridges) = Biconnected.run(g)
       val nEdges = g.edges.filter(col("src") =!= col("dst")).distinct().count()
-      val labelsOk = if (labels.count() == nEdges) 1L else 0L
-      Biconnected.bridgeCertificate(g, bridges)
-        .withColumn("labels_ok", lit(labelsOk))
-        .withColumn("n_bridges", lit(bridges.count()))
-        .withColumn("n_artic", lit(artic.count()))
+      require(labels.count() == nEdges, "bicc labels must cover every simple edge")
+      val cert = Biconnected.bridgeCertificate(g, bridges).head()
+      require(cert.getLong(0) == 1L && cert.getLong(1) == 1L,
+        "distributed bridge certificate failed")
+      Seq((bridges.count(), artic.count())).toDF("n_bridges", "n_artic")
     }),
     // eigenvector centrality: a fixed 30 power iterations (tol=0
     // disables early stop) so the oracle can unroll the identical
@@ -1968,9 +1975,7 @@ object ExtendedQueries {
          |artic AS (
          |  SELECT DISTINCT c2.x FROM cand c2 JOIN sym s ON s.src = c2.x
          |  WHERE NOT EXISTS (SELECT 1 FROM ar WHERE ar.x = c2.x AND ar.id = s.dst))
-         |SELECT 1::BIGINT AS n_bridges_ok, 1::BIGINT AS separated_ok,
-         |  1::BIGINT AS labels_ok,
-         |  (SELECT count(*) FROM bridges)::BIGINT AS n_bridges,
+         |SELECT (SELECT count(*) FROM bridges)::BIGINT AS n_bridges,
          |  (SELECT count(*) FROM artic)::BIGINT AS n_artic""".stripMargin,
     "x39_kadabra" -> brandes64Sql(nSources = 64, depth = 16, topK = 5),
     "x43_localsim" ->
