@@ -109,6 +109,48 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(cores.count() == 34)
   }
 
+  test("coreDecomposition equals sequential peel on ER + path tail + isolate") {
+    import spark.implicits._
+    val er = Generators.erdosRenyi(spark, 250, 0.03, seed = 5)
+    // append a path tail (core 1) hanging off node 0 and an isolated id
+    val extra = Seq((0L, 500L, 1.0), (500L, 501L, 1.0), (501L, 502L, 1.0))
+      .toDF("src", "dst", "weight")
+    val verts = er.vertices.select("id")
+      .unionAll(Seq(500L, 501L, 502L, 900L).toDF("id"))
+    val g = PropertyGraph(er.edges.unionAll(extra), directed = false, Some(verts))
+    // driver brute force: repeatedly strip min-degree vertices
+    val adj = scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[Long]]()
+    g.edges.select("src", "dst").collect().foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      if (u != v) {
+        adj.getOrElseUpdate(u, scala.collection.mutable.HashSet()) += v
+        adj.getOrElseUpdate(v, scala.collection.mutable.HashSet()) += u
+      }
+    }
+    val expected = scala.collection.mutable.HashMap[Long, Int]()
+    verts.as[Long].collect().foreach(v => expected(v) = 0)
+    var k = 1
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (v, ns) if ns.size <= k => v }.toSeq
+        changed = drop.nonEmpty
+        drop.foreach { v =>
+          expected(v) = k
+          adj.remove(v).foreach(_.foreach(w => adj.get(w).foreach(_ -= v)))
+        }
+      }
+      k += 1
+    }
+    val got = GraphOps.coreDecomposition(g).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected.toMap, {
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(i => got.get(i) != expected.get(i)).take(5)
+      s"mismatch at $diff: got ${diff.map(got.get)}, want ${diff.map(expected.get)}"
+    })
+  }
+
   test("transpose/toUndirected/subgraph invariants") {
     val t = GraphOps.transpose(karate)
     assert(t.numberOfEdges == karate.numberOfEdges)
