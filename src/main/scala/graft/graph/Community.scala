@@ -342,7 +342,7 @@ object Community {
       val moved = next.agg(sum("moved")).head.getLong(0)
       dbg(s"round $round moved=$moved")
       quietRounds = if (moved <= quietBar) quietRounds + 1 else 0
-      cur.unpersist(blocking = false)
+      Fixpoint.free(cur) // handles both the persisted and checkpointed rounds
       cur = next
       round += 1
     }

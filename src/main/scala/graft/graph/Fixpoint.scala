@@ -18,6 +18,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Fixpoint {
 
+  /** Release the storage behind a per-round state. `Dataset.unpersist`
+    * only drops CacheManager entries, so for a `localCheckpoint`ed state
+    * (plan = `LogicalRDD`) it is a silent no-op and every round's blocks
+    * pile up in the block manager — at 10⁸-row states the memory store
+    * fills after a few rounds and each subsequent round pays eviction
+    * churn. Unpersist the checkpointed RDD itself instead. */
+  def free(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    case _ => df.unpersist(false)
+  }
+
   /** Run `step` until `stop(prev, next, i)` is true or `maxIter` reached.
     * Returns the final (persisted) state. */
   def loop(init: DataFrame, maxIter: Int, checkpointEvery: Int = 1)(
@@ -39,7 +50,7 @@ object Fixpoint {
       done = stop(cur, next, i)
       if (debug) System.err.println(
         f"[fixpoint] iter $i step=${(t1 - t0) / 1e9}%.2fs stop=${(System.nanoTime() - t1) / 1e9}%.2fs")
-      cur.unpersist(blocking = false)
+      free(cur)
       cur = next
       i += 1
     }
@@ -90,6 +101,7 @@ object Fixpoint {
         f"[fixpoint-fused] iter $i span=$w ${(System.nanoTime() - t0) / 1e9}%.2fs")
       done = prev.contains(f)
       prev = Some(f)
+      free(cur) // next is fully materialized by the fingerprint action
       cur = next
       i += w
     }

@@ -244,11 +244,13 @@ object GraphOps {
         .join(nh, "dst")
         .groupBy("src").agg(collect_list(col("nh")).as("hs"))
         .select(col("src").as("id"), hIndexExpr.cast("long").as("h2"))
+      val hPrev = h
       h = h.join(upd, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("h2"), col("h")).as("h"),
           (col("h2").isNotNull && col("h2") < col("h")).as("chg"))
         .localCheckpoint(true)
+      Fixpoint.free(hPrev) // eager checkpoint above — prev blocks now dead
       nChanged = h.filter(col("chg")).count() // cached blocks — cheap
       if (debug) System.err.println(
         f"[kcore-delta] iter $iter wide=$wide changed=$nChanged ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -259,6 +261,7 @@ object GraphOps {
     val out = g.vertices.select("id").join(cores, Seq("id"), "left")
       .select(col("id"), coalesce(col("core"), lit(0)).as("core"))
       .localCheckpoint(true)
+    Fixpoint.free(h)
     nbrs.unpersist(blocking = false)
     out
   }

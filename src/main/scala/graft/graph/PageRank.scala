@@ -138,7 +138,7 @@ object PageRank {
       } else next.count()
       if (debug) System.err.println(
         f"[pagerank] iters $i..${i + span} ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      cur.unpersist(blocking = false)
+      Fixpoint.free(cur) // checkpoint blocks — Dataset.unpersist misses them
       cur = next
       i += span
     }

@@ -45,9 +45,14 @@ object ShortestPaths {
         .localCheckpoint(true)
       frontierSize = newFrontier.count()
       if (frontierSize > 0) {
+        val prevDist = dist
+        val prevFrontier = frontier
         dist = dist.unionAll(newFrontier).localCheckpoint(true)
         frontier = newFrontier
-      }
+        // eager checkpoint above copied both into fresh blocks
+        Fixpoint.free(prevDist)
+        if (!(prevFrontier eq prevDist)) Fixpoint.free(prevFrontier)
+      } else Fixpoint.free(newFrontier)
       i += 1
     }
     adj.unpersist(false)
@@ -77,11 +82,15 @@ object ShortestPaths {
         .localCheckpoint(true)
       frontierSize = improved.count()
       if (frontierSize > 0) {
+        val prevDist = dist
+        val prevFrontier = frontier
         dist = dist.unionAll(improved)
           .groupBy("source", "id").agg(min("dist").as("dist"))
           .localCheckpoint(true)
         frontier = improved
-      }
+        Fixpoint.free(prevDist)
+        if (!(prevFrontier eq prevDist)) Fixpoint.free(prevFrontier)
+      } else Fixpoint.free(improved)
       i += 1
     }
     adj.unpersist(false)
