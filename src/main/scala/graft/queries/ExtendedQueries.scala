@@ -1174,6 +1174,23 @@ object ExtendedQueries {
         .select(lit("mtx").as("source"), col("id"), col("deg"), col("wdeg"))
       konDeg.unionAll(gmlDeg).unionAll(mtxDeg)
     }),
+    // Floyd–Warshall-class APSP (min-plus matrix squaring with the
+    // reference's fewest-hops tie-break) on the 120 lowest-id vertices
+    // of the part graph; the oracle runs the IDENTICAL min-plus closure
+    // as 8 chained squaring CTEs on a dist*512+hops integer composite
+    // (exact: integer weights, hops < 512, 2^8 ≥ any simple-path length)
+    "x76_fw" -> ((s, dir) => {
+      val g0 = DerivedGraphs.partGraph(s, dir, 2)
+      // densest corner: the 120 highest-degree vertices (deterministic
+      // (degree desc, id) order, mirrored in the oracle's deg CTE)
+      val keep = g0.adjacency.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+        .orderBy(col("d").desc, col("id")).limit(120).select("id")
+      val g = GraphOps.subgraphFromNodes(g0, keep)
+      Apsp.floydWarshall(g)
+        .select(col("src").as("s"), col("dst").as("t"),
+          col("dist").cast("long").as("dist"), col("hops"))
+    }),
     // random maximum spanning forest (Kruskal with randomized order
     // inside weight ties): the forest itself is seed-dependent, but its
     // edge COUNT and total WEIGHT are invariants of all maximum forests
@@ -2057,6 +2074,27 @@ object ExtendedQueries {
         |mdeg AS (SELECT 'mtx' AS source, i AS id, count(*) AS deg,
         |    round(sum(v), 4) AS wdeg FROM mmir GROUP BY i)
         |SELECT * FROM kdeg UNION ALL SELECT * FROM gdeg UNION ALL SELECT * FROM mdeg""".stripMargin,
+    "x76_fw" -> {
+      // identical min-plus closure, integer-composite encoded:
+      // v = dist*512 + hops, min(v) = lexicographic (dist, hops) min —
+      // the fewest-hops tie-break — because retained hops ≤ n-1 < 256
+      // (positive weights ⇒ minimal walks are simple) so candidate
+      // sums stay < 512. 8 squarings cover 2^8 = 256 ≥ any simple path.
+      val sqs = (1 to 8).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT a.i, b.j, min(a.v + b.v) AS v
+           |  FROM d${k - 1} a JOIN d${k - 1} b ON a.j = b.i GROUP BY a.i, b.j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |keep AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 120),
+         |es AS (SELECT s.src, s.dst, s.c FROM sym s
+         |  JOIN keep a ON a.id = s.src JOIN keep b ON b.id = s.dst),
+         |d0 AS (SELECT i, j, min(v) AS v FROM (
+         |    SELECT src AS i, dst AS j, c * 512 + 1 AS v FROM es
+         |    UNION ALL SELECT id AS i, id AS j, 0 AS v FROM keep) GROUP BY i, j),
+         |$sqs
+         |SELECT i AS s, j AS t, (v // 512)::BIGINT AS dist,
+         |  (v % 512)::BIGINT AS hops FROM d8""".stripMargin
+    },
     "x74_rmsf" ->
       // cut property on the minShared=1 graph: Kruskal heaviest-first
       // adds comps(>w) − comps(≥w) edges at weight class w; summing
