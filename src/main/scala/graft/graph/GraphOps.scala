@@ -223,12 +223,18 @@ object GraphOps {
       .withColumn("chg", lit(true)).localCheckpoint(true)
     var nChanged = nVerts
     var iter = 0
+    // wide/narrow crossover: a narrow round's explode volume is
+    // Σ deg over NEIGHBORS of the changed set, which on a power-law
+    // tail blows past the full-graph volume as soon as the changed set
+    // contains a hub — A/B at RMAT-21 measured n/64 at 347 s vs n/4096
+    // at 177 s (mid-size changed sets pay 2 extra semi-join jobs AND
+    // lose the broadcast-h plan, costing 3.5–13.5 s/round vs the 2 s
+    // broadcast full recompute). Narrow only wins once the frontier is
+    // a few hundred vertices; override for A/B via GRAFT_KCORE_NARROW_DIV
+    val narrowDiv = sys.env.get("GRAFT_KCORE_NARROW_DIV").map(_.toLong).getOrElse(4096L)
     while (iter < maxIter && nChanged > 0) {
       val t0 = System.nanoTime()
-      // a broadcast-h full recompute round is ~1 scan of `nbrs` with no
-      // shuffle, so the narrow path (2 semi scans + a distinct) only
-      // wins once the frontier is deep-tail small
-      val wide = nChanged > math.max(256L, nVerts / 4096)
+      val wide = nChanged > math.max(256L, nVerts / narrowDiv)
       val target =
         if (wide) nbrs
         else {
@@ -251,7 +257,12 @@ object GraphOps {
           (col("h2").isNotNull && col("h2") < col("h")).as("chg"))
         .localCheckpoint(true)
       Fixpoint.free(hPrev) // eager checkpoint above — prev blocks now dead
-      nChanged = h.filter(col("chg")).count() // cached blocks — cheap
+      // measured NOT worth fusing into one lazy-checkpoint + aggregate
+      // job: the fused variant re-plans the full round chain per action
+      // and ran 327 s vs 187 s at RMAT-21 — the extra count on cached
+      // blocks is cheap, the eager materialization is what keeps each
+      // round's plan small
+      nChanged = h.filter(col("chg")).count()
       if (debug) System.err.println(
         f"[kcore-delta] iter $iter wide=$wide changed=$nChanged ${(System.nanoTime() - t0) / 1e9}%.2fs")
       iter += 1
