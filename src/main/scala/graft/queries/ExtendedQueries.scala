@@ -1174,6 +1174,34 @@ object ExtendedQueries {
         .select(lit("mtx").as("source"), col("id"), col("deg"), col("wdeg"))
       konDeg.unionAll(gmlDeg).unionAll(mtxDeg)
     }),
+    // NetworKit BINARY graph format, interop-gated: the engine decodes
+    // the reference's OWN nkbg003 file (written by NetworKit itself) and
+    // the oracle re-derives the degree table from the TEXT twin of the
+    // same graph (character-level KONECT re-parse) — a cross-FORMAT
+    // cross-engine gate on n, m, weights and id mapping. The engine's
+    // writer is exercised as a hard Spark-side gate: write → re-read
+    // must reproduce the identical weighted edge set
+    "x77_nkbg" -> ((s, dir) => {
+      val bin = graft.io.NetworkitBinary.read(
+        s, "/root/reference/input/foodweb-baydry.nkbg003")
+      val rt = "/tmp/graft_x77_roundtrip.nkbg"
+      graft.io.NetworkitBinary.write(bin, rt, chunks = 8)
+      val back = graft.io.NetworkitBinary.read(s, rt)
+      val a = bin.edges.select(col("src"), col("dst"), round(col("weight"), 6).as("w"))
+      val b = back.edges.select(col("src"), col("dst"), round(col("weight"), 6).as("w"))
+      require(a.except(b).isEmpty && b.except(a).isEmpty,
+        "nkbg write→read roundtrip must reproduce the edge set")
+      require(back.directed == bin.directed, "roundtrip lost directedness")
+      val e = bin.edges
+      val verts = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct()
+      val d = e.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"), sum("weight").as("wdeg"))
+      verts.join(d, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          round(coalesce(col("wdeg"), lit(0.0)), 4).as("wdeg"))
+    }),
     // Floyd–Warshall-class APSP (min-plus matrix squaring with the
     // reference's fewest-hops tie-break) on the 120 lowest-id vertices
     // of the part graph; the oracle runs the IDENTICAL min-plus closure
@@ -2074,6 +2102,22 @@ object ExtendedQueries {
         |mdeg AS (SELECT 'mtx' AS source, i AS id, count(*) AS deg,
         |    round(sum(v), 4) AS wdeg FROM mmir GROUP BY i)
         |SELECT * FROM kdeg UNION ALL SELECT * FROM gdeg UNION ALL SELECT * FROM mdeg""".stripMargin,
+    "x77_nkbg" ->
+      // text twin of the binary fixture: the engine read nkbg003, the
+      // oracle re-parses the KONECT file the reference generated it from
+      raw"""WITH kraw AS (SELECT trim(l) AS l
+        |  FROM read_csv('/root/reference/input/foodweb-baydry.konect',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |klines AS (SELECT l FROM kraw WHERE left(l, 1) <> '%' AND length(l) > 0),
+        |kedges AS (SELECT
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 1) AS BIGINT) - 1 AS u,
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 2) AS BIGINT) - 1 AS v,
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 3) AS DOUBLE) AS w
+        |  FROM klines),
+        |kverts AS (SELECT DISTINCT u AS id FROM kedges UNION SELECT DISTINCT v FROM kedges),
+        |kout AS (SELECT u AS id, count(*) AS deg, sum(w) AS wdeg FROM kedges GROUP BY u)
+        |SELECT n.id, coalesce(o.deg, 0) AS deg, round(coalesce(o.wdeg, 0), 4) AS wdeg
+        |FROM kverts n LEFT JOIN kout o ON o.id = n.id""".stripMargin,
     "x76_fw" -> {
       // identical min-plus closure, integer-composite encoded:
       // v = dist*512 + hops, min(v) = lexicographic (dist, hops) min —
