@@ -119,4 +119,58 @@ object Dedup {
     }.reduce(_ + _)
     agg.select(col(id), hashCol.as("simhash"))
   }
+
+  /** Embedding-cosine near-duplicate GROUPS: pairs at `cosine ≥
+    * minCosine` are edges of a similarity graph; each connected
+    * component is one duplicate group and its smallest id the canonical
+    * representative (the same keep-rule as [[dropExactDuplicates]]).
+    * Returns one row per vector: `(id, group, group_size,
+    * is_canonical)` — singletons are their own group.
+    *
+    * `exact = true` scores every pair (quadratic — the small-n oracle
+    * baseline, like the brute-force cosine top-k). The default scale
+    * path hashes vectors into SRP-LSH buckets (multi-probe, Hamming-1)
+    * and scores only same-bucket candidates — the shuffle is keyed by
+    * bucket, never all-pairs, the same shape that makes MinHash-LSH
+    * scale; candidates then pass the SAME exact rounded-cosine test, so
+    * approximation can only MISS pairs (lower recall), never admit
+    * false ones. Component-finding reuses the distributed large/small
+    * star CC kernel, O(log n) rounds at any scale. */
+  def embeddingNearDup(vectors: DataFrame, id: String, vec: String,
+      minCosine: Double, exact: Boolean = false, nBits: Int = 6): DataFrame = {
+    import graft.graph.{ConnectedComponents, PropertyGraph}
+    val pairs =
+      if (exact) Similarity.cosinePairs(vectors, id, vec, minCosine)
+      else {
+        val b0 = vectors.join(Similarity.srpBuckets(vectors, id, vec, nBits), Seq(id))
+        // multi-probe: each vector also visits its Hamming-1 buckets, so
+        // a pair meets when their buckets differ by ≤ 1 bit (visit-side
+        // expansion keeps the join key a single bucket column)
+        val probed = b0.withColumn("probe",
+            explode(array(lit(0L) +: (0 until nBits).map(b => lit(1L << b)): _*)))
+          .withColumn("bucket", expr("cast(bucket as bigint) ^ probe"))
+        val v = probed.select(col(id).as("a"), col("bucket"),
+            expr(s"transform($vec, x -> cast(x as double))").as("va"))
+          .withColumn("na", Similarity.normExpr("va"))
+        val w = probed.select(col(id).as("b"), col("bucket"),
+            expr(s"transform($vec, x -> cast(x as double))").as("vb"))
+          .withColumn("nb", Similarity.normExpr("vb"))
+        v.join(w, "bucket").filter(col("a") < col("b"))
+          .dropDuplicates("a", "b")
+          .withColumn("cosine",
+            round(Similarity.dotExpr("va", "vb") / (col("na") * col("nb")), 6))
+          .filter(col("cosine") >= minCosine)
+          .select("a", "b", "cosine")
+      }
+    val g = PropertyGraph(
+      pairs.select(col("a").as("src"), col("b").as("dst"), lit(1.0).as("weight")),
+      directed = false,
+      Some(vectors.select(col(id).as("id"))))
+    val cc = ConnectedComponents.run(g) // (id, component)
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as(id), col("component").as("group"),
+        col("group_size"),
+        (col("id") === col("component")).cast("long").as("is_canonical"))
+  }
 }

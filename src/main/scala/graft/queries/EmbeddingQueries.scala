@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ml.Similarity
+import graft.ml.{Dedup, Similarity}
 
 /** Similarity-search surface over the `embeddings` table
   * (`vec_id LONG, embedding ARRAY<FLOAT>, label INT`): norms, centroids,
@@ -124,6 +124,31 @@ object EmbeddingQueries {
     }),
 
     // label-level stats on norms
+    // embedding-cosine near-dup DEDUP GROUPS: connected components of
+    // the cosine >= 0.4 similarity graph, canonical = min id per group
+    // (the dedup keep-rule). The oracle replicates the grouping with a
+    // recursive-CTE min-label closure over the identically-rounded pair
+    // set. Hard Spark-side gate: the SRP-LSH bucketed scale path's
+    // groups must REFINE the exact groups (bucketed candidates pass the
+    // same exact cosine test, so its pair set is a subset — any LSH
+    // group spanning two exact groups would prove the candidate join
+    // admitted a false pair)
+    "e8_embdedup" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val exact = Dedup.embeddingNearDup(all, "vec_id", "embedding",
+        minCosine = 0.4, exact = true).localCheckpoint(true)
+      val lsh = Dedup.embeddingNearDup(all, "vec_id", "embedding",
+        minCosine = 0.4, exact = false, nBits = 6)
+      val violations = lsh.select(col("vec_id"), col("group").as("lg"))
+        .join(exact.select(col("vec_id"), col("group").as("eg")), "vec_id")
+        .groupBy("lg").agg(countDistinct("eg").as("n"))
+        .filter(col("n") > 1).count()
+      require(violations == 0,
+        "LSH near-dup groups must refine the exact groups")
+      exact.select(col("vec_id"), col("group").as("grp"),
+        col("group_size"), col("is_canonical"))
+    }),
+
     "e5_labelstats" -> ((s, dir) =>
       emb(s, dir)
         .withColumn("v", transform(col("embedding"), x => x.cast("double")))
@@ -172,6 +197,19 @@ object EmbeddingQueries {
          |  round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm), 6) AS cosine
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm), 6) >= 0.35""".stripMargin,
+    "e8_embdedup" ->
+      s"""WITH RECURSIVE $vecCte,
+         |pairs AS (SELECT a.vec_id AS ps, b.vec_id AS pt
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm), 6) >= 0.4),
+         |bidir AS (SELECT ps, pt FROM pairs UNION ALL SELECT pt, ps FROM pairs),
+         |reach(id, r) AS (SELECT vec_id, vec_id FROM v
+         |  UNION SELECT reach.id, s2.pt FROM reach JOIN bidir s2 ON s2.ps = reach.r),
+         |grps AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+         |sz AS (SELECT grp, count(*) AS group_size FROM grps GROUP BY grp)
+         |SELECT g.id AS vec_id, g.grp, sz.group_size,
+         |  (CASE WHEN g.id = g.grp THEN 1 ELSE 0 END)::BIGINT AS is_canonical
+         |FROM grps g JOIN sz USING (grp)""".stripMargin,
     "e5_labelstats" ->
       s"""WITH $vecCte
          |SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm,

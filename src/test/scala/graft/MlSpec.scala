@@ -119,6 +119,41 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("embeddingNearDup: planted duplicate clusters recovered; LSH path finds true near-dups") {
+    import spark.implicits._
+    // 20 orthogonal base directions in R^32 (one-hot dims 0..19), each
+    // cloned 3× with a tiny perturbation confined to dims 20..31: clones
+    // are cosine ≥ 0.99 to their base, cross-cluster pairs near 0
+    val rows = for (c <- 0 until 20; j <- 0 until 3) yield {
+      val v = Array.fill(32)(0.0)
+      v(c) = 1.0
+      v(20 + c % 12) = 0.05 * j
+      (c * 3L + j, v.map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      minCosine = 0.95, exact = true).collect()
+    val groupsOf = exact.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted cluster is one group, canonical = its min id
+    for (c <- 0 until 20; j <- 0 until 3)
+      assert(groupsOf(c * 3L + j) == c * 3L, s"member ${c * 3 + j} not grouped to ${c * 3}")
+    assert(exact.count(_.getLong(3) == 1L) == 20, "one canonical per cluster")
+    assert(exact.forall(_.getLong(2) == 3L), "all groups size 3")
+    // scale path: SRP buckets + Hamming-1 multi-probe must recover most
+    // true near-dup pairs (cosine ≥ 0.99 pairs collide with high prob.)
+    val lsh = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      minCosine = 0.95, exact = false, nBits = 8).collect()
+    val nonSingleton = lsh.count(_.getLong(2) > 1L)
+    assert(nonSingleton >= 42, // ≥ 70 % of the 60 members keep a partner
+      s"LSH path grouped only $nonSingleton of 60 planted near-dup members")
+    // refinement: LSH groups never merge two exact groups
+    val lshGroups = lsh.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh.groupBy(r => r.getLong(1)).foreach { case (_, members) =>
+      assert(members.map(m => groupsOf(m.getLong(0))).toSet.size == 1,
+        "an LSH group spans two exact groups")
+    }
+  }
+
   test("cosineTopK is exact top-k (matches naive recompute for one query)") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val res = Similarity.cosineTopK(emb, emb.filter(col("vec_id") === 0),
