@@ -1294,6 +1294,62 @@ object ExtendedQueries {
         "ba_step0_nodes", "ba_step0_edges", "ba_touch_new_ok",
         "ba_targets_older_ok", "ba_per_step_ok", "ba_deterministic")
     }),
+    // multigrid Laplacian solver (the LAMG-class role; algebra/Multigrid,
+    // smoothed aggregation + V(1,1)-preconditioned CG): the customer
+    // table ranked by c_custkey becomes a weighted ring, whose
+    // two-terminal effective resistance has the series–parallel closed
+    // form arcIn·arcOut/(arcIn+arcOut) the oracle re-derives with prefix
+    // sums. Two source/sink pairs ride ONE hierarchy as batched rhs (the
+    // Electrical batching discipline); solver gated at |Δ| < 1e-6.
+    "x78_multigrid" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val keys = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("key"))
+      // distributed rank (sortBy + zipWithIndex, no single-partition window)
+      val pos = keys.sort("key").rdd.map(_.getLong(0)).zipWithIndex
+        .map { case (k, i) => (i, k) }.toDF("pos", "key")
+        .localCheckpoint(true)
+      val n = pos.count()
+      val ring = pos.select(col("pos").as("i"),
+          pmod(col("pos") + 1, lit(n)).as("j"),
+          (lit(1.0) + (col("key") % 7).cast("double")).as("w"))
+        .localCheckpoint(true)
+      val lap = ring.select(col("i"), col("j"), (-col("w")).as("v"))
+        .unionAll(ring.select(col("j").as("i"), col("i").as("j"), (-col("w")).as("v")))
+        .unionAll(ring.select(col("i"), col("i").as("j"), col("w").as("v")))
+        .unionAll(ring.select(col("j").as("i"), col("j").as("j"), col("w").as("v")))
+        .groupBy("i", "j").agg(sum("v").as("v"))
+      val t1 = n / 2; val t2 = n / 3
+      val b = Seq((0L, 0L, 1.0), (0L, t1, -1.0), (1L, 1L, 1.0), (1L, t2, -1.0))
+        .toDF("rhs", "i", "v")
+      val x = graft.algebra.Multigrid.solve(lap, b, tol = 1e-11)
+        .localCheckpoint(true)
+      def pot(rhs: Long, a: Long, bb: Long): Double = {
+        val m = x.filter(col("rhs") === rhs && col("i").isin(a, bb))
+          .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        m.getOrElse(a, 0.0) - m.getOrElse(bb, 0.0)
+      }
+      val rMg1 = pot(0, 0, t1); val rMg2 = pot(1, 1, t2)
+      // closed form (independently re-derived by the DuckDB oracle)
+      val inv = ring.select(col("i"), (lit(1.0) / col("w")).as("r"))
+      val total = inv.agg(sum("r")).first().getDouble(0)
+      def arc(lo: Long, hi: Long): Double =
+        inv.filter(col("i") >= lo && col("i") < hi)
+          .agg(sum("r")).first().getDouble(0)
+      val a1 = arc(0, t1); val a2 = arc(1, t2)
+      val r1 = a1 * (total - a1) / total
+      val r2 = a2 * (total - a2) / total
+      // round exactly as DuckDB's round(): half away from zero on the
+      // binary double value (not its shortest decimal rendering)
+      def r6(d: Double): Double = new java.math.BigDecimal(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      Seq((n,
+        r6(r1), r6(r2),
+        if (math.abs(rMg1 - r1) <= 1e-6 * math.max(1.0, r1)) 1L else 0L,
+        if (math.abs(rMg2 - r2) <= 1e-6 * math.max(1.0, r2)) 1L else 0L
+      )).toDF("n", "r1_closed", "r2_closed", "mg1_ok", "mg2_ok")
+    }),
     // full maximal-clique enumeration (degeneracy-ordered BK, no size
     // cap): the oracle re-derives the maximal-2-clique count (edges with
     // no common neighbor) and maximal-3-clique count (triangles with no
@@ -2139,6 +2195,27 @@ object ExtendedQueries {
          |SELECT i AS s, j AS t, (v // 512)::BIGINT AS dist,
          |  (v % 512)::BIGINT AS hops FROM d8""".stripMargin
     },
+    "x78_multigrid" ->
+      // series–parallel closed form for the customer-ring effective
+      // resistances: arcIn·arcOut/(arcIn+arcOut) via prefix sums over
+      // the per-edge inverse weights; the mg gates are Spark-side
+      // (|R_solver − R_closed| relative tolerance)
+      """WITH ringw AS (
+        |  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS pos,
+        |         1.0 + (c_custkey % 7) AS w
+        |  FROM customer),
+        |tot AS (SELECT count(*) AS n, sum(1.0/w) AS total FROM ringw),
+        |a1 AS (SELECT sum(1.0/w) AS arc FROM ringw
+        |       WHERE pos >= 0 AND pos < (SELECT n // 2 FROM tot)),
+        |a2 AS (SELECT sum(1.0/w) AS arc FROM ringw
+        |       WHERE pos >= 1 AND pos < (SELECT n // 3 FROM tot))
+        |SELECT (SELECT n FROM tot)::BIGINT AS n,
+        |  round(a1.arc * ((SELECT total FROM tot) - a1.arc)
+        |        / (SELECT total FROM tot), 6) AS r1_closed,
+        |  round(a2.arc * ((SELECT total FROM tot) - a2.arc)
+        |        / (SELECT total FROM tot), 6) AS r2_closed,
+        |  1::BIGINT AS mg1_ok, 1::BIGINT AS mg2_ok
+        |FROM a1, a2""".stripMargin,
     "x74_rmsf" ->
       // cut property on the minShared=1 graph: Kruskal heaviest-first
       // adds comps(>w) − comps(≥w) edges at weight class w; summing
