@@ -1350,6 +1350,64 @@ object ExtendedQueries {
         if (math.abs(rMg2 - r2) <= 1e-6 * math.max(1.0, r2)) 1L else 0L
       )).toDF("n", "r1_closed", "r2_closed", "mg1_ok", "mg2_ok")
     }),
+    // PivotMDS layout (viz/Layout.pivotMds): the oracle re-derives the
+    // pivot-BFS distance sum (the layout's input matrix) with a
+    // recursive CTE from the same 24 lowest-id pivots; the MDS gates —
+    // complete finite coordinates, descending positive eigenvalues,
+    // orthogonal axes, topology (near pivot pairs embed closer than far
+    // ones) — are Spark-side
+    "x79_pivotmds" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val k = 24
+      val pivotIds = g.vertices.select(col("id").cast("long")).orderBy("id")
+        .limit(k).as[Long].collect().toSeq
+      val res = graft.viz.Layout.pivotMdsWithInfo(
+        g, dim = 2, numPivots = k, pivots = Some(pivotIds))
+      val coords = res.coords.localCheckpoint(true)
+      val n = g.vertices.count()
+      val coordsOk = coords.count() == n &&
+        coords.filter(isnan(col("p0")) || isnan(col("p1"))).count() == 0
+      val evs = res.eigenvalues
+      val eigOk = evs.head >= evs(1) && evs(1) > 0
+      val st = coords.agg(sum(col("p0") * col("p0")).as("sx"),
+        sum(col("p1") * col("p1")).as("sy"),
+        sum(col("p0") * col("p1")).as("sxy")).first()
+      val (sx, sy, sxy) = (st.getDouble(0), st.getDouble(1), st.getDouble(2))
+      val orthoOk = math.abs(sxy) /
+        math.max(math.sqrt(sx) * math.sqrt(sy), 1e-300) < 1e-4
+      val varOk = sx >= sy
+      // base anchor the oracle re-derives: Σ of pivot-BFS distances
+      val dist = ShortestPaths.bfs(g, pivotIds.toDF("source"))
+        .localCheckpoint(true)
+      val distSum = dist.agg(sum("dist")).first().getLong(0)
+      // topology gate on pivot pairs: split at the median graph
+      // distance; the near half must average a smaller embedding
+      // distance than the far half
+      val pset = pivotIds.toDF("pid")
+      val pp = dist.join(pset, dist("id") === pset("pid"))
+        .filter(col("source") < col("id"))
+        .select(col("source").as("a"), col("id").as("b2"), col("dist").as("gd"))
+        .join(coords.select(col("id").as("a"),
+          col("p0").as("x1"), col("p1").as("y1")), "a")
+        .join(coords.select(col("id").as("b2"),
+          col("p0").as("x2"), col("p1").as("y2")), "b2")
+        .select(col("gd"), sqrt(pow(col("x1") - col("x2"), 2) +
+          pow(col("y1") - col("y2"), 2)).as("ed"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val med = pp.map(_._1).sorted.apply(pp.length / 2)
+      val near = pp.filter(_._1 < med).map(_._2)
+      val far = pp.filter(_._1 > med).map(_._2)
+      val topoOk = near.nonEmpty && far.nonEmpty &&
+        near.sum / near.length < far.sum / far.length
+      Seq((n, pivotIds.size.toLong, distSum,
+        if (coordsOk) 1L else 0L, if (eigOk) 1L else 0L,
+        if (orthoOk) 1L else 0L, if (varOk) 1L else 0L,
+        if (topoOk) 1L else 0L
+      )).toDF("n", "k", "dist_sum", "coords_ok", "eig_ok",
+        "ortho_ok", "var_ok", "topo_ok")
+    }),
     // full maximal-clique enumeration (degeneracy-ordered BK, no size
     // cap): the oracle re-derives the maximal-2-clique count (edges with
     // no common neighbor) and maximal-3-clique count (triangles with no
@@ -2195,6 +2253,24 @@ object ExtendedQueries {
          |SELECT i AS s, j AS t, (v // 512)::BIGINT AS dist,
          |  (v % 512)::BIGINT AS hops FROM d8""".stripMargin
     },
+    "x79_pivotmds" ->
+      // the layout's input: BFS distances from the 24 lowest-id nodes,
+      // re-derived with a recursive CTE; MDS gates are Spark-side
+      s"""WITH RECURSIVE $graphCte,
+         |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |srcs AS (SELECT id FROM nodes ORDER BY id LIMIT 24),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist+1 FROM reach r JOIN symm e2 ON e2.src = r.id
+         |  WHERE r.dist < 40),
+         |dm AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id)
+         |SELECT (SELECT count(*) FROM nodes)::BIGINT AS n,
+         |  (SELECT count(*) FROM srcs)::BIGINT AS k,
+         |  (SELECT sum(dist) FROM dm)::BIGINT AS dist_sum,
+         |  1::BIGINT AS coords_ok, 1::BIGINT AS eig_ok, 1::BIGINT AS ortho_ok,
+         |  1::BIGINT AS var_ok, 1::BIGINT AS topo_ok""".stripMargin,
     "x78_multigrid" ->
       // series–parallel closed form for the customer-ring effective
       // resistances: arcIn·arcOut/(arcIn+arcOut) via prefix sums over
