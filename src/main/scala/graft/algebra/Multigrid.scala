@@ -254,19 +254,34 @@ object Multigrid {
     * iteration (LAMG's Krylov-accelerated design); stops when every
     * rhs's relative residual ≤ `tol` or after `maxCycles` iterations. */
   def solve(a: DataFrame, b0: DataFrame, tol: Double = 1e-10,
-      maxCycles: Int = 40, coarsestN: Int = 64): DataFrame = {
-    val levels = setup(a, coarsestN)
+      maxCycles: Int = 40, coarsestN: Int = 64): DataFrame =
+    solvePrepared(setup(a, coarsestN), b0, tol, maxCycles)
+
+  /** [[solve]] against a hierarchy built once with [[setup]] — the
+    * reference solver's `setupConnected` + repeated-solve pattern
+    * (MaxentStress runs hundreds of solves on one Laplacian). `x0`
+    * warm-starts the iteration (the reference's in/out solution vector:
+    * MaxentStress passes the previous coordinates, so late solves need
+    * only a correction). */
+  def solvePrepared(levels: Seq[Level], b0: DataFrame, tol: Double = 1e-10,
+      maxCycles: Int = 40, x0: Option[DataFrame] = None): DataFrame = {
     val top = levels.head
     val b = b0.select(col("rhs"), col("i"), col("v")).localCheckpoint(true)
     val bNorm = norm2(b).map { case (k, v) =>
       k -> math.max(math.sqrt(v), 1e-300) }
-    var x = zeroVec(b)
-    var r = b
-    var z = vcycle(levels, 0, r, nu1 = 1, nu2 = 1).localCheckpoint(true)
-    var p = z
-    var rz = dot(r, z)
+    var x = x0.map(_.select(col("rhs"), col("i"), col("v"))
+      .localCheckpoint(true)).getOrElse(zeroVec(b))
+    var r = x0.map(_ => residual(top.a, b, x).localCheckpoint(true)).getOrElse(b)
     var iter = 0
-    var doneSolve = false
+    var doneSolve = {
+      val rn0 = norm2(r)
+      bNorm.map { case (k, nb) =>
+        math.sqrt(rn0.getOrElse(k, 0.0)) / nb }.max <= tol
+    }
+    var z = if (doneSolve) r
+      else vcycle(levels, 0, r, nu1 = 1, nu2 = 1).localCheckpoint(true)
+    var p = z
+    var rz = if (doneSolve) Map.empty[Long, Double] else dot(r, z)
     while (!doneSolve && iter < maxCycles) {
       val ap = amxv(top.a, p).localCheckpoint(true)
       val pap = dot(p, ap)

@@ -1350,6 +1350,40 @@ object ExtendedQueries {
         if (math.abs(rMg2 - r2) <= 1e-6 * math.max(1.0, r2)) 1L else 0L
       )).toDF("n", "r1_closed", "r2_closed", "mg1_ok", "mg2_ok")
     }),
+    // Maxent-stress layout (viz/MaxentLayout, the reference MaxentStress
+    // with multigrid-solved Laplacian steps): run on the part graph's
+    // largest connected component (the reference throws on disconnected
+    // input). The oracle re-derives the LCC size and the known-distance
+    // cardinality |S| (ordered pairs within 2 hops); the layout gates —
+    // stress improvement over the random init, finite coordinates,
+    // solver progress — are Spark-side
+    "x80_maxent" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g0 = DerivedGraphs.partGraph(s, dir, 2)
+      val comp = ConnectedComponents.run(g0).localCheckpoint(true)
+      val topC = comp.groupBy("component").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("component").asc).first().getLong(0)
+      val lcc = comp.filter(col("component") === topC).select("id")
+        .localCheckpoint(true)
+      val g = GraphOps.subgraphFromNodes(g0, lcc)
+      // cheap bounds for the gate (3 solves × 2 alpha rounds, loose
+      // inner tolerance): stress majorization does most of its work in
+      // the first solves; engine defaults stay at the reference values
+      val res = graft.viz.MaxentLayout.maxentStress(g, k = 2,
+        maxSolvesPerAlpha = 3, finalAlpha = 0.3,
+        solveTol = 1e-4, solveMaxCycles = 5, coarsestN = 512)
+      val coords = res.coords.localCheckpoint(true)
+      val n = lcc.count()
+      val finiteOk = coords.count() == n &&
+        coords.filter(isnan(col("c0")) || isnan(col("c1")) ||
+          col("c0").isNull || col("c1").isNull).count() == 0
+      Seq((n, res.knownPairs,
+        if (res.ldmeFinal < res.ldmeInitial) 1L else 0L,
+        if (finiteOk) 1L else 0L,
+        if (res.solves > 0) 1L else 0L
+      )).toDF("n", "s_pairs", "improved_ok", "finite_ok", "solves_ok")
+    }),
     // PivotMDS layout (viz/Layout.pivotMds): the oracle re-derives the
     // pivot-BFS distance sum (the layout's input matrix) with a
     // recursive CTE from the same 24 lowest-id pivots; the MDS gates —
@@ -2253,6 +2287,35 @@ object ExtendedQueries {
          |SELECT i AS s, j AS t, (v // 512)::BIGINT AS dist,
          |  (v % 512)::BIGINT AS hops FROM d8""".stripMargin
     },
+    "x80_maxent" ->
+      // LCC size via min-root reachability; |S| = distinct ordered pairs
+      // at hop distance 1 (edges) or 2 (wedges) inside the LCC; the
+      // layout gates are Spark-side
+      s"""WITH RECURSIVE $graphCte,
+         |symm AS MATERIALIZED (SELECT src, dst FROM sym),
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s2.dst, r.root FROM reach r JOIN symm s2 ON s2.src = r.id),
+         |comp AS (SELECT id, min(root) AS c FROM reach GROUP BY id),
+         |csz AS (SELECT c, count(*) AS n FROM comp GROUP BY c),
+         |lcc AS (SELECT id FROM comp
+         |        WHERE c = (SELECT c FROM csz ORDER BY n DESC, c ASC LIMIT 1)),
+         |p1 AS (SELECT src AS i, dst AS j FROM symm
+         |       WHERE src IN (SELECT id FROM lcc)),
+         |p2 AS (SELECT DISTINCT a.src AS i, b.dst AS j
+         |       FROM symm a JOIN symm b ON a.dst = b.src
+         |       WHERE a.src <> b.dst AND a.src IN (SELECT id FROM lcc)),
+         |-- explicit dedup: under WITH RECURSIVE, DuckDB 1.0 treats a
+         |-- CTE-body top-level UNION as recursive plumbing and skips
+         |-- the dedup, so UNION ALL + DISTINCT it is
+         |sset AS (SELECT DISTINCT i, j FROM
+         |  (SELECT i, j FROM p1 UNION ALL SELECT i, j FROM p2))
+         |SELECT (SELECT count(*) FROM lcc)::BIGINT AS n,
+         |  (SELECT count(*) FROM sset)::BIGINT AS s_pairs,
+         |  1::BIGINT AS improved_ok, 1::BIGINT AS finite_ok,
+         |  1::BIGINT AS solves_ok""".stripMargin,
     "x79_pivotmds" ->
       // the layout's input: BFS distances from the 24 lowest-id nodes,
       // re-derived with a recursive CTE; MDS gates are Spark-side
