@@ -69,4 +69,29 @@ class LayoutSpec extends SparkSpec {
     val b = Layout.pivotMds(g, dim = 2, numPivots = 10).orderBy("id").collect()
     assert(a.sameElements(b))
   }
+
+  test("postscript writer: header, one line per edge, one dot per node") {
+    import spark.implicits._
+    val n = 10
+    val g = pathGraph(n)
+    val coords = Layout.pivotMds(g, dim = 2, numPivots = n)
+      .select(col("id"), col("p0").as("c0"), col("p1").as("c1"))
+    val cl = (0 until n).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "cluster")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps").toString + "/out"
+    graft.viz.PostscriptWriter.write(g, coords, dir, Some(cl))
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.head == "%!PS-Adobe-1.0")
+    assert(lines.last == "grestore")
+    assert(lines.count(_.contains(" l s")) == n - 1, "one segment per edge")
+    assert(lines.count(_.contains("360.00 a s")) == n, "one dot per node")
+    // clusters 0/1/2 → palette entries red / orange / yellow on nodes
+    assert(lines.exists(l => l.startsWith("1.000 0.000 0.000 c p ") && l.contains("a s")))
+    assert(lines.exists(l => l.startsWith("1.000 0.500 0.000 c p ") && l.contains("a s")))
+    // adjacent path nodes differ in cluster → grey inter-cluster edges
+    assert(lines.exists(_.startsWith("0.80 0.80 0.80 c 1.0 w p ")))
+    // coordinates are inside the canvas
+    val nums = lines.filter(_.contains(" m ")).flatMap(
+      _.split(" ").flatMap(t => scala.util.Try(t.toDouble).toOption))
+    assert(nums.forall(v => v >= -0.001 && v <= 1020.001))
+  }
 }
