@@ -86,14 +86,20 @@ object Electrical {
     * spanning-edge centrality, the probability it appears in a uniform
     * spanning tree). `(u, v, resistance)`. */
   def effectiveResistance(g: PropertyGraph, pairs: Seq[(Long, Long)],
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, solver: String = "cg"): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val lap = Coo.laplacianMatrix(g)
     val b = pairs.zipWithIndex.flatMap { case ((u, v), k) =>
       Seq((k.toLong, u, 1.0), (k.toLong, v, -1.0))
     }.toDF("rhs", "i", "v")
-    val x = conjugateGradientBatch(lap, b, maxIter)
+    // "multigrid" = the LAMG-class [[graft.algebra.Multigrid]] path —
+    // the right pick on long-diameter graphs where CG's iteration count
+    // grows with the diameter; "cg" remains the small-diameter default
+    val x =
+      if (solver == "multigrid")
+        graft.algebra.Multigrid.solve(lap, b, tol = 1e-12, maxCycles = maxIter)
+      else conjugateGradientBatch(lap, b, maxIter)
     val pairDf = pairs.zipWithIndex.map { case ((u, v), k) => (k.toLong, u, v) }
       .toDF("rhs", "u", "v")
     val xu = x.select(col("rhs"), col("i").as("u"), col("v").as("xu"))

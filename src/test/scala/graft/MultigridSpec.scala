@@ -87,6 +87,20 @@ class MultigridSpec extends SparkSpec {
     assert(math.abs(rMg - rCg) < 1e-6, s"mg=$rMg cg=$rCg")
   }
 
+  test("Electrical.effectiveResistance multigrid path matches CG") {
+    import spark.implicits._
+    val karate = GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
+    val g = graft.graph.PropertyGraph(karate.edges, directed = false)
+    val pairs = Seq((0L, 33L), (5L, 16L), (2L, 8L))
+    val cg = graft.graph.Electrical.effectiveResistance(g, pairs, maxIter = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mg = graft.graph.Electrical.effectiveResistance(g, pairs, solver = "multigrid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { p =>
+      assert(math.abs(cg(p) - mg(p)) < 1e-5, s"pair $p: cg=${cg(p)} mg=${mg(p)}")
+    }
+  }
+
   test("long ring: V-cycles converge where 40-iteration CG is far off") {
     import spark.implicits._
     val n = 4096
