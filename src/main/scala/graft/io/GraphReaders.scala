@@ -330,6 +330,106 @@ object GraphReaders {
     lines.write.mode("overwrite").text(path)
   }
 
+  /** DOT graph writer (reference `io/DotGraphWriter.hpp:19`): `graph {`
+    * then one `u -- v;` line per edge. Edge order is not semantic in
+    * DOT, so the body writes fully distributed; only the 2-line shell
+    * is fixed (ord keys −1 and Long.Max). */
+  def writeDot(g: PropertyGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    val sep = if (g.directed) " -> " else " -- "
+    val head = if (g.directed) "digraph {" else "graph {"
+    val body = g.edges.select(
+      col("src").as("ord"),
+      concat(col("src"), lit(sep), col("dst"), lit(";")).as("line"))
+    val shell = spark.range(2).select(
+      when(col("id") === 0, lit(-1L)).otherwise(lit(Long.MaxValue)).as("ord"),
+      when(col("id") === 0, head).otherwise("}").as("line"))
+    writeOrderedLines(shell.unionAll(body), path)
+  }
+
+  /** SNAP graph writer (reference `io/SNAPGraphWriter.hpp:21`): problem
+    * line `p n m u u 0`, then one `src dst` line per edge. */
+  def writeSnap(g: PropertyGraph, path: String): Unit = {
+    val spark = g.edges.sparkSession
+    val n = g.vertices.count(); val m = g.edges.count()
+    val body = g.edges.select(col("src").as("ord"),
+      concat(col("src"), lit(" "), col("dst")).as("line"))
+    val header = spark.range(1).select(lit(-1L).as("ord"),
+      lit(s"p $n $m u u 0").as("line"))
+    writeOrderedLines(header.unionAll(body), path)
+  }
+
+  /** Partition writer (reference `io/PartitionWriter.hpp:20`): line i is
+    * node i's community. Input `(id, community)` with ids 0..n−1 (the
+    * format is positional — [[readPartition]]'s inverse). */
+  def writePartition(partition: DataFrame, path: String): Unit =
+    writeOrderedLines(
+      partition.select(col("id").cast("long").as("ord"),
+        col("community").cast("long").cast("string").as("line")),
+      path)
+
+  /** Cover reader (reference `io/CoverReader.hpp:19`): non-comment line
+    * i lists the member nodes of community i. Returns `(id, community)`
+    * rows — one per membership, so overlapping covers surface as
+    * multiple rows per id (the relational form of the reference's
+    * `Cover`; `collect_set` by id gives the `(id, communities)` shape). */
+  def readCover(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.textFile(path).zipWithIndex()
+      .filter { case (l, _) => !l.startsWith("#") }
+      .map { case (l, i) => (i, l.trim) }
+      .sortByKey().zipWithIndex() // community = non-comment line rank
+      .flatMap { case ((_, l), c) =>
+        l.split("\\s+").filter(_.nonEmpty).map(tok => (tok.toLong, c))
+      }.toDF("id", "community")
+  }
+
+  /** Cover writer (reference `io/CoverWriter.hpp:19`): line c lists the
+    * members of community c, space-separated. Communities must be
+    * 0-based and dense (line order is semantic). */
+  def writeCover(cover: DataFrame, path: String): Unit =
+    writeOrderedLines(
+      cover.groupBy(col("community").cast("long").as("ord"))
+        .agg(array_join(sort_array(collect_list(col("id").cast("long"))), " ")
+          .as("line")),
+      path)
+
+  /** Edge-list partition reader (reference
+    * `io/EdgeListPartitionReader.hpp:20`): each line `node<sep>community`
+    * with explicit ids (unlike [[readPartition]]'s positional lines). */
+  def readEdgeListPartition(spark: SparkSession, path: String,
+      firstNode: Long = 0L, separator: String = "\\s+"): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path).as[String]
+      .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
+      .map { l =>
+        val p = l.trim.split(separator)
+        (p(0).toLong - firstNode, p(1).toLong)
+      }.toDF("id", "community")
+  }
+
+  /** Edge-list cover reader (reference `io/EdgeListCoverReader.hpp:19`):
+    * each line lists a node then ALL its community ids — the transposed
+    * orientation of [[readCover]]. Same `(id, community)` output. */
+  def readEdgeListCover(spark: SparkSession, path: String,
+      firstNode: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path).as[String]
+      .filter(l => !l.startsWith("#") && l.trim.nonEmpty)
+      .flatMap { l =>
+        val p = l.trim.split("\\s+")
+        val v = p(0).toLong - firstNode
+        p.drop(1).map(c => (v, c.toLong))
+      }.toDF("id", "community")
+  }
+
+  /** SNAP community reader (reference
+    * `io/SNAPEdgeListPartitionReader.hpp:23`): like [[readCover]] but
+    * over SNAP's arbitrary (non-contiguous) node ids — each non-comment
+    * line is one community's member list. */
+  def readSnapCommunities(spark: SparkSession, path: String): DataFrame =
+    readCover(spark, path)
+
   /** DGS event-stream writer (reference `dynamics/DGSWriter.hpp:21`):
     * serializes a GraphEvent table `(seq, type, u, v, w)` (the
     * [[readDgs]] schema) back to DGS lines in sequence order. Edge

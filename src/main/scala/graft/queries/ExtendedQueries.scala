@@ -1202,6 +1202,40 @@ object ExtendedQueries {
           coalesce(col("deg"), lit(0L)).as("deg"),
           round(coalesce(col("wdeg"), lit(0.0)), 4).as("wdeg"))
     }),
+    // Thrill + graph-tool binary graph formats and the binary partition
+    // format, interop-gated: the part graph (compact ids — both formats
+    // are positional) writes → re-reads through BOTH binary codecs, and
+    // a degree-derived labeling roundtrips the binary partition format;
+    // equality is a hard Spark-side require, and the emitted degree
+    // table (original part ids) is re-derived by the oracle from the
+    // parquet tables — certifying the id mapping survives the codecs
+    "x81_binformats" -> ((s, dir) => {
+      val g0 = DerivedGraphs.partGraph(s, dir, 2)
+      val (g, mapping) = GraphOps.compactIds(g0)
+      val tp = "/tmp/graft_x81.thrill"; val gp = "/tmp/graft_x81.gt"
+      graft.io.BinaryFormats.writeThrill(g, tp)
+      graft.io.BinaryFormats.writeGraphTool(g, gp)
+      val backT = graft.io.BinaryFormats.readThrill(s, tp)
+      val backG = graft.io.BinaryFormats.readGraphTool(s, gp)
+      val es = g.edges.select("src", "dst")
+      def same(b: graft.graph.PropertyGraph): Boolean = {
+        val bs = b.edges.select("src", "dst")
+        bs.except(es).isEmpty && es.except(bs).isEmpty
+      }
+      require(same(backT), "thrill write→read must reproduce the edge set")
+      require(same(backG), "graph-tool write→read must reproduce the edge set")
+      val deg = backT.adjacency.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+      val part = deg.select(col("id"), (col("deg") % 8).as("community"))
+      val pp = "/tmp/graft_x81.part"
+      graft.io.BinaryFormats.writeBinaryPartition(part, pp, width = 4)
+      val backP = graft.io.BinaryFormats.readBinaryPartition(s, pp, width = 4)
+      require(backP.except(part).isEmpty && part.except(backP).isEmpty,
+        "binary partition write→read must reproduce the labeling")
+      deg.join(backP, "id")
+        .join(mapping.select(col("newId").as("id"), col("id").as("part_id")), "id")
+        .select(col("part_id"), col("deg"), col("community").as("comm"))
+    }),
     // Floyd–Warshall-class APSP (min-plus matrix squaring with the
     // reference's fewest-hops tie-break) on the 120 lowest-id vertices
     // of the part graph; the oracle runs the IDENTICAL min-plus closure
@@ -2266,6 +2300,12 @@ object ExtendedQueries {
         |kout AS (SELECT u AS id, count(*) AS deg, sum(w) AS wdeg FROM kedges GROUP BY u)
         |SELECT n.id, coalesce(o.deg, 0) AS deg, round(coalesce(o.wdeg, 0), 4) AS wdeg
         |FROM kverts n LEFT JOIN kout o ON o.id = n.id""".stripMargin,
+    "x81_binformats" ->
+      // the degree table of the minShared=2 part graph, re-derived from
+      // parquet: every id that survives the two binary graph codecs and
+      // the binary partition codec must carry its original degree
+      s"""WITH $graphCte
+         |SELECT id AS part_id, d AS deg, d % 8 AS comm FROM deg""".stripMargin,
     "x76_fw" -> {
       // identical min-plus closure, integer-composite encoded:
       // v = dist*512 + hops, min(v) = lexicographic (dist, hops) min —

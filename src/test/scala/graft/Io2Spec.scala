@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph._
+import graft.io.{BinaryFormats, GraphReaders}
+
+/** Thrill / graph-tool binary graph formats, binary partition formats,
+  * and the remaining text formats (DOT, SNAP writer, partition/cover
+  * readers+writers) — write→read roundtrips on karate plus hand-built
+  * fixtures, all vs the reference formats' byte layouts
+  * (`io/ThrillGraphBinaryWriter.cpp:14`, `GraphToolBinaryWriter.cpp:19`,
+  * `BinaryPartitionWriter.cpp:13`, `CoverReader.cpp:8`).
+  */
+class Io2Spec extends SparkSpec {
+
+  private def karate =
+    GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
+
+  private def edgeSet(g: PropertyGraph): Set[(Long, Long)] =
+    g.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("thrill: write karate, read back the identical edge set") {
+    val path = "/tmp/graft_karate.thrill"
+    BinaryFormats.writeThrill(karate, path)
+    val back = BinaryFormats.readThrill(spark, path)
+    assert(back.vertices.count() == 34)
+    assert(edgeSet(back) == edgeSet(karate))
+  }
+
+  test("thrill: varint degrees above 127 encode in two bytes and decode") {
+    // star with 200 leaves: center degree needs a 2-byte LEB128 varint
+    import spark.implicits._
+    val star = PropertyGraph(
+      (1L to 200L).map(v => (0L, v, 1.0)).toDF("src", "dst", "weight"),
+      directed = false)
+    val path = "/tmp/graft_star.thrill"
+    BinaryFormats.writeThrill(star, path)
+    val back = BinaryFormats.readThrill(spark, path)
+    assert(back.edges.count() == 200)
+    assert(edgeSet(back) == edgeSet(star))
+  }
+
+  test("graphtool: write karate, read back the identical edge set") {
+    val path = "/tmp/graft_karate.gt"
+    BinaryFormats.writeGraphTool(karate, path)
+    val back = BinaryFormats.readGraphTool(spark, path)
+    assert(!back.directed)
+    assert(back.vertices.count() == 34)
+    assert(edgeSet(back) == edgeSet(karate))
+  }
+
+  test("graphtool: directed graphs and >255-node width switch roundtrip") {
+    import spark.implicits._
+    // 300 nodes forces 2-byte adjacency width; keep it directed
+    val ring = PropertyGraph(
+      (0L until 300L).map(v => (v, (v + 1) % 300, 1.0)).toDF("src", "dst", "weight"),
+      directed = true)
+    val path = "/tmp/graft_ring.gt"
+    BinaryFormats.writeGraphTool(ring, path)
+    val back = BinaryFormats.readGraphTool(spark, path)
+    assert(back.directed)
+    assert(back.vertices.count() == 300)
+    assert(edgeSet(back) == edgeSet(ring))
+  }
+
+  test("binary partition: positional roundtrip at widths 4 and 8") {
+    import spark.implicits._
+    val part = (0L until 50L).map(i => (i, i % 7)).toDF("id", "community")
+    for (w <- Seq(4, 8)) {
+      val path = s"/tmp/graft_part_w$w.bin"
+      BinaryFormats.writeBinaryPartition(part, path, width = w)
+      val back = BinaryFormats.readBinaryPartition(spark, path, width = w)
+      assert(back.count() == 50)
+      assert(back.except(part).isEmpty && part.except(back).isEmpty)
+    }
+  }
+
+  test("binary edge-list partition: explicit-id pairs roundtrip") {
+    import spark.implicits._
+    val part = Seq((3L, 9L), (0L, 2L), (7L, 9L), (5L, 1L)).toDF("id", "community")
+    val path = "/tmp/graft_elpart.bin"
+    BinaryFormats.writeBinaryEdgeListPartition(part, path, width = 4, firstNode = 1L)
+    val back = BinaryFormats.readBinaryEdgeListPartition(
+      spark, path, width = 4, firstNode = 1L)
+    assert(back.except(part).isEmpty && part.except(back).isEmpty)
+  }
+
+  test("dot writer: shell plus one line per edge, reparses as an edge set") {
+    val path = "/tmp/graft_karate_dot"
+    GraphReaders.writeDot(karate, path)
+    val lines = spark.read.text(path).collect().map(_.getString(0))
+    assert(lines.head == "graph {" && lines.last == "}")
+    val body = lines.tail.dropRight(1)
+    assert(body.length == 78)
+    val parsed = body.map { l =>
+      val p = l.stripSuffix(";").split(" -- "); (p(0).toLong, p(1).toLong)
+    }.toSet
+    assert(parsed == edgeSet(karate))
+  }
+
+  test("snap writer: problem line + body reparses via readEdgeList") {
+    val path = "/tmp/graft_karate_snap"
+    GraphReaders.writeSnap(karate, path)
+    val first = spark.read.text(path).collect().map(_.getString(0)).head
+    assert(first == "p 34 78 u u 0")
+    val back = GraphReaders.readEdgeList(spark, path, commentPrefix = "p")
+    assert(edgeSet(back) == edgeSet(karate))
+  }
+
+  test("partition writer/reader: positional text roundtrip") {
+    import spark.implicits._
+    val part = (0L until 40L).map(i => (i, (i * i) % 5)).toDF("id", "community")
+    val path = "/tmp/graft_part_text"
+    GraphReaders.writePartition(part, path)
+    val back = GraphReaders.readPartition(spark, path)
+    assert(back.except(part).isEmpty && part.except(back).isEmpty)
+  }
+
+  test("cover writer/reader: overlapping memberships roundtrip") {
+    import spark.implicits._
+    val cover = Seq((0L, 0L), (1L, 0L), (1L, 1L), (2L, 1L), (3L, 2L), (0L, 2L))
+      .toDF("id", "community")
+    val path = "/tmp/graft_cover_text"
+    GraphReaders.writeCover(cover, path)
+    val back = GraphReaders.readCover(spark, path)
+    assert(back.except(cover).isEmpty && cover.except(back).isEmpty)
+  }
+
+  test("edge-list partition and cover readers parse explicit-id lines") {
+    val p1 = "/tmp/graft_elp.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p1),
+      "# comment\n1 4\n2 5\n3 4\n")
+    val part = GraphReaders.readEdgeListPartition(spark, p1, firstNode = 1L)
+    assert(part.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 4L), (1L, 5L), (2L, 4L)))
+    val p2 = "/tmp/graft_elc.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p2),
+      "# c\n1 0 2\n2 1\n3 0\n")
+    val cov = GraphReaders.readEdgeListCover(spark, p2, firstNode = 1L)
+    assert(cov.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 0L), (0L, 2L), (1L, 1L), (2L, 0L)))
+  }
+}
