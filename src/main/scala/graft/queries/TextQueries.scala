@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ml.Dedup
+import graft.ml.{Dedup, TextPipeline}
 
 /** Text-analysis / dedup surface for training-data pipelines (builder
   * brief: dedup, language-ID, quality scoring, token counting,
@@ -104,7 +104,32 @@ object TextQueries {
 
     // exact-dedup summary
     "t9_exactdedup" -> ((s, dir) =>
-      Dedup.exactStats(docs(s, dir), "text"))
+      Dedup.exactStats(docs(s, dir), "text")),
+
+    // Gopher-style repetition signals (top-word fraction, duplicate
+    // 2-/3-gram fractions)
+    "t10_repetition" -> ((s, dir) =>
+      TextPipeline.repetitionStats(docs(s, dir), "doc_id", "text")),
+
+    // deterministic stratified 20 % sample per (lang, source) — the
+    // training-mix builder's reproducible subset
+    "t11_sample" -> ((s, dir) =>
+      TextPipeline.stratifiedSample(docs(s, dir), "doc_id",
+        Seq("lang", "source"), frac = 0.2)
+        .select("doc_id", "lang", "source")),
+
+    // benchmark decontamination: the 5 globally most document-frequent
+    // 3-grams stand in for an eval set's shingles; every document
+    // containing one is flagged
+    "t12_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextPipeline.ngrams("toks", 3)).as("ngram"))
+        .distinct()
+      val block = sh.groupBy("ngram").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("ngram")).limit(5).select("ngram")
+      TextPipeline.decontaminate(d, "doc_id", "text", block)
+    })
   )
 
   private val tokCte =
@@ -190,6 +215,39 @@ object TextQueries {
     },
     "t9_exactdedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
-        | count(*) - count(DISTINCT md5(text)) AS n_dup FROM documents""".stripMargin
+        | count(*) - count(DISTINCT md5(text)) AS n_dup FROM documents""".stripMargin,
+    "t10_repetition" ->
+      raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+           |             FROM documents),
+           |w AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+           |wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
+           |wg AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word
+           |       FROM wc GROUP BY doc_id),
+           |gs AS (SELECT doc_id,
+           |  [array_to_string(l[i:i+1], ' ') for i in range(1, len(l))] AS g2,
+           |  [array_to_string(l[i:i+2], ' ') for i in range(1, len(l)-1)] AS g3
+           |  FROM toks),
+           |d AS (SELECT doc_id, len(g2) AS n2, len(list_distinct(g2)) AS d2,
+           |             len(g3) AS n3, len(list_distinct(g3)) AS d3 FROM gs)
+           |SELECT wg.doc_id, n_tokens,
+           |  round(top_word*1.0/n_tokens, 6) AS top_word_frac,
+           |  round(CASE WHEN n2 > 0 THEN (n2-d2)*1.0/n2 ELSE 0 END, 6) AS dup_2gram_frac,
+           |  round(CASE WHEN n3 > 0 THEN (n3-d3)*1.0/n3 ELSE 0 END, 6) AS dup_3gram_frac
+           |FROM wg JOIN d ON wg.doc_id = d.doc_id""".stripMargin,
+    "t11_sample" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |  row_number() OVER (PARTITION BY lang, source
+        |    ORDER BY md5(concat('s', cast(doc_id AS VARCHAR))), doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r WHERE rk <= ceil(n * 0.2)""".stripMargin,
+    "t12_decontam" ->
+      s"""WITH $shingleCte,
+         |block AS (SELECT sh FROM sh GROUP BY sh
+         |          ORDER BY count(*) DESC, sh LIMIT 5),
+         |hit AS (SELECT DISTINCT s.doc_id FROM sh s JOIN block USING (sh))
+         |SELECT d.doc_id,
+         |  CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END::BIGINT AS is_contaminated
+         |FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id""".stripMargin
   )
 }

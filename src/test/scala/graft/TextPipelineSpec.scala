@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.TextPipeline
+
+/** Hand-computed fixtures for the training-data pipeline text ops:
+  * repetition signals, stratified sampling, decontamination. */
+class TextPipelineSpec extends SparkSpec {
+
+  test("repetitionStats: exact fractions on a hand-built doc") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = TextPipeline.repetitionStats(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    // doc 1: tokens 4, top word 'a'×3; 2-grams [a a, a a, a b] → dup 1/3;
+    // 3-grams [a a a, a a b] → dup 0
+    assert(r(1L) == ((4L, 0.75, 0.333333, 0.0)))
+    // doc 2: all distinct
+    assert(r(2L) == ((4L, 0.25, 0.0, 0.0)))
+  }
+
+  test("stratifiedSample: reproducible, per-stratum ceil(frac*n), salt-sensitive") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val s1 = TextPipeline.stratifiedSample(df, "doc_id", Seq("stratum"), 0.3)
+    val s2 = TextPipeline.stratifiedSample(df, "doc_id", Seq("stratum"), 0.3)
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty, "must be deterministic")
+    val sizes = s1.groupBy("stratum").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 15L, "b" -> 15L)) // ceil(50 · 0.3)
+    val other = TextPipeline.stratifiedSample(df, "doc_id", Seq("stratum"), 0.3,
+      salt = "other")
+    assert(other.count() == 30)
+    assert(s1.except(other).count() > 0, "different salt must pick different rows")
+  }
+
+  test("decontaminate: flags exactly the docs sharing a blocked 3-gram") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a quick brown dog sits"),
+      (3L, "quick brown fox runs away")).toDF("doc_id", "text")
+    val block = Seq("quick brown fox").toDF("ngram")
+    val out = TextPipeline.decontaminate(df, "doc_id", "text", block)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+}
