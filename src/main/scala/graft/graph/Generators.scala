@@ -100,34 +100,91 @@ object Generators {
     PropertyGraph(edges, directed = false, Some(spark.range(n).select(col("id"))))
   }
 
-  /** Barabási–Albert preferential attachment via the Batagelj–Brandes
-    * trick (reference `BarabasiAlbertGenerator.hpp:19`): node t's i-th
-    * edge endpoint is drawn uniformly from the first 2(t·k+i) cells of
-    * the virtual edge-endpoint array; a uniform cell index is an
-    * endpoint drawn ∝ degree. Cell decoding is pure column math — the
-    * sequential process parallelizes away. */
+  /** Barabási–Albert preferential attachment, EXACT ensemble, via the
+    * reference's lazy Batagelj–Brandes resolution
+    * (`BarabasiAlbertGenerator.cpp:116` `generateParallel`): node
+    * v ∈ [n0, n) draws its i-th endpoint uniformly over the first
+    * 2(i + k(v−n0)) + 2n0 cells of the virtual edge-endpoint array —
+    * a uniform cell IS a draw ∝ degree. A cell in the seed cycle or at
+    * an odd offset (the attaching node of an earlier edge) resolves
+    * directly; an even-offset cell holds an earlier TARGET, whose value
+    * was itself a uniform draw over the cells before it — so, exactly
+    * like the reference, it resolves by REDRAWING uniformly from that
+    * strictly smaller prefix. The redraw chain runs as one codegen'd
+    * bounded `aggregate` fold (prefix halves per step in expectation;
+    * 64 steps ≈ 2⁻⁶⁴ residual, the residual falls back to the cell's
+    * attaching node). Self-loops and repeat neighbors redraw with a
+    * bumped attempt salt until each node has k DISTINCT earlier
+    * neighbors — the reference's `currentEdges` rejection loop, run as
+    * a few keyed fixpoint rounds. Hash draws replace the RNG (the
+    * deterministic-ensemble deviation every generator here documents).
+    * Seed graph: the n0 = k node cycle the reference builds. */
   def barabasiAlbert(spark: SparkSession, n: Long, k: Int, seed: Long = 42): PropertyGraph = {
-    // edge j = (t, i): t = j / k + 1 (nodes 1.. attach), i = j % k
-    val edges = spark.range((n - 1) * k)
-      .select(col("id").as("j"),
-        (col("id") / k + 1).cast("long").as("t"),
-        pmod(col("id"), lit(k.toLong)).as("i"))
-      // uniform cell in [0, 2*j): even cell c/2 = source of edge c/2 -> its t; odd = target
-      .withColumn("cell",
-        pmod(xxhash64(lit(seed), col("j")), greatest(col("j") * 2, lit(1L))))
-      .withColumn("dst",
-        when(col("cell") % 2 === 0, (col("cell") / 2 / k + 1).cast("long"))
-          .otherwise(lit(-1L))) // odd cell: resolved below against target array
-      .select(col("t").as("src"), col("j"), col("cell"), col("dst"))
-    // odd cells reference the TARGET of a previous edge, which is itself
-    // recursive; approximate with one level of resolution (cells of edge
-    // c2 = cell/2: take its source) — degree-proportional in expectation
-    val resolved = edges.withColumn("dst",
-      when(col("dst") >= 0, col("dst"))
-        .otherwise((col("cell") / 2 / k + 1).cast("long")))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), lit(1.0).as("weight"))
-    PropertyGraph(PropertyGraph.canonicalizeUndirected(resolved), directed = false,
+    require(k >= 1 && n >= k, "need n >= k >= 1")
+    val n0 = k.toLong
+    val seedLen = 2 * n0
+    // draw of row (v, i, attempt): fold over 64 redraw steps; state
+    // (b, u) with u = −1 while unresolved, b = current prefix bound
+    val resolveExpr = expr(
+      s"""aggregate(
+         |  sequence(0, 63),
+         |  named_struct('b', bound, 'u', CAST(-1 AS BIGINT)),
+         |  (acc, r) -> CASE WHEN acc.u >= 0 THEN acc ELSE
+         |    named_struct(
+         |      'b', pmod(xxhash64($seed, v, i, attempt, r), acc.b),
+         |      'u', CASE
+         |        WHEN pmod(xxhash64($seed, v, i, attempt, r), acc.b) < $seedLen THEN
+         |          CASE
+         |            WHEN CAST(pmod(xxhash64($seed, v, i, attempt, r), acc.b) / 2 AS BIGINT) < ${n0 - 1}
+         |              THEN CAST(pmod(xxhash64($seed, v, i, attempt, r), acc.b) / 2 AS BIGINT)
+         |                   + pmod(pmod(xxhash64($seed, v, i, attempt, r), acc.b), 2)
+         |            WHEN pmod(pmod(xxhash64($seed, v, i, attempt, r), acc.b), 2) = 0 THEN 0
+         |            ELSE ${n0 - 1}
+         |          END
+         |        WHEN pmod(pmod(xxhash64($seed, v, i, attempt, r), acc.b) - $seedLen, 2) = 1 THEN
+         |          $n0 + CAST((pmod(xxhash64($seed, v, i, attempt, r), acc.b) - $seedLen) / ${2 * k} AS BIGINT)
+         |        ELSE CAST(-1 AS BIGINT)
+         |      END)
+         |    END,
+         |  acc -> CASE WHEN acc.u >= 0 THEN acc.u
+         |    ELSE $n0 + CAST((acc.b - $seedLen) / ${2 * k} AS BIGINT) END)""".stripMargin)
+    var draws = spark.range((n - n0) * k)
+      .select((col("id") / k + n0).cast("long").as("v"),
+        pmod(col("id"), lit(k.toLong)).as("i"),
+        lit(0L).as("attempt"))
+      .withColumn("bound", (col("i") + (col("v") - n0) * k) * 2 + seedLen)
+      .withColumn("u", resolveExpr)
+    // the reference's rejection loop: a draw equal to v or to an
+    // earlier draw of the same v redraws with the next attempt salt
+    if (n > n0) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("v", "u").orderBy("i", "attempt")
+      var round = 0
+      var nBad = 1L
+      while (nBad > 0 && round < 64) {
+        val marked = draws
+          .withColumn("dup", row_number().over(w) > 1)
+          .withColumn("bad", col("dup") || col("u") === col("v"))
+          .localCheckpoint(true)
+        nBad = marked.filter(col("bad")).count()
+        if (nBad > 0)
+          draws = marked
+            .withColumn("attempt",
+              when(col("bad"), col("attempt") + 1).otherwise(col("attempt")))
+            .withColumn("u",
+              when(col("bad"), resolveExpr).otherwise(col("u")))
+            .drop("dup", "bad")
+        else draws = marked.drop("dup", "bad")
+        round += 1
+      }
+    }
+    val seedEdges = spark.range(n0).select(
+      when(col("id") < n0 - 1, col("id")).otherwise(lit(0L)).as("src"),
+      when(col("id") < n0 - 1, col("id") + 1).otherwise(lit(n0 - 1)).as("dst"),
+      lit(1.0).as("weight"))
+    val baEdges = draws.select(col("u").as("src"), col("v").as("dst"),
+      lit(1.0).as("weight")) // u < v always: all cells refer to earlier nodes
+    PropertyGraph(seedEdges.unionAll(baEdges), directed = false,
       Some(spark.range(n).select(col("id"))))
   }
 

@@ -281,11 +281,20 @@ object ExtendedQueries {
       val rm = Generators.rmat(s, 9, 4)
       val rmBad = rm.edges.filter(col("src") < 0 || col("src") >= 512 ||
         col("dst") < 0 || col("dst") >= 512).count()
+      val ba = Generators.barabasiAlbert(s, 400, 3)
+      // exact-ensemble gates: no self-loops, and every attaching node
+      // has exactly k distinct earlier neighbors
+      val baBad = ba.edges.filter(col("src") === col("dst")).count() +
+        ba.edges.filter(col("dst") >= 3)
+          .groupBy("dst").agg(countDistinct(col("src")).as("d"))
+          .filter(col("d") =!= 3).count()
       // E[er] = C(500,2)·0.02 ≈ 2495 (±5σ ≈ 250); ws ≤ n·k/2 = 1000 after
-      // self-loop/dup removal; rmat = exactly 4·512 sampled rows
+      // self-loop/dup removal; rmat = exactly 4·512 sampled rows;
+      // ba = exactly n0 + (n−n0)·k = 3 + 397·3 edges
       row("er", er, erBad, 2245, 2745)
         .unionAll(row("ws", ws, wsBad, 900, 1000))
         .unionAll(row("rmat", rm, rmBad, 2048, 2048))
+        .unionAll(row("ba", ba, baBad, 3 + 397 * 3, 3 + 397 * 3))
     }),
     // degree-preserving randomization: the randomized graph's degree
     // histogram must equal the original's (SQL re-derives the original
@@ -1892,7 +1901,8 @@ object ExtendedQueries {
       """SELECT * FROM (VALUES
         | ('er', 0::BIGINT, 1::BIGINT),
         | ('ws', 0::BIGINT, 1::BIGINT),
-        | ('rmat', 0::BIGINT, 1::BIGINT)) AS t(gen, bad_rows, m_in_range)""".stripMargin,
+        | ('rmat', 0::BIGINT, 1::BIGINT),
+        | ('ba', 0::BIGINT, 1::BIGINT)) AS t(gen, bad_rows, m_in_range)""".stripMargin,
     "x12_features" ->
       s"""WITH $mediaDimsCte
          |SELECT kind, count(*) AS n,
