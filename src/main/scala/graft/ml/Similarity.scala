@@ -168,6 +168,108 @@ object Similarity {
     out
   }
 
+  /** Sub-vector rows `(id', sub, sv)` of unit-normalized vectors: the
+    * `m` equal slices product quantization operates on. */
+  private def subVectors(df: DataFrame, id: String, vec: String, m: Int,
+      as: String): DataFrame =
+    df.select(col(id).as(as), asDouble(col(vec)).as("fv"))
+      .withColumn("nrm", normExpr("fv"))
+      .filter(col("nrm") > 0)
+      .withColumn("fv", transform(col("fv"), x => x / col("nrm")))
+      .select(col(as), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("fv"))
+      .withColumn("sv", expr(
+        s"slice(fv, sub * (size(fv) DIV $m) + 1, size(fv) DIV $m)"))
+      .select(as, "sub", "sv")
+
+  /** Squared L2 distance between two double-array columns (named). */
+  private def sqDistExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+
+  /** Nearest codebook entry per (row, sub): `(id', sub, code)`. The
+    * codebook is m·ksub rows at any data scale — always broadcast. */
+  private def pqAssign(subv: DataFrame, cb: DataFrame, as: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(as, "sub").orderBy(col("d2").asc, col("code").asc)
+    subv.join(broadcast(cb), "sub")
+      .withColumn("d2", sqDistExpr("sv", "c"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(as, "sub", "code")
+  }
+
+  /** Product-quantization codebooks (the PQ of Jégou et al., the Faiss
+    * `PQ` building block): the d dims split into `m` sub-spaces, each
+    * sub-space L2-k-means-quantized into `ksub` centroids. Deterministic
+    * like [[kmeansCentroids]] (hash-seeded init, argmin with (dist,
+    * code) tie-break). Returns `(sub, code, c ARRAY<DOUBLE>)` — m·ksub
+    * rows, broadcastable at any data scale. */
+  def pqCodebooks(vectors: DataFrame, id: String, vec: String, m: Int = 4,
+      ksub: Int = 16, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subv = subVectors(vectors, id, vec, m, "kid").persist()
+    val wInit = Window.partitionBy("sub")
+      .orderBy(xxhash64(lit(seed), col("kid")).asc, col("kid").asc)
+    var cb = subv
+      .withColumn("code", row_number().over(wInit).cast("long") - 1)
+      .filter(col("code") < ksub)
+      .select(col("sub"), col("code"), col("sv").as("c"))
+      .persist()
+    cb.count()
+    for (_ <- 1 to iters) {
+      val assigned = pqAssign(subv, cb, "kid")
+      val means = assigned.join(subv, Seq("kid", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg("x").as("mu"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          s => s.getField("mu")).as("c"))
+      val next = means
+        .unionByName(cb.join(means.select("sub", "code"),
+          Seq("sub", "code"), "left_anti"))
+        .persist()
+      next.count()
+      cb.unpersist(false)
+      cb = next
+    }
+    subv.unpersist(false)
+    cb
+  }
+
+  /** PQ codes per vector: `(id, sub, code)` — the m-byte compressed
+    * representation (d·4 bytes → m·log2(ksub) bits per vector, the
+    * memory step that makes billion-vector search fit a cluster). */
+  def pqEncode(vectors: DataFrame, id: String, vec: String,
+      codebooks: DataFrame, m: Int = 4): DataFrame =
+    pqAssign(subVectors(vectors, id, vec, m, id), codebooks, id)
+
+  /** PQ approximate cosine top-k via asymmetric distance computation
+    * (ADC): each query builds an m·ksub lookup table of sub-dot-products
+    * against the codebook ONCE, and a candidate's score is the m-term
+    * table sum for its codes — no array math against candidates at all.
+    * Scale shape: codes are m rows per vector keyed by (sub, code), the
+    * LUT is broadcast (nq·m·ksub rows), and the only shuffle is the
+    * per-(q, id) sum — candidate scoring is O(m) per pair vs O(d) exact,
+    * and composes with IVF probing upstream. Scores approximate the
+    * unit-vector cosine; rank fidelity is the gate, not score equality. */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, m: Int = 4, ksub: Int = 16, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebooks(vectors, id, vec, m, ksub, iters)
+    val codes = pqEncode(vectors, id, vec, cb, m)
+      .withColumnRenamed(id, "cid")
+    val lut = subVectors(queries, id, vec, m, "q")
+      .join(broadcast(cb), "sub")
+      .withColumn("dot", dotExpr("sv", "c"))
+      .select("q", "sub", "code", "dot")
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q") =!= col("cid"))
+      .groupBy("q", "cid")
+      .agg(round(sum("dot"), 6).as("score"))
+    val w = Window.partitionBy("q").orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("cid").as("id"), col("score"), col("rank"))
+  }
+
   /** Approximate cosine top-k: candidates restricted to the query's SRP
     * bucket (optionally ± Hamming-1 neighbors via multi-probe). */
   def annTopK(vectors: DataFrame, queries: DataFrame, id: String, vec: String,

@@ -149,6 +149,45 @@ object EmbeddingQueries {
         col("group_size"), col("is_canonical"))
     }),
 
+    // product quantization ADC top-k (the Faiss-PQ compression step:
+    // m sub-space codebooks, candidates scored by LUT sums — O(m) per
+    // pair instead of O(d)). Scores are approximations by design, so
+    // the gates are rank-level: recall@k against the exact brute force
+    // must beat a hash-random top-k of the same size, and every ADC
+    // score must stay within the unit-cosine envelope (+ quantization
+    // slack) — both computed Spark-side, constants-row oracle like e7
+    "e9_pq" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val queries = all.filter(col("vec_id") % 20 === 0)
+      val k = 3
+      val nQ = queries.count()
+      val pq = Similarity.pqTopK(all, queries, "vec_id", "embedding", k,
+        m = 4, ksub = 16, iters = 2).persist()
+      require(pq.filter(abs(col("score")) > 1.05).isEmpty,
+        "ADC scores must stay within the unit-cosine envelope")
+      val exact = Similarity.cosineTopK(all, queries, "vec_id", "embedding", k)
+        .persist()
+      val pqRecall = pq.select("q", "id")
+        .join(exact.select("q", "id"), Seq("q", "id"), "left_semi")
+        .count().toDouble / (k * nQ)
+      // random baseline: k hash-picked candidates per query
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("q")
+        .orderBy(xxhash64(lit(13L), col("q"), col("id")).asc)
+      val randTop = queries.select(col("vec_id").as("q"))
+        .crossJoin(all.select(col("vec_id").as("id")))
+        .filter(col("q") =!= col("id"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= k)
+      val randRecall = randTop.select("q", "id")
+        .join(exact.select("q", "id"), Seq("q", "id"), "left_semi")
+        .count().toDouble / (k * nQ)
+      val recallOk = if (pqRecall > randRecall + 1e-9) 1L else 0L
+      pq.unpersist(false); exact.unpersist(false)
+      queries.agg(count(lit(1)).as("n_queries")).select(
+        col("n_queries"), lit(k.toLong).as("k"),
+        lit(recallOk).as("recall_beats_random"))
+    }),
+
     "e5_labelstats" -> ((s, dir) =>
       emb(s, dir)
         .withColumn("v", transform(col("embedding"), x => x.cast("double")))
@@ -190,6 +229,10 @@ object EmbeddingQueries {
     "e7_ivf" ->
       """SELECT count(*) AS n_queries, 3::BIGINT AS k,
         | 1::BIGINT AS recall_beats_random, 0::BIGINT AS cosine_mismatches
+        |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
+    "e9_pq" ->
+      """SELECT count(*) AS n_queries, 3::BIGINT AS k,
+        | 1::BIGINT AS recall_beats_random
         |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
     "e4_pairs" ->
       s"""WITH $vecCte
