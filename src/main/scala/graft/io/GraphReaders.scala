@@ -109,6 +109,52 @@ object GraphReaders {
     else entries
   }
 
+  /** Rutherford–Boeing compressed-column reader (reference
+    * `io/RBMatrixReader.hpp:24`, `RBGraphReader.hpp:21`): header =
+    * title line, a counts line `total nPtr nIdx nVal`, a type line
+    * `fmt ncols nrows nnz` (`r`eal/`i`nteger/`p`attern,
+    * `s`ymmetric flag, `a`ssembled only — the reference's support
+    * envelope), a Fortran-format line (ignored), then the 1-based CSC
+    * pointer / row-index / value blocks. Returns COO `(i, j, v)`
+    * 0-based with symmetric off-diagonals mirrored — the same contract
+    * as [[readMatrixMarket]] (the reference pins RB == MatrixMarket on
+    * the tiny_05 twin fixtures; `IOGTest.cpp:1283`). The multi-line
+    * fixed layout is inherently sequential, so each file parses in one
+    * executor task via `wholeTextFiles`, like [[readGml]]. */
+  def readRutherfordBoeing(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path).flatMap { case (_, content) =>
+      val lines = content.split("\n")
+      val counts = lines(1).trim.split("\\s+")
+      val (nPtr, nIdx, nVal) = (counts(1).toInt, counts(2).toInt, counts(3).toInt)
+      val tl = lines(2).trim.split("\\s+")
+      val fmt = tl(0).toLowerCase
+      require("rip".contains(fmt(0)),
+        s"unsupported RB value type '${fmt(0)}' (real/integer/pattern only)")
+      require(fmt(2) == 'a', "only assembled (compressed-column) RB supported")
+      val pattern = fmt(0) == 'p'
+      val symmetric = fmt(1) == 's'
+      val nCols = tl(1).toInt // the reference reads the col count first
+      def nums(ls: Array[String]): Array[String] =
+        ls.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
+      val data = lines.drop(4)
+      val ptr = nums(data.take(nPtr)).map(_.toLong - 1)
+      val ri = nums(data.slice(nPtr, nPtr + nIdx)).map(_.toLong - 1)
+      val vs = nums(data.slice(nPtr + nIdx, nPtr + nIdx + nVal))
+        .map(s => s.replace('D', 'E').replace('d', 'e').toDouble)
+      val coo = (0 until nCols).iterator.flatMap { c =>
+        (ptr(c) until ptr(c + 1)).map { idx =>
+          (ri(idx.toInt), c.toLong, if (pattern) 1.0 else vs(idx.toInt))
+        }
+      }
+      if (symmetric)
+        coo.flatMap { case e @ (i, j, v) =>
+          if (i != j) Seq(e, (j, i, v)) else Seq(e)
+        }
+      else coo
+    }.toDF("i", "j", "v")
+  }
+
   /** DGS dynamic-graph event stream (reference
     * `dynamics/DGSStreamParser.hpp:23`, event model
     * `GraphEvent.hpp:18-35`): `an/dn/rn` node events, `ae/ce/de` edge

@@ -1245,6 +1245,44 @@ object ExtendedQueries {
         .join(mapping.select(col("newId").as("id"), col("id").as("part_id")), "id")
         .select(col("part_id"), col("deg"), col("community").as("comm"))
     }),
+    // binary-format readers on the reference's OWN fixture files, with
+    // text twins as the certificate: celegans_metabolic.thrill and
+    // power.gt must equal the METIS twins edge-for-edge (hard Spark
+    // require), and tiny_05.rb's COO must match its MatrixMarket twin;
+    // the oracle re-derives every emitted degree row character-level
+    // from the TEXT twins (METIS lines / MatrixMarket entries) in SQL
+    "x82_fixtures" -> ((s, dir) => {
+      def edgeSet(g: graft.graph.PropertyGraph) =
+        graft.graph.PropertyGraph.canonicalizeUndirected(
+          g.edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+          .select("src", "dst")
+      val thr = graft.io.BinaryFormats.readThrill(
+        s, "/root/reference/input/celegans_metabolic.thrill")
+      val thrTwin = graft.io.GraphReaders.readMetis(
+        s, "/root/reference/input/celegans_metabolic.graph")
+      require(edgeSet(thr).except(edgeSet(thrTwin)).isEmpty &&
+        edgeSet(thrTwin).except(edgeSet(thr)).isEmpty,
+        "thrill fixture must equal its METIS twin edge-for-edge")
+      val gt = graft.io.BinaryFormats.readGraphTool(
+        s, "/root/reference/input/power.gt")
+      val gtTwin = graft.io.GraphReaders.readMetis(
+        s, "/root/reference/input/power.graph")
+      require(edgeSet(gt).except(edgeSet(gtTwin)).isEmpty &&
+        edgeSet(gtTwin).except(edgeSet(gt)).isEmpty,
+        "graph-tool fixture must equal its METIS twin edge-for-edge")
+      val rb = graft.io.GraphReaders.readRutherfordBoeing(
+        s, "/root/reference/input/tiny_05.rb")
+      def deg(g: graft.graph.PropertyGraph, src: String) =
+        g.adjacency.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"))
+          .select(lit(src).as("source"), col("id"), col("deg"),
+            col("deg").cast("double").as("wdeg"))
+      deg(thr, "thrill")
+        .unionAll(deg(gt, "gt"))
+        .unionAll(rb.groupBy(col("i").as("id"))
+          .agg(count(lit(1)).as("deg"), round(sum("v"), 4).as("wdeg"))
+          .select(lit("rb").as("source"), col("id"), col("deg"), col("wdeg")))
+    }),
     // Floyd–Warshall-class APSP (min-plus matrix squaring with the
     // reference's fewest-hops tie-break) on the 120 lowest-id vertices
     // of the part graph; the oracle runs the IDENTICAL min-plus closure
@@ -2316,6 +2354,37 @@ object ExtendedQueries {
       // the binary partition codec must carry its original degree
       s"""WITH $graphCte
          |SELECT id AS part_id, d AS deg, d % 8 AS comm FROM deg""".stripMargin,
+    "x82_fixtures" ->
+      // character-level re-derivation from the TEXT twins: METIS line i
+      // lists node i−2's neighbors (degree = token count; both fixtures
+      // verified blank-line-free), MatrixMarket is 1-based (i, j, v)
+      raw"""WITH traw AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/root/reference/input/celegans_metabolic.graph',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |tdeg AS (SELECT 'thrill' AS source, ln - 2 AS id,
+        |    len(string_split_regex(l, '\s+'))::BIGINT AS deg,
+        |    len(string_split_regex(l, '\s+'))::DOUBLE AS wdeg
+        |  FROM traw WHERE ln > 1),
+        |praw AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/root/reference/input/power.graph',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |pdeg AS (SELECT 'gt' AS source, ln - 2 AS id,
+        |    len(string_split_regex(l, '\s+'))::BIGINT AS deg,
+        |    len(string_split_regex(l, '\s+'))::DOUBLE AS wdeg
+        |  FROM praw WHERE ln > 1),
+        |mraw AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/root/reference/input/tiny_05.matrixmarket',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |mdata AS (SELECT row_number() OVER (ORDER BY ln) AS k, l FROM mraw
+        |  WHERE left(l, 1) <> '%' AND length(l) > 0),
+        |mentries AS (SELECT
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 1) AS BIGINT) - 1 AS i,
+        |    cast(regexp_extract(l, '^(\S+)\s+(\S+)\s+(\S+)', 3) AS DOUBLE) AS v
+        |  FROM mdata WHERE k > 1),
+        |rdeg AS (SELECT 'rb' AS source, i AS id, count(*)::BIGINT AS deg,
+        |    round(sum(v), 4) AS wdeg FROM mentries GROUP BY i)
+        |SELECT * FROM tdeg UNION ALL SELECT * FROM pdeg
+        |UNION ALL SELECT * FROM rdeg""".stripMargin,
     "x76_fw" -> {
       // identical min-plus closure, integer-composite encoded:
       // v = dist*512 + hops, min(v) = lexicographic (dist, hops) min —

@@ -127,6 +127,46 @@ class Io2Spec extends SparkSpec {
     assert(back.except(cover).isEmpty && cover.except(back).isEmpty)
   }
 
+  test("thrill + graphtool: reference fixtures match their METIS twins") {
+    // the reference's own expectations: power.gt = 4941 nodes, 6594
+    // edges, undirected (IOGTest.cpp:642); celegans thrill twin header
+    // = 453 2025
+    val gt = BinaryFormats.readGraphTool(spark, "/root/reference/input/power.gt")
+    assert(!gt.directed)
+    assert(gt.vertices.count() == 4941)
+    assert(gt.edges.count() == 6594)
+    val thr = BinaryFormats.readThrill(
+      spark, "/root/reference/input/celegans_metabolic.thrill")
+    assert(thr.vertices.count() == 453)
+    assert(thr.edges.count() == 2025)
+  }
+
+  test("rutherford-boeing: tiny_05.rb equals its MatrixMarket twin") {
+    // the reference's own cross-format gate (IOGTest.cpp:1283)
+    val rb = GraphReaders.readRutherfordBoeing(
+      spark, "/root/reference/input/tiny_05.rb")
+    val mm = GraphReaders.readMatrixMarket(
+      spark, "/root/reference/input/tiny_05.matrixmarket")
+    assert(rb.count() == 11)
+    assert(rb.except(mm).isEmpty && mm.except(rb).isEmpty)
+  }
+
+  test("cover readers: reference overlapping-community fixtures") {
+    // CoverReader expectations (IOGTest.cpp:446): 9 communities
+    // (community 0 is the leading empty line), node 0 in subsets
+    // {1, 5, 8}, node 3 in exactly one
+    val cov = GraphReaders.readCover(
+      spark, "/root/reference/input/community_overlapping.cover")
+    assert(cov.agg(max("community")).head.getLong(0) == 8)
+    val n0 = cov.filter(col("id") === 0).collect().map(_.getLong(1)).toSet
+    assert(n0 == Set(1L, 5L, 8L))
+    assert(cov.filter(col("id") === 3).count() == 1)
+    // EdgeListCoverReader twin (.dat, 1-based node ids): same cover
+    val elc = GraphReaders.readEdgeListCover(
+      spark, "/root/reference/input/community_overlapping.dat", firstNode = 1L)
+    assert(elc.except(cov).isEmpty && cov.except(elc).isEmpty)
+  }
+
   test("edge-list partition and cover readers parse explicit-id lines") {
     val p1 = "/tmp/graft_elp.txt"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p1),
