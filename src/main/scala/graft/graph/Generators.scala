@@ -336,7 +336,23 @@ object Generators {
     * [[hyperbolic]] and [[dynamicHyperbolic]] (which re-evaluates it on
     * moved coordinates each step). */
   private[graft] def hyperbolicEdgesFromCoords(spark: SparkSession,
-      nodes: DataFrame, radius: Double, nBands: Int): DataFrame = {
+      nodes: DataFrame, radius: Double, nBands: Int): DataFrame =
+    hyperbolicCandidates(spark, nodes, radius, nBands)
+      .filter(cosh(col("ru")) * cosh(col("rv")) -
+        sinh(col("ru")) * sinh(col("rv")) * cos(col("dTheta")) <=
+        math.cosh(radius))
+      .select(least(col("u"), col("v")).as("src"),
+        greatest(col("u"), col("v")).as("dst"))
+      .distinct()
+
+  /** All node pairs within hyperbolic distance `cutoff` of each other
+    * (plus loose-bound false positives the caller's predicate filters),
+    * as `(u, v, ru, rv, dTheta)` — the band/bucket candidate join
+    * shared by the T = 0 threshold filter and the T > 0 Fermi–Dirac
+    * sampler (which passes an ε-tail cutoff > R). */
+  private[graft] def hyperbolicCandidates(spark: SparkSession,
+      nodes: DataFrame, cutoff: Double, nBands: Int): DataFrame = {
+    val radius = cutoff
     val coshR = math.cosh(radius)
     val bandW = radius / nBands
     val withBand = nodes.withColumn("band",
@@ -369,18 +385,46 @@ object Generators {
       .join(pairDf, "bv")
       .select(col("v"), col("tv"), col("rv"), col("bu"), col("bv"),
         floor(col("tv") / col("w")).cast("long").as("bucket"))
-    val edges = uSide.join(vSide, Seq("bu", "bv", "bucket"))
+    uSide.join(vSide, Seq("bu", "bv", "bucket"))
       .filter(col("u") =!= col("v"))
       .withColumn("dTheta", abs(col("tu") - col("tv")))
       .withColumn("dTheta",
         when(col("dTheta") > math.Pi, lit(2 * math.Pi) - col("dTheta"))
           .otherwise(col("dTheta")))
-      .filter(cosh(col("ru")) * cosh(col("rv")) -
-        sinh(col("ru")) * sinh(col("rv")) * cos(col("dTheta")) <= coshR)
+      .select("u", "v", "ru", "rv", "dTheta")
+  }
+
+  /** Hyperbolic random graph at temperature T > 0 (the general RHG of
+    * the reference `generators/HyperbolicGenerator.hpp:29`, Krioukov et
+    * al.): pair (u, v) at hyperbolic distance d connects with
+    * Fermi–Dirac probability 1 / (1 + exp((d − R) / (2T))); T → 0
+    * degenerates to the threshold graph [[hyperbolic]]. Scale shape:
+    * the same band/bucket candidate join, widened to the ε-tail cutoff
+    * R' = R + 2T·ln(1/ε − 1) beyond which p < ε — pairs past R' are
+    * pruned deterministically (documented deviation from the quadtree
+    * sampler: expected missing edges < ε·n²/2, ≪ 1 at ε = 1e-9), and
+    * the Bernoulli draw is the usual deterministic (seed, u, v) hash. */
+  def hyperbolicT(spark: SparkSession, n: Long, radius: Double,
+      temperature: Double, gamma: Double = 3.0, seed: Long = 42,
+      nBands: Int = 16, eps: Double = 1e-9): PropertyGraph = {
+    require(temperature > 0, "use hyperbolic() for the T = 0 threshold graph")
+    val cutoff = radius + 2 * temperature * math.log(1 / eps - 1)
+    val nodes = hyperbolicCoords(spark, n, radius, gamma, seed)
+    val cand = hyperbolicCandidates(spark, nodes, cutoff, nBands)
       .select(least(col("u"), col("v")).as("src"),
-        greatest(col("u"), col("v")).as("dst"))
-      .distinct()
-    edges
+        greatest(col("u"), col("v")).as("dst"),
+        col("ru"), col("rv"), col("dTheta"))
+      .dropDuplicates("src", "dst")
+    // clamp to the acosh domain: near-coincident points can dip below 1
+    val d = acosh(greatest(lit(1.0),
+      cosh(col("ru")) * cosh(col("rv")) -
+        sinh(col("ru")) * sinh(col("rv")) * cos(col("dTheta"))))
+    val p = lit(1.0) / (lit(1.0) + exp((d - radius) / (2 * temperature)))
+    val edges = cand
+      .filter(u01(seed ^ 0x51ed, col("src"), col("dst")) < p)
+      .select(col("src"), col("dst"), lit(1.0).as("weight"))
+    PropertyGraph(edges, directed = false,
+      Some(spark.range(n).select(col("id"))))
   }
 
   /** Dynamic hyperbolic generator (reference
