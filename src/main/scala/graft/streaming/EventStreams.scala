@@ -55,6 +55,40 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"))
 
+  case class DedupIn(hash: String, doc_id: Long)
+  case class DedupOut(doc_id: Long, hash: String, is_first: Boolean, dup_rank: Long)
+
+  /** Streaming exact-dedup over a document stream (the pipeline dedup
+    * ops of `ml.Dedup`, online): keyed by content hash, per-key state =
+    * (canonical doc_id, #seen); each arrival emits `(doc_id, hash,
+    * is_first, dup_rank)`, so a downstream filter `is_first` is the
+    * streaming `dropExactDuplicates`. State is one tiny record per
+    * DISTINCT content — the same hash-keyed shuffle shape as the batch
+    * op, and the canonical choice (first arrival, then smallest id
+    * within a micro-batch group) is deterministic under replay. */
+  def streamingDedup(docs: DataFrame, id: String = "doc_id",
+      text: String = "text"): Dataset[DedupOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(md5(col(text)).as("hash"), col(id).cast("long").as("doc_id"))
+      .as[DedupIn]
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (hash: String, rows: Iterator[DedupIn],
+         state: GroupState[(Long, Long)]) => {
+          val sorted = rows.map(_.doc_id).toSeq.sorted
+          val (seen0, first) =
+            if (state.exists) (state.get._2, false) else (0L, true)
+          val out = sorted.zipWithIndex.map { case (d, i) =>
+            DedupOut(d, hash, first && i == 0, seen0 + i + 1)
+          }
+          val canonical = if (state.exists) state.get._1 else sorted.head
+          state.update((canonical, seen0 + sorted.size))
+          out.iterator
+        })
+  }
+
   case class SessionIn(user_id: Long, tsSec: Long)
   case class SessionState(count: Long, lastSec: Long, sessions: Long)
   case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

@@ -36,6 +36,38 @@ class TextPipelineSpec extends SparkSpec {
     assert(s1.except(other).count() > 0, "different salt must pick different rows")
   }
 
+  test("streamingDedup: first arrival wins across micro-batches, counts exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams
+      .streamingDedup(src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      src.addData(Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")))
+      q.processAllAvailable()
+      src.addData(Seq((4L, "aaa"), (5L, "ccc"), (6L, "bbb")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out")
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+      // doc 1 is the canonical 'aaa' (smallest id in its first batch);
+      // 3 is rank 2 same batch, 4 is rank 3 from the later batch
+      assert(out(1L) == ((true, 1L)) && out(3L) == ((false, 2L)) &&
+        out(4L) == ((false, 3L)))
+      assert(out(2L) == ((true, 1L)) && out(6L) == ((false, 2L)))
+      assert(out(5L) == ((true, 1L)))
+      // streaming keep-set == batch dropExactDuplicates on the union
+      val batch = graft.ml.Dedup.dropExactDuplicates(
+        Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"), (5L, "ccc"),
+          (6L, "bbb")).toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val kept = out.filter(_._2._1).keySet
+      assert(kept == batch)
+    } finally q.stop()
+  }
+
   test("decontaminate: flags exactly the docs sharing a blocked 3-gram") {
     import spark.implicits._
     val df = Seq(
