@@ -1132,6 +1132,50 @@ object Community {
       .agg(avg("v")).head.getDouble(0)
   }
 
+  /** CoverF1Similarity (reference `community/CoverF1Similarity.cpp:9`):
+    * for every non-empty community of `cover`, the best F1 against any
+    * overlapping community of `refCover` (precision = overlap /
+    * |ref community|, recall = overlap / |community| — so
+    * F1 = 2·overlap / (|community| + |ref community|)); communities
+    * overlapping nothing score 0. Covers are `(id, community)`
+    * membership tables (overlapping ⇒ several rows per id). Returns
+    * `(community, sz, best_f1)`; the reference's aggregate values are
+    * one extra agg (unweighted avg / size-weighted avg / min / max). */
+  def coverF1Similarity(cover: DataFrame, refCover: DataFrame): DataFrame = {
+    val sizes = cover.groupBy("community").agg(count(lit(1)).as("sz"))
+    val refSizes = refCover.groupBy(col("community").as("s"))
+      .agg(count(lit(1)).as("rsz"))
+    val best = cover.join(refCover.select(col("id"), col("community").as("s")), "id")
+      .groupBy("community", "s").agg(count(lit(1)).as("ol"))
+      .join(refSizes, "s")
+      .join(sizes, "community")
+      .groupBy("community")
+      .agg(max(lit(2.0) * col("ol") / (col("sz") + col("rsz"))).as("best_f1"))
+    sizes.join(best, Seq("community"), "left")
+      .select(col("community"), col("sz"),
+        coalesce(col("best_f1"), lit(0.0)).as("best_f1"))
+  }
+
+  /** CoverHubDominance (reference `community/CoverHubDominance.cpp:8`):
+    * per community of an overlapping cover, the max INTERNAL degree
+    * (neighbors sharing that community) over (size − 1); singletons
+    * score 1, communities with no internal edge 0. Returns
+    * `(community, sz, dominance)`. */
+  def coverHubDominance(g: PropertyGraph, cover: DataFrame): DataFrame = {
+    val intDeg = cover.select(col("id").as("src"), col("community"))
+      .join(g.adjacency, "src")
+      .join(cover.select(col("id").as("dst"), col("community")),
+        Seq("dst", "community"), "left_semi")
+      .groupBy(col("src"), col("community")).agg(count(lit(1)).as("ideg"))
+      .groupBy("community").agg(max("ideg").as("maxdeg"))
+    val sizes = cover.groupBy("community").agg(count(lit(1)).as("sz"))
+    sizes.join(intDeg, Seq("community"), "left")
+      .select(col("community"), col("sz"),
+        when(col("sz") > 1,
+          coalesce(col("maxdeg"), lit(0L)).cast("double") / (col("sz") - 1))
+          .otherwise(lit(1.0)).as("dominance"))
+  }
+
   /** IntrapartitionDensity (reference
     * `community/IntrapartitionDensity.cpp:4-60`): per community
     * intra-edges / C(size,2); communities with no possible edge score 1.

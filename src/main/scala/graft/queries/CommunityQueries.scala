@@ -385,10 +385,53 @@ object CommunityQueries {
       }
       dyn.select(col("step"), round(col("nmi"), 6).as("nmi"),
         lit(if (scratchOk) 1L else 0L).as("matches_scratch"))
+    }),
+    // cover-level evaluation (CoverF1Similarity + CoverHubDominance):
+    // the cover assigns every node TWO memberships (id%8 and a disjoint
+    // 100+id%12 label space); the reference cover is the id%8 part, so
+    // the %8 communities must score F1 = 1 and the %12 ones their exact
+    // overlap F1 — the oracle re-derives every row in SQL
+    "c24_covereval" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val cov = g.vertices.select(col("id"), (col("id") % 8).as("community"))
+        .unionAll(g.vertices.select(col("id"),
+          (lit(100L) + col("id") % 12).as("community")))
+      val ref = g.vertices.select(col("id"), (col("id") % 8).as("community"))
+      val f1 = Community.coverF1Similarity(cov, ref)
+      val dom = Community.coverHubDominance(g, cov)
+      f1.join(dom.select(col("community"), col("dominance")), "community")
+        .select(col("community"), col("sz"),
+          round(col("best_f1"), 6).as("best_f1"),
+          round(col("dominance"), 6).as("dominance"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "c24_covereval" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |cov AS (SELECT id, id % 8 AS c FROM nodes
+         |        UNION ALL SELECT id, 100 + id % 12 FROM nodes),
+         |ref AS (SELECT id, id % 8 AS c FROM nodes),
+         |szs AS (SELECT c, count(*) AS sz FROM cov GROUP BY c),
+         |rszs AS (SELECT c AS s, count(*) AS rsz FROM ref GROUP BY c),
+         |ov AS (SELECT cov.c AS c, ref.c AS s, count(*) AS ol
+         |       FROM cov JOIN ref USING (id) GROUP BY 1, 2),
+         |bf AS (SELECT ov.c, max(2.0 * ol / (sz + rsz)) AS best_f1
+         |       FROM ov JOIN szs ON szs.c = ov.c JOIN rszs ON rszs.s = ov.s
+         |       GROUP BY ov.c),
+         |ideg AS (SELECT m.id, m.c, count(*) AS d
+         |         FROM cov m JOIN sym e2 ON e2.src = m.id
+         |         JOIN cov m2 ON m2.id = e2.dst AND m2.c = m.c
+         |         GROUP BY m.id, m.c),
+         |mx AS (SELECT c, max(d) AS md FROM ideg GROUP BY c)
+         |SELECT szs.c AS community, szs.sz,
+         |  round(coalesce(bf.best_f1, 0), 6) AS best_f1,
+         |  round(CASE WHEN szs.sz > 1
+         |    THEN coalesce(mx.md, 0) * 1.0 / (szs.sz - 1)
+         |    ELSE 1.0 END, 6) AS dominance
+         |FROM szs LEFT JOIN bf ON bf.c = szs.c
+         |LEFT JOIN mx ON mx.c = szs.c""".stripMargin,
     "c19_partmeasures" ->
       s"""WITH RECURSIVE $graphCte,
          |nodes AS (SELECT DISTINCT src AS id FROM sym),
