@@ -204,6 +204,31 @@ object Generators {
     PropertyGraph(edges, directed = false, Some(spark.range(n).select(col("id"))))
   }
 
+  /** Clustered random graph (reference
+    * `generators/ClusteredRandomGraphGenerator.hpp:24`): every node
+    * draws a uniform cluster in [0, k); pairs connect with pIntra
+    * inside a cluster, pInter across — the SBM with RANDOM (not
+    * id-striped) assignment, returning the planted ground truth.
+    * `(graph, partition)`; deterministic in seed. */
+  def clusteredRandom(spark: SparkSession, n: Long, k: Int,
+      pIntra: Double, pInter: Double, seed: Long = 42)
+      : (PropertyGraph, DataFrame) = {
+    val part = spark.range(n).select(col("id"),
+      pmod(xxhash64(lit(seed ^ 0xc175L), col("id")), lit(k.toLong)).as("community"))
+    val pairs = spark.range(n * (n - 1) / 2)
+      .withColumn("u", floor((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("id"))) / 2.0).cast("long"))
+      .withColumn("v", (col("id") - col("u") * (col("u") - 1) / 2).cast("long"))
+      .select("u", "v")
+    val edges = pairs
+      .join(part.select(col("id").as("u"), col("community").as("cu")), "u")
+      .join(part.select(col("id").as("v"), col("community").as("cv")), "v")
+      .withColumn("p", when(col("cu") === col("cv"), pIntra).otherwise(pInter))
+      .filter(u01(seed, col("u"), col("v")) < col("p"))
+      .select(col("v").as("src"), col("u").as("dst"), lit(1.0).as("weight"))
+    (PropertyGraph(edges, directed = false,
+      Some(spark.range(n).select(col("id")))), part)
+  }
+
   /** Synthetic clustering generators (reference
     * `ClusteringGenerator.hpp:20`): one-block / singleton / hashed
     * random k-partition of a graph's vertices. */

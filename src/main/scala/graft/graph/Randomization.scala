@@ -184,4 +184,54 @@ object Randomization {
     PropertyGraph(edges.withColumn("weight", lit(1.0)),
       directed = false, g.verticesOpt)
   }
+
+  /** DegreePreservingShuffle (reference
+    * `randomization/DegreePreservingShuffle.hpp:32`): permute node ids
+    * WITHIN equal-degree classes (equal (in, out) pairs when directed),
+    * so every id keeps its exact degree while the labeling randomizes —
+    * the unbiased null model for id-correlated structure. Distributed
+    * shape: one degree aggregation, then two keyed rankings inside each
+    * degree class (by id, and by a seeded hash) zipped rank-to-rank —
+    * windows PARTITIONED by the degree key, never a global sort.
+    * Returns the relabeled graph; `degreePreservingPermutation` exposes
+    * the `(id, newId)` mapping itself. */
+  def degreePreservingPermutation(g: PropertyGraph, seed: Long = 42): DataFrame = {
+    val deg =
+      if (g.directed) {
+        val out = g.edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("dout"))
+        val in = g.edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("din"))
+        g.vertices.select("id")
+          .join(out, Seq("id"), "left").join(in, Seq("id"), "left")
+          .select(col("id"),
+            concat_ws("_", coalesce(col("din"), lit(0L)),
+              coalesce(col("dout"), lit(0L))).as("dkey"))
+      } else
+        g.vertices.select("id")
+          .join(g.adjacency.groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("d")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("d"), lit(0L)).cast("string").as("dkey"))
+    val byId = Window.partitionBy("dkey").orderBy("id")
+    val byHash = Window.partitionBy("dkey")
+      .orderBy(xxhash64(lit(seed), col("id")), col("id"))
+    deg.withColumn("r", row_number().over(byId))
+      .select(col("dkey"), col("r"), col("id"))
+      .join(deg.withColumn("r", row_number().over(byHash))
+        .select(col("dkey"), col("r"), col("id").as("newId")),
+        Seq("dkey", "r"))
+      .select("id", "newId")
+  }
+
+  /** Apply [[degreePreservingPermutation]] to the edge table. */
+  def degreePreservingShuffle(g: PropertyGraph, seed: Long = 42): PropertyGraph = {
+    val m = degreePreservingPermutation(g, seed)
+    val e = g.edges
+      .join(m.withColumnRenamed("id", "src"), "src")
+      .withColumnRenamed("newId", "nsrc")
+      .join(m.withColumnRenamed("id", "dst"), "dst")
+      .withColumnRenamed("newId", "ndst")
+      .select(col("nsrc").as("src"), col("ndst").as("dst"), col("weight"))
+    PropertyGraph(
+      if (g.directed) e else PropertyGraph.canonicalizeUndirected(e),
+      g.directed, g.verticesOpt)
+  }
 }

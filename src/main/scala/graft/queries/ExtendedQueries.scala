@@ -291,10 +291,21 @@ object ExtendedQueries {
       // E[er] = C(500,2)·0.02 ≈ 2495 (±5σ ≈ 250); ws ≤ n·k/2 = 1000 after
       // self-loop/dup removal; rmat = exactly 4·512 sampled rows;
       // ba = exactly n0 + (n−n0)·k = 3 + 397·3 edges
+      // degree-preserving shuffle: per-id degree table must be EXACTLY
+      // invariant and the label permutation a bijection that moves
+      val dps = Randomization.degreePreservingShuffle(ba, seed = 5)
+      def degT(g: PropertyGraph) = g.adjacency
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      val dpsBad = degT(dps).except(degT(ba)).count() +
+        degT(ba).except(degT(dps)).count() +
+        (ba.vertices.count() -
+          Randomization.degreePreservingPermutation(ba, seed = 5)
+            .select("newId").distinct().count())
       row("er", er, erBad, 2245, 2745)
         .unionAll(row("ws", ws, wsBad, 900, 1000))
         .unionAll(row("rmat", rm, rmBad, 2048, 2048))
         .unionAll(row("ba", ba, baBad, 3 + 397 * 3, 3 + 397 * 3))
+        .unionAll(row("dps", dps, dpsBad, 3 + 397 * 3, 3 + 397 * 3))
     }),
     // degree-preserving randomization: the randomized graph's degree
     // histogram must equal the original's (SQL re-derives the original
@@ -1940,7 +1951,8 @@ object ExtendedQueries {
         | ('er', 0::BIGINT, 1::BIGINT),
         | ('ws', 0::BIGINT, 1::BIGINT),
         | ('rmat', 0::BIGINT, 1::BIGINT),
-        | ('ba', 0::BIGINT, 1::BIGINT)) AS t(gen, bad_rows, m_in_range)""".stripMargin,
+        | ('ba', 0::BIGINT, 1::BIGINT),
+        | ('dps', 0::BIGINT, 1::BIGINT)) AS t(gen, bad_rows, m_in_range)""".stripMargin,
     "x12_features" ->
       s"""WITH $mediaDimsCte
          |SELECT kind, count(*) AS n,
