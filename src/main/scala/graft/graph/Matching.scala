@@ -124,6 +124,83 @@ object Matching {
     matched
   }
 
+  /** Dynamic b-suitor: fold a batch of edge INSERTIONS into an existing
+    * b-matching (reference `matching/DynamicBSuitorMatcher.hpp:19`,
+    * Angriman et al. dynamic b-suitor). The locally-dominant b-matching
+    * is the unique stable b-matching when edge preferences are STRICT
+    * (distinct weights, or the (weight, partner-id) tie-break making
+    * every preference list strict), so the repair loop — find blocking
+    * edges (both endpoints strictly prefer them to their current worst
+    * kept match / spare capacity), admit the mutual-best ones, evict
+    * over-capacity victims, cascade — terminates in the SAME matching a
+    * from-scratch [[bSuitor]] computes, touching only the affected
+    * region. Each round is a join + hash-agg keyed by node, no global
+    * sort. `matching` is the pre-insertion `(u, v, weight)` pair set;
+    * `g` must already CONTAIN the inserted edges. */
+  def bSuitorInsert(g: PropertyGraph, matching: DataFrame, b: Int,
+      maxIter: Int = 60): DataFrame = {
+    var matched = matching.select("u", "v", "weight").localCheckpoint(true)
+    val adj = g.adjacency.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      // each node's kept matches as preference structs; worst kept +
+      // spare capacity decide what a blocking edge must beat
+      val kept = matched.select(col("u").as("id"), struct(col("weight"),
+          (-col("v")).as("negP")).as("pref"))
+        .unionAll(matched.select(col("v").as("id"), struct(col("weight"),
+          (-col("u")).as("negP")).as("pref")))
+      val worst = kept.groupBy("id")
+        .agg(min(col("pref")).as("worst"), count(lit(1)).as("nm"))
+      // blocking edges: not matched, and each endpoint either has spare
+      // capacity or strictly prefers this edge to its worst kept match
+      val cand = adj
+        .join(matched.select(col("u").as("src"), col("v").as("dst")),
+          Seq("src", "dst"), "left_anti")
+        .join(matched.select(col("v").as("src"), col("u").as("dst")),
+          Seq("src", "dst"), "left_anti")
+        .join(worst.select(col("id").as("src"), col("worst").as("ws"),
+          col("nm").as("ns")), Seq("src"), "left")
+        .join(worst.select(col("id").as("dst"), col("worst").as("wd"),
+          col("nm").as("nd")), Seq("dst"), "left")
+        .filter(
+          (coalesce(col("ns"), lit(0L)) < b ||
+            struct(col("weight"), (-col("dst")).as("negP")) > col("ws")) &&
+          (coalesce(col("nd"), lit(0L)) < b ||
+            struct(col("weight"), (-col("src")).as("negP")) > col("wd")))
+      val best = cand.groupBy("src")
+        .agg(max(struct(col("weight"), (-col("dst")).as("negDst"), col("dst"))).as("b"))
+        .select(col("src"), col("b.dst").as("dst"), col("b.weight").as("weight"))
+        .localCheckpoint(true)
+      val mutual = best.as("a")
+        .join(best.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .filter(col("a.src") < col("a.dst"))
+        .select(col("a.src").as("u"), col("a.dst").as("v"),
+          col("a.weight").as("weight"))
+        .localCheckpoint(true)
+      if (mutual.isEmpty) done = true
+      else {
+        // admit, then evict each over-capacity node's worst matches
+        val all = matched.unionAll(mutual)
+        val ranked = all.select(col("u").as("id"), col("u"), col("v"),
+            col("weight"), struct(col("weight"), (-col("v")).as("negP")).as("pref"))
+          .unionAll(all.select(col("v").as("id"), col("u"), col("v"),
+            col("weight"), struct(col("weight"), (-col("u")).as("negP")).as("pref")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id").orderBy(col("pref").desc)))
+        val evicted = ranked.filter(col("rk") > b)
+          .select("u", "v").distinct()
+        matched = all
+          .join(evicted, Seq("u", "v"), "left_anti")
+          .localCheckpoint(true)
+      }
+      i += 1
+    }
+    matched
+  }
+
   /** Path-growing matching (reference `matching/PathGrowingMatcher.cpp`,
     * Drake–Hougardy): grow a path from a live min-degree node by always
     * following the heaviest live incident edge, alternately assigning

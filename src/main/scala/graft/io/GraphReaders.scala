@@ -393,6 +393,34 @@ object GraphReaders {
     writeOrderedLines(shell.unionAll(body), path)
   }
 
+  /** DOT partition writer (reference `io/DotPartitionWriter.hpp:20`):
+    * like [[writeDot]] plus one styled line per NON-ISOLATED node with
+    * an HSV hue that is the community's rank among the distinct
+    * communities present (the reference's hue map iterates an unordered
+    * set; this writer ranks by community id — deterministic). */
+  def writeDotPartition(g: PropertyGraph, partition: DataFrame,
+      path: String): Unit = {
+    val spark = g.edges.sparkSession
+    val connected = g.adjacency.select(col("src").as("id")).distinct()
+    val present = partition.join(connected, "id")
+    val hue = present.select("community").distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("community")) - 1)
+    val nC = hue.count().toDouble
+    val nodeLines = present.join(hue, "community")
+      .select(col("id").as("ord"),
+        concat(col("id"), lit(" [style=filled, color=\""),
+          round(col("idx") / nC, 6), lit(",0.99,0.99\", label="),
+          col("community"), lit("];")).as("line"))
+    val n = g.vertices.agg(coalesce(max(col("id")) + 1, lit(0L))).head.getLong(0)
+    val edgeLines = g.edges.select((col("src") + n).as("ord"),
+      concat(col("src"), lit(" -- "), col("dst"), lit(";")).as("line"))
+    val shell = spark.range(2).select(
+      when(col("id") === 0, lit(-1L)).otherwise(lit(Long.MaxValue)).as("ord"),
+      when(col("id") === 0, "graph {").otherwise("}").as("line"))
+    writeOrderedLines(shell.unionAll(nodeLines).unionAll(edgeLines), path)
+  }
+
   /** SNAP graph writer (reference `io/SNAPGraphWriter.hpp:21`): problem
     * line `p n m u u 0`, then one `src dst` line per edge. */
   def writeSnap(g: PropertyGraph, path: String): Unit = {

@@ -186,6 +186,40 @@ object ExtendedQueries {
     }),
     // b-matching (b = 2): capacity, edge-validity and duplicate gates
     // pinned to zero by the oracle
+    // dynamic b-suitor: hold out the 50 globally heaviest edges (after
+    // a deterministic hash perturbation making all weights DISTINCT →
+    // the stable b-matching is unique), match, then fold the held-out
+    // edges back in. The repaired matching must HASH-EQUAL a
+    // from-scratch run (Spark-side require), plus x28-style validity
+    // gates; the oracle re-derives node/edge counts
+    "x83_dynbsuitor" -> ((s, dir) => {
+      val g0 = DerivedGraphs.partGraph(s, dir, 2)
+      val pert = g0.edges.select(col("src"), col("dst"),
+        (col("weight") * 100000 +
+          pmod(xxhash64(lit(3L), col("src"), col("dst")), lit(99991L)))
+          .cast("double").as("weight"))
+        .localCheckpoint(true)
+      val g = PropertyGraph(pert, directed = false)
+      import org.apache.spark.sql.expressions.Window
+      val late = pert.orderBy(col("weight").desc, col("src"), col("dst"))
+        .limit(50).localCheckpoint(true)
+      val early = PropertyGraph(
+        pert.join(late.select("src", "dst"), Seq("src", "dst"), "left_anti"),
+        directed = false)
+      val before = Matching.bSuitor(early, b = 2)
+      val after = Matching.bSuitorInsert(g, before, b = 2).localCheckpoint(true)
+      val scratch = Matching.bSuitor(g, b = 2)
+      require(after.except(scratch).isEmpty && scratch.except(after).isEmpty,
+        "insert-repaired b-matching must equal from-scratch")
+      val overCap = after.select(col("u").as("id")).unionAll(after.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("n")).filter(col("n") > 2).count()
+      val nonEdge = after.select(col("u").as("src"), col("v").as("dst"))
+        .join(g.adjacency.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        .count()
+      g.vertices.agg(count(lit(1)).as("n_nodes")).select(
+        col("n_nodes"), lit(overCap).as("over_capacity"),
+        lit(nonEdge).as("non_edge_pairs"), lit(1L).as("insert_equals_scratch"))
+    }),
     "x28_bmatching" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       val m = Matching.bSuitor(g, b = 2)
@@ -1926,6 +1960,12 @@ object ExtendedQueries {
          |nodes AS (SELECT DISTINCT src AS id FROM sym)
          |SELECT count(*) AS n_nodes, 0::BIGINT AS over_capacity,
          |  0::BIGINT AS non_edge_pairs, 0::BIGINT AS duplicate_pairs
+         |FROM nodes""".stripMargin,
+    "x83_dynbsuitor" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym)
+         |SELECT count(*) AS n_nodes, 0::BIGINT AS over_capacity,
+         |  0::BIGINT AS non_edge_pairs, 1::BIGINT AS insert_equals_scratch
          |FROM nodes""".stripMargin,
     "x62_pathgrow" ->
       s"""WITH $graphCte,

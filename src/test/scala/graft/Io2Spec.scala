@@ -108,6 +108,20 @@ class Io2Spec extends SparkSpec {
     assert(edgeSet(back) == edgeSet(karate))
   }
 
+  test("dot partition writer: styled node lines + edge body reparse") {
+    import spark.implicits._
+    val part = (0L until 34L).map(i => (i, i % 3)).toDF("id", "community")
+    val path = "/tmp/graft_karate_dotpart"
+    GraphReaders.writeDotPartition(karate, part, path)
+    val lines = spark.read.text(path).collect().map(_.getString(0))
+    assert(lines.head == "graph {" && lines.last == "}")
+    val nodeLines = lines.filter(_.contains("style=filled"))
+    assert(nodeLines.length == 34) // karate has no isolated nodes
+    assert(nodeLines.forall(l => l.matches("""\d+ \[style=filled, color="[0-9.]+,0\.99,0\.99", label=\d+];""")))
+    val edgeLines = lines.filter(_.contains(" -- "))
+    assert(edgeLines.length == 78)
+  }
+
   test("partition writer/reader: positional text roundtrip") {
     import spark.implicits._
     val part = (0L until 40L).map(i => (i, (i * i) % 5)).toDF("id", "community")
