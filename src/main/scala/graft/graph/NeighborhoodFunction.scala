@@ -50,6 +50,41 @@ object NeighborhoodFunction {
     * neighborhood function reaches ratio·nf(∞) (reference
     * `EffectiveDiameter.hpp:19` without interpolation — documented
     * deviation). */
+  /** Sampled-BFS neighborhood function (reference
+    * `distance/NeighborhoodFunctionHeuristic.hpp:24`, RANDOM strategy):
+    * BFS from `nSamples` hash-picked sources, per-distance reach counts
+    * scaled by n/nSamples and accumulated, with the reference's exact
+    * anchors NF(1) = 2m and NF(diameter) = n(n−1). One keyed
+    * multi-source BFS + one tiny per-distance aggregate — the sampled
+    * alternative to the [[approximate]] ANF sketch. `(h, nf)`. */
+  def heuristic(g: PropertyGraph, nSamples: Int = 32,
+      seed: Long = 42): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val n = g.vertices.count()
+    val m = g.edges.filter(col("src") =!= col("dst")).count()
+    val dia = graft.graph.DistanceTail.diameter(g)._1.toInt
+    val srcs = g.vertices
+      .orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(math.min(nSamples.toLong, n).toInt)
+      .select(col("id").as("source"))
+    val k = srcs.count().toDouble
+    val perDist = ShortestPaths.bfs(g, srcs)
+      .filter(col("dist") > 0)
+      .groupBy("dist").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val scale = n / k
+    // the reference's cumsum STARTS at the exact NF(1) = 2m anchor and
+    // pins NF(diameter) = n(n−1)
+    var cum = 2.0 * m
+    val rows = (1 to dia).map { h =>
+      if (h > 1) cum += math.round(perDist.getOrElse(h, 0L) * scale).toDouble
+      val nf = if (h == dia && dia > 1) n.toDouble * (n - 1) else cum
+      (h.toLong, nf)
+    }
+    rows.toDF("h", "nf")
+  }
+
   def effectiveDiameter(g: PropertyGraph, ratio: Double = 0.9,
       maxH: Int = 30): Long = {
     val nf = approximate(g, maxH).collect().map(r => (r.getInt(0), r.getDouble(1)))

@@ -63,4 +63,23 @@ class DistanceTailSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"))).toSet
     assert(inc == top)
   }
+
+  test("neighborhoodFunction heuristic: anchors exact, full sampling == exact NF") {
+    val karate = graft.io.GraphReaders.readMetis(
+      spark, "/root/reference/input/karate.graph")
+    // nSamples >= n -> every node is a source: counts are exact
+    val nf = graft.graph.NeighborhoodFunction.heuristic(karate, nSamples = 34)
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    assert(nf(1) == 2.0 * 78, "NF(1) anchor must be 2m")
+    assert(nf(5) == 34.0 * 33, "NF(diameter) anchor must be n(n-1)")
+    // karate is connected with diameter 5: the h=4 cumulative must
+    // already be close to n(n-1) and monotone
+    assert(nf(2) > nf(1) && nf(3) > nf(2) && nf(4) > nf(3))
+    assert(nf(4) <= 34.0 * 33)
+    // exact full-sample NF(2): pairs within distance <= 2
+    val d = graft.graph.ShortestPaths.bfs(karate,
+      karate.vertices.select(org.apache.spark.sql.functions.col("id").as("source")))
+    val within2 = d.filter("dist > 0 and dist <= 2").count()
+    assert(nf(2) == within2.toDouble, s"${nf(2)} vs $within2")
+  }
 }
