@@ -1251,6 +1251,31 @@ object Community {
       .agg(avg("v")).head.getDouble(0)
   }
 
+  /** StablePartitionNodes (reference
+    * `community/StablePartitionNodes.cpp:7`): node u is STABLE iff its
+    * weighted neighbor support for its own label is positive and
+    * strictly exceeds every other label's support (ties → unstable);
+    * isolated nodes count stable. One keyed aggregate over labeled
+    * adjacency. Returns `(id, stable)`. */
+  def stablePartitionNodes(g: PropertyGraph, partition: DataFrame): DataFrame = {
+    val lw = g.adjacency
+      .join(partition.select(col("id").as("dst"), col("community").as("cn")), "dst")
+      .groupBy(col("src").as("id"), col("cn"))
+      .agg(sum("weight").as("w"))
+    val own = partition.select(col("id"), col("community"))
+    val split = lw.join(own, "id")
+      .groupBy("id").agg(
+        max(when(col("cn") === col("community"), col("w"))).as("ownW"),
+        max(when(col("cn") =!= col("community"), col("w"))).as("maxOther"))
+    own.join(split, Seq("id"), "left")
+      .select(col("id"),
+        // no lw rows at all → isolated → stable
+        when(col("ownW").isNull && col("maxOther").isNull, lit(true))
+          .otherwise(coalesce(col("ownW"), lit(0.0)) > 0 &&
+            coalesce(col("ownW"), lit(0.0)) >
+              coalesce(col("maxOther"), lit(0.0))).as("stable"))
+  }
+
   /** Graph-structural Rand dissimilarity (reference
     * `community/GraphStructuralRandMeasure.cpp:12-38`): disagreement
     * fraction over CONNECTED node pairs only. */

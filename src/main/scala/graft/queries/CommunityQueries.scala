@@ -245,13 +245,17 @@ object CommunityQueries {
       val cond = Community.isolatedInterpartitionConductance(g, p)
       val expn = Community.isolatedInterpartitionExpansion(g, p)
       val frag = Community.partitionFragmentation(g, p)
+      val stab = Community.stablePartitionNodes(g, p)
+      val stableFrac = stab.agg(avg(col("stable").cast("double")))
+        .head.getDouble(0)
       s.range(1).select(
         round(lit(hub), 6).as("hub_dominance"),
         round(lit(idAvg), 6).as("intra_density_avg"),
         round(lit(idGlobal), 6).as("intra_density_global"),
         round(lit(cond), 6).as("iso_conductance"),
         round(lit(expn), 6).as("iso_expansion"),
-        round(lit(frag), 6).as("fragmentation"))
+        round(lit(frag), 6).as("fragmentation"),
+        round(lit(stableFrac), 6).as("stable_frac"))
     }),
     // graph-structural Rand dissimilarity (edge-restricted agreement of
     // id%8 vs id%12) — SQL-exact — plus matching-based coarsening gate:
@@ -471,13 +475,23 @@ object CommunityQueries {
          |pieces AS (SELECT id % 8 AS c, comp, count(*) AS pc FROM compo GROUP BY 1,2),
          |mp AS (SELECT c, max(pc) AS mp FROM pieces GROUP BY c),
          |frag AS (SELECT avg(1.0 - coalesce(m.mp,0)*1.0/s.sz) AS v
-         |  FROM sizes s LEFT JOIN mp m ON m.c = s.c)
+         |  FROM sizes s LEFT JOIN mp m ON m.c = s.c),
+         |lwn AS (SELECT sym.src AS id, sym.dst % 8 AS cn, sum(sym.w) AS lw
+         |  FROM sym GROUP BY 1, 2),
+         |stab AS (SELECT n2.id,
+         |    CASE WHEN coalesce(ow.lw, 0) > 0 AND coalesce(ow.lw, 0) >
+         |      coalesce((SELECT max(o.lw) FROM lwn o
+         |                WHERE o.id = n2.id AND o.cn <> n2.id % 8), 0)
+         |    THEN 1.0 ELSE 0.0 END AS st
+         |  FROM nodes n2 LEFT JOIN lwn ow ON ow.id = n2.id AND ow.cn = n2.id % 8),
+         |stabf AS (SELECT avg(st) AS v FROM stab)
          |SELECT round((SELECT v FROM hub), 6) AS hub_dominance,
          |  round((SELECT vavg FROM dens), 6) AS intra_density_avg,
          |  round((SELECT vglob FROM dens), 6) AS intra_density_global,
          |  round((SELECT v FROM cond), 6) AS iso_conductance,
          |  round((SELECT v FROM expn), 6) AS iso_expansion,
-         |  round((SELECT v FROM frag), 6) AS fragmentation""".stripMargin,
+         |  round((SELECT v FROM frag), 6) AS fragmentation,
+         |  round((SELECT v FROM stabf), 6) AS stable_frac""".stripMargin,
     "c20_randmeasures" ->
       s"""WITH $graphCte
          |SELECT round(1.0 - sum(CASE WHEN (src % 8 = dst % 8) = (src % 12 = dst % 12)
