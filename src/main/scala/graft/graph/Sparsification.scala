@@ -159,6 +159,18 @@ object Sparsification {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** RandomEdgeScore (reference `sparsification/RandomEdgeScore.cpp:14`):
+    * a uniform [0, 1) score per canonical edge — the null-model
+    * sparsifier every other score is benchmarked against. Deterministic
+    * hash draw in place of the RNG, like every generator here. */
+  def randomEdgeScore(g: PropertyGraph, seed: Long = 42): DataFrame = {
+    val e = PropertyGraph.canonicalizeUndirected(
+      g.edges.filter(col("src") =!= col("dst"))).select("src", "dst")
+    e.withColumn("score",
+      (pmod(xxhash64(lit(seed), col("src"), col("dst")), lit(1000000L)))
+        .cast("double") / 1000000.0)
+  }
+
   /** Multiscale / disparity-filter significance (reference
     * `sparsification/MultiscaleScore.cpp:26-67`, Serrano et al.
     * backbones): each endpoint normalizes its incident attribute values
