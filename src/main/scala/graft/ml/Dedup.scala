@@ -104,6 +104,38 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Character n-gram near-dup pairs: like [[ngramJaccardPairs]] but
+    * over SUB-WORD character n-grams of the trimmed text — robust to
+    * word reordering and in-word edits that word shingles miss (the
+    * standard complement in dedup pipelines). Same keyed rare-gram
+    * join, same DF hot-gram cap. `(a, b, jaccard)`. */
+  def charNgramJaccardPairs(df: DataFrame, id: String, text: String,
+      n: Int = 5, minJaccard: Double = 0.0,
+      maxGramDf: Int = 100): DataFrame = {
+    // guard: sequence(1, 0) infers step −1 in Spark — short texts must
+    // yield an EMPTY gram set, not [1, 0]
+    val grams = expr(
+      s"""CASE WHEN length(trim($text)) < $n THEN CAST(array() AS ARRAY<STRING>)
+         |ELSE array_distinct(transform(
+         |  sequence(1, length(trim($text)) - ${n - 1}),
+         |  i -> substring(trim($text), i, $n))) END""".stripMargin)
+    val shAll = df.select(col(id), explode(grams).as("sh"))
+    val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxGramDf).select("sh")
+    val sh = shAll.join(rare, Seq("sh"), "left_semi").persist()
+    val cnt = sh.groupBy(id).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(id).as("a"), col("sh"))
+      .join(sh.select(col(id).as("b"), col("sh")), "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(cnt.select(col(id).as("a"), col("n").as("na")), "a")
+      .join(cnt.select(col(id).as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash over token hashes, `bits` ≤ 16 (hash = first 4 hex chars of
     * md5 → 16-bit int; per-bit majority vote). `(id, simhash)` */
   def simhash(df: DataFrame, id: String, text: String, bits: Int = 16): DataFrame = {

@@ -118,6 +118,13 @@ object TextQueries {
         Seq("lang", "source"), frac = 0.2)
         .select("doc_id", "lang", "source")),
 
+    // character n-gram near-dup pairs (sub-word dedup, robust to word
+    // reordering — complements t7's word shingles)
+    "t13_chargram" -> ((s, dir) =>
+      Dedup.charNgramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 8, minJaccard = 0.12, maxGramDf = 100)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+
     // benchmark decontamination: the 5 globally most document-frequent
     // 3-grams stand in for an eval set's shingles; every document
     // containing one is flagged
@@ -241,6 +248,21 @@ object TextQueries {
         |  count(*) OVER (PARTITION BY lang, source) AS n
         |  FROM documents)
         |SELECT doc_id, lang, source FROM r WHERE rk <= ceil(n * 0.2)""".stripMargin,
+    "t13_chargram" ->
+      raw"""WITH g0 AS (SELECT doc_id, trim(text) AS t FROM documents),
+           |sh0 AS (SELECT doc_id,
+           |    unnest(list_distinct(CASE WHEN length(t) < 8 THEN []
+           |      ELSE [substr(t, i, 8) for i in range(1, length(t) - 6)] END)) AS sh
+           |  FROM g0),
+           |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
+           |shf AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN rare USING (sh)),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+           |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           |          FROM shf x JOIN shf y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           |          GROUP BY x.doc_id, y.doc_id)
+           |SELECT a, b, round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
+           |FROM inter JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
+           |WHERE c*1.0/(na.n + nb.n - c) >= 0.12""".stripMargin,
     "t12_decontam" ->
       s"""WITH $shingleCte,
          |block AS (SELECT sh FROM sh GROUP BY sh
