@@ -35,4 +35,16 @@ class Sparsify2Spec extends SparkSpec {
     assert(f1.agg(max("score")).as[Double].head() > 0.0)
     assert(f1.filter(col("score") < 0).count() == 0)
   }
+
+  test("randomEdgeScore: deterministic u01 per canonical edge, seed-sensitive") {
+    val karate = graft.io.GraphReaders.readMetis(
+      spark, "/root/reference/input/karate.graph")
+    val a = graft.graph.Sparsification.randomEdgeScore(karate, seed = 1)
+    val b = graft.graph.Sparsification.randomEdgeScore(karate, seed = 1)
+    assert(a.count() == 78)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(a.filter(col("score") < 0 || col("score") >= 1).isEmpty)
+    val c = graft.graph.Sparsification.randomEdgeScore(karate, seed = 2)
+    assert(a.except(c).count() > 0)
+  }
 }
