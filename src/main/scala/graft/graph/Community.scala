@@ -193,6 +193,26 @@ object Community {
       Some(lbl.select(col("community").as("id")).distinct()))
   }
 
+  /** ClusteringProjector (reference `coarsening/ClusteringProjector.hpp:20`):
+    * project a partition of the COARSE graph back onto the fine graph
+    * through the fine→coarse node mapping — one join. `mapping` is
+    * `(id, community)` (fine node → supernode, [[coarsen]]'s input),
+    * `coarsePartition` is `(id, community)` over supernode ids. */
+  def projectClustering(mapping: DataFrame, coarsePartition: DataFrame): DataFrame =
+    mapping.select(col("id"), col("community").as("super"))
+      .join(coarsePartition.select(col("id").as("super"),
+        col("community").as("cc")), "super")
+      .select(col("id"), col("cc").as("community"))
+
+  /** HashingOverlapper (reference `overlap/HashingOverlapper.hpp:21`):
+    * combine two partitions into their intersection partition by hashing
+    * the label pair — nodes land together iff they agree in BOTH. */
+  def hashingOverlapper(p1: DataFrame, p2: DataFrame): DataFrame =
+    p1.select(col("id"), col("community").as("c1"))
+      .join(p2.select(col("id"), col("community").as("c2")), "id")
+      .select(col("id"),
+        pmod(xxhash64(col("c1"), col("c2")), lit(Long.MaxValue)).as("community"))
+
   /** Parallel agglomerative clusterer (reference
     * `community/ParallelAgglomerativeClusterer.hpp:20`, .cpp:21-84):
     * repeat { score every edge by the modularity gain of merging its

@@ -53,4 +53,21 @@ class CommunityTailSpec extends SparkSpec {
       .select(col("id"), (lit(10L) + col("id") % 4).as("community")))
     assert(math.abs(Community.overlappingNmi(ov, ov, n) - 1.0) < 1e-9)
   }
+
+  test("projectClustering + hashingOverlapper: join/intersection semantics") {
+    import spark.implicits._
+    val mapping = Seq((0L, 10L), (1L, 10L), (2L, 20L), (3L, 20L))
+      .toDF("id", "community")
+    val coarse = Seq((10L, 7L), (20L, 8L)).toDF("id", "community")
+    val fine = graft.graph.Community.projectClustering(mapping, coarse)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fine == Map(0L -> 7L, 1L -> 7L, 2L -> 8L, 3L -> 8L))
+    val p1 = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "community")
+    val p2 = Seq((0L, 5L), (1L, 6L), (2L, 6L), (3L, 6L)).toDF("id", "community")
+    val ov = graft.graph.Community.hashingOverlapper(p1, p2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // intersection cells: {0}, {1}, {2, 3}
+    assert(ov(2L) == ov(3L))
+    assert(ov(0L) != ov(1L) && ov(0L) != ov(2L) && ov(1L) != ov(2L))
+  }
 }
