@@ -79,6 +79,138 @@ object MaxFlow {
     (flow, cut.toSet)
   }
 
+  /** Distributed max-flow: synchronous parallel push–relabel
+    * (Goldberg–Tarjan; the scale path the sequential reference
+    * `flow/EdmondsKarp.hpp:23` cannot offer). Each round is pure
+    * DataFrame work: (1) every ACTIVE node (positive excess, not s/t)
+    * pushes along its admissible residual arcs — height(u) =
+    * height(v) + 1 — in deterministic (v asc) order, amounts capped by
+    * a per-node window cumsum so a node never pushes more than its
+    * excess; (2) active nodes with NO admissible arc relabel to
+    * 1 + min residual-neighbor height — the standard synchronous pulse,
+    * which preserves the valid-height invariant. Heights are seeded by
+    * the exact distance-to-t global relabel (one BFS over reversed
+    * arcs), the classic convergence accelerator. Terminates when no
+    * node is active; the min cut is the residual-reachable set from s
+    * (computed by one more distributed BFS). Returns
+    * `(flow_value, source-side ids)`. */
+  def pushRelabel(g: PropertyGraph, s: Long, t: Long,
+      maxRounds: Int = 4000): (Double, DataFrame) = {
+    val spark = g.edges.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val eps = 1e-12
+    val n = g.vertices.count()
+    val fwd = g.adjacency.filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum("weight").as("cap"))
+    var res = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"),
+        lit(0.0).as("cap")))
+      .groupBy("src", "dst").agg(sum("cap").as("cap"))
+      .localCheckpoint(true)
+    // global relabel: h(u) = BFS distance to t over reversed residual
+    // arcs (= forward arcs into u's side), unreachable → n; h(s) = n
+    val toT = ShortestPaths.bfs(
+      PropertyGraph(res.filter(col("cap") > eps)
+        .select(col("dst").as("src"), col("src").as("dst"),
+          lit(1.0).as("weight")), directed = true),
+      ShortestPaths.sourcesOf(g, Seq(t)))
+      .select(col("id"), col("dist").as("h"))
+    var heights = g.vertices.select("id")
+      .join(toT, Seq("id"), "left")
+      .select(col("id"),
+        when(col("id") === s, lit(n))
+          .otherwise(coalesce(col("h"), lit(n))).as("h"))
+      .localCheckpoint(true)
+    // saturate s's out-arcs: cap(s,v) → 0, cap(v,s) += cap(s,v),
+    // excess(v) = cap(s,v) — one delta union, same mechanism as pushes
+    val sOut = res.filter(col("src") === s && col("cap") > eps)
+      .select(col("dst").as("v"), col("cap").as("pushed"))
+      .localCheckpoint(true)
+    val initDeltas = sOut
+      .select(lit(s).as("src"), col("v").as("dst"), (-col("pushed")).as("d"))
+      .unionAll(sOut.select(col("v").as("src"), lit(s).as("dst"),
+        col("pushed").as("d")))
+    res = res.join(initDeltas, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (col("cap") + coalesce(col("d"), lit(0.0))).as("cap"))
+      .localCheckpoint(true)
+    var excess = sOut.select(col("v").as("id"), col("pushed").as("ex"))
+      .localCheckpoint(true)
+
+    var round = 0
+    var nActive = 1L
+    while (nActive > 0 && round < maxRounds) {
+      val active = excess.filter(col("ex") > eps &&
+        col("id") =!= s && col("id") =!= t)
+      nActive = active.count()
+      if (nActive > 0) {
+        val adm = res.filter(col("cap") > eps)
+          .join(active.select(col("id").as("src"), col("ex")), "src")
+          .join(heights.select(col("id").as("src"), col("h").as("hu")), "src")
+          .join(heights.select(col("id").as("dst"), col("h").as("hv")), "dst")
+          .filter(col("hu") === col("hv") + 1)
+          .localCheckpoint(true)
+        val w = Window.partitionBy("src").orderBy("dst")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val pushes = adm
+          .withColumn("cum", coalesce(sum("cap").over(w), lit(0.0)))
+          .withColumn("amt", greatest(lit(0.0),
+            least(col("cap"), col("ex") - col("cum"))))
+          .filter(col("amt") > eps)
+          .select(col("src"), col("dst"), col("amt"))
+          .localCheckpoint(true)
+        // relabel actives with no admissible arc at all
+        val relabels = active
+          .join(adm.select(col("src").as("id")).distinct(),
+            Seq("id"), "left_anti")
+          .join(res.filter(col("cap") > eps).select(col("src").as("id"),
+            col("dst").as("nbr")), "id")
+          .join(heights.select(col("id").as("nbr"), col("h").as("hn")), "nbr")
+          .groupBy("id").agg((min("hn") + 1).as("newH"))
+          .localCheckpoint(true)
+        // apply pushes to the residual graph (both directions)
+        val deltas = pushes.select(col("src"), col("dst"), (-col("amt")).as("d"))
+          .unionAll(pushes.select(col("dst").as("src"), col("src").as("dst"),
+            col("amt").as("d")))
+          .groupBy("src", "dst").agg(sum("d").as("d"))
+        val res2 = res.join(deltas, Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"),
+            (col("cap") + coalesce(col("d"), lit(0.0))).as("cap"))
+          .localCheckpoint(true)
+        graft.graph.Fixpoint.free(res)
+        res = res2
+        val exDelta = pushes.select(col("src").as("id"), (-col("amt")).as("d"))
+          .unionAll(pushes.select(col("dst").as("id"), col("amt").as("d")))
+          .groupBy("id").agg(sum("d").as("d"))
+        val excess2 = excess.join(exDelta, Seq("id"), "full")
+          .select(col("id"),
+            (coalesce(col("ex"), lit(0.0)) + coalesce(col("d"), lit(0.0))).as("ex"))
+          .localCheckpoint(true)
+        graft.graph.Fixpoint.free(excess)
+        excess = excess2
+        val heights2 = heights.join(relabels, Seq("id"), "left")
+          .select(col("id"), coalesce(col("newH"), col("h")).as("h"))
+          .localCheckpoint(true)
+        graft.graph.Fixpoint.free(heights)
+        heights = heights2
+        graft.graph.Fixpoint.free(adm)
+        graft.graph.Fixpoint.free(pushes)
+        graft.graph.Fixpoint.free(relabels)
+      }
+      round += 1
+    }
+    require(nActive == 0, s"push-relabel did not converge in $maxRounds rounds")
+    val flow = excess.filter(col("id") === t)
+      .agg(coalesce(sum("ex"), lit(0.0))).head.getDouble(0)
+    // min cut: residual-reachable set from s
+    val cut = ShortestPaths.bfs(
+      PropertyGraph(res.filter(col("cap") > eps)
+        .select("src", "dst").withColumn("weight", lit(1.0)), directed = true),
+      ShortestPaths.sourcesOf(g, Seq(s)))
+      .select(col("id"))
+    (flow, cut)
+  }
+
   /** Cut clustering (reference `community/CutClustering.hpp:13`, Flake
     * et al.): augment the graph with an artificial sink t connected to
     * every node with weight α, then each unassigned node's community is
