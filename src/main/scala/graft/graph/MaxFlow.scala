@@ -93,7 +93,14 @@ object MaxFlow {
     * arcs), the classic convergence accelerator. Terminates when no
     * node is active; the min cut is the residual-reachable set from s
     * (computed by one more distributed BFS). Returns
-    * `(flow_value, source-side ids)`. */
+    * `(flow_value, source-side ids)`.
+    *
+    * Cost shape: each pulse is ~4 checkpointed jobs over O(m) residual
+    * rows, and the pulse count is the parallel push–relabel round
+    * complexity — so on graphs that FIT the driver, [[edmondsKarp]] is
+    * strictly faster (the same small-side dispatch as `Betweenness.run`);
+    * this is the path for graphs beyond one machine's memory, where the
+    * sequential residual walk stops being an option. */
   def pushRelabel(g: PropertyGraph, s: Long, t: Long,
       maxRounds: Int = 4000): (Double, DataFrame) = {
     val spark = g.edges.sparkSession
