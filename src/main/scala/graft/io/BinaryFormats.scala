@@ -82,8 +82,6 @@ object BinaryFormats {
     val counts = decoded.filter(col("isNode") === 1)
       .groupBy("file").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (f, n)) => (f, acc + n) }
-      .tail.map { case (f, end) => (f, end) }
     val offsetOf = counts.map(_._1).zip(
       counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
     val withIds = decoded.withColumn("off",

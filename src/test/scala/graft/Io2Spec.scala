@@ -41,6 +41,31 @@ class Io2Spec extends SparkSpec {
     assert(edgeSet(back) == edgeSet(star))
   }
 
+  test("thrill: multi-file input continues node numbering across files") {
+    // hand-encoded two-part stream: file 0 holds nodes 0..1, file 1
+    // holds nodes 2..3; neighbor ids are GLOBAL (the reference's
+    // multi-path read(vector<string>) contract)
+    def enc(lists: Seq[Seq[Long]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      lists.foreach { ns =>
+        BinaryFormats.thrillVarint(bos, ns.length.toLong)
+        ns.foreach { v =>
+          bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+          bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+        }
+      }
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-thrill-multi")
+    java.nio.file.Files.write(dir.resolve("part-00"),
+      enc(Seq(Seq(1L), Seq(3L)))) // node 0: [1]; node 1: [3]
+    java.nio.file.Files.write(dir.resolve("part-01"),
+      enc(Seq(Seq(3L), Seq()))) // node 2: [3]; node 3: []
+    val g = BinaryFormats.readThrill(spark, dir.toString)
+    assert(g.vertices.count() == 4)
+    assert(edgeSet(g) == Set((0L, 1L), (1L, 3L), (2L, 3L)))
+  }
+
   test("graphtool: write karate, read back the identical edge set") {
     val path = "/tmp/graft_karate.gt"
     BinaryFormats.writeGraphTool(karate, path)
