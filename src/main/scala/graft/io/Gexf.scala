@@ -1,0 +1,226 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.w3c.dom.{Element, Node => XNode}
+import graft.graph.PropertyGraph
+
+/** GEXF (Graph Exchange XML Format) reader / writer (reference
+  * `networkit/graphio.pyx:1713` `GEXFReader`, `:2030` `GEXFWriter` —
+  * the reference's Python-layer format, exercised on its own
+  * `.gexf` fixtures under `input/`).
+  *
+  * Semantics mirrored from the reference parser:
+  *   - static mode: nodes map to 0..n−1 in DOCUMENT order; edges carry
+  *     optional weights; `defaultedgetype="directed"` decides direction.
+  *   - dynamic mode: spells / inline start–end attributes become the
+  *     GraphEvent stream (`an/rn/dn`, `ae/re/de/ce`), events sort by
+  *     time (numeric unless `timeformat="date"`, which sorts
+  *     lexicographically — ISO dates), a TIME_STEP lands after each
+  *     distinct timestamp, and dynamic nodes remap to
+  *     nInitial + addition-order (`mapDynamicNodes`). The reference
+  *     remaps only NODE events' ids — edge events keep the parsed
+  *     integer ids — and this port reproduces that behavior exactly.
+  *   - a dynamic element with NO time attributes joins the initial
+  *     graph (the reference's rule 4).
+  *
+  * XML is unsplittable and the dynamic remap is inherently sequential,
+  * so the file parses driver-side (bounded interchange fixture — the
+  * same discipline as [[GraphReaders.writeGml]]); everything returned
+  * is a DataFrame. Returns `(graph, events)` where `events` has the
+  * [[GraphReaders.readDgs]] schema `(seq, type, u, v, w)`. */
+object Gexf {
+
+  private def children(e: Element, tag: String): Seq[Element] = {
+    val nl = e.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  def read(spark: SparkSession, path: String): (PropertyGraph, DataFrame) = {
+    import spark.implicits._
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.File(path))
+    val graphEl = doc.getElementsByTagName("graph").item(0).asInstanceOf[Element]
+    val directed = graphEl.getAttribute("defaultedgetype") == "directed"
+    val dynamic = graphEl.getAttribute("mode") == "dynamic"
+    val timeFormat = if (dynamic) graphEl.getAttribute("timeformat") else ""
+    val hasDynamicWeights = children(graphEl, "attribute")
+      .exists(_.getAttribute("id") == "weight")
+
+    // time values compare numerically unless timeformat="date"
+    type T = (String, Double) // raw + numeric key
+    def timeKey(s: String): T =
+      if (timeFormat == "date") (s, 0.0)
+      else (s, try s.toDouble catch { case _: Exception => 0.0 })
+    val timeOrd: Ordering[T] =
+      if (timeFormat == "date") Ordering.by(_._1) else Ordering.by(_._2)
+
+    val mapping = scala.collection.mutable.HashMap[String, Long]()
+    val intToFinal = scala.collection.mutable.HashMap[Long, Long]()
+    var nInitial = 0L
+    // (type, u, v, w, time); node events carry the PARSED int id until
+    // the mapDynamicNodes pass
+    val events = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Double, T)]()
+    val initialEdges = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+
+    def attr(e: Element, names: String*): String =
+      names.map(e.getAttribute).find(_.nonEmpty).getOrElse("")
+
+    def createEvent(time: String, kind: String, u: String, v: String,
+        w: String): Unit = {
+      val mu = mapping(u)
+      val (mv, mw) =
+        if (kind(1) == 'e') (mapping(v), w.toDouble) else (-1L, 0.0)
+      val t = kind match {
+        case "an" => "NODE_ADDITION"
+        case "dn" => "NODE_REMOVAL"
+        case "rn" => "NODE_RESTORATION"
+        case "ae" | "re" => "EDGE_ADDITION"
+        case "de" => "EDGE_REMOVAL"
+        case "ce" => "EDGE_WEIGHT_UPDATE"
+      }
+      events += ((t, mu, mv, mw, timeKey(time)))
+    }
+
+    // the reference's parseDynamics, verbatim decision table
+    def parseDynamics(el: Element, kind: String,
+        control: scala.collection.mutable.Map[String, Boolean],
+        u: String, v: String = "0", w0: String = "1.0"): Unit = {
+      var w = w0
+      val startTime = attr(el, "start", "startopen")
+      val endTime = attr(el, "end", "endopen")
+      if (startTime.nonEmpty && endTime.nonEmpty) {
+        val startsBefore =
+          if (timeFormat == "date") startTime < endTime
+          else timeKey(startTime)._2 < timeKey(endTime)._2
+        if (startsBefore && !control("elementDeleted")) {
+          createEvent(startTime, "a" + kind, u, v, w)
+          control("elementAdded") = true
+        } else createEvent(startTime, "r" + kind, u, v, w)
+        createEvent(endTime, "d" + kind, u, v, w)
+        control("elementDeleted") = true
+      }
+      if (startTime.nonEmpty && endTime.isEmpty) {
+        if (control("elementDeleted")) createEvent(startTime, "r" + kind, u, v, w)
+        else {
+          createEvent(startTime, "a" + kind, u, v, w)
+          control("elementAdded") = true
+        }
+      }
+      if (kind == "e" && hasDynamicWeights) {
+        var atts = children(el, "attvalue")
+        if (atts.isEmpty)
+          atts = children(el.getParentNode.getParentNode.asInstanceOf[Element],
+            "attvalue")
+        atts.filter(_.getAttribute("for") == "weight").foreach { a =>
+          w = a.getAttribute("value")
+          val st = attr(a, "start", "startopen")
+          if (!control("elementAdded")) {
+            createEvent(st, "ae", u, v, w)
+            control("elementAdded") = true
+          } else createEvent(st, "ce", u, v, w)
+        }
+      }
+      if (startTime.isEmpty && !control("elementAdded")) {
+        if (kind == "n") { mapping(u) = nInitial; nInitial += 1 }
+        else initialEdges += ((u, v, w))
+      }
+    }
+
+    children(graphEl, "node").foreach { n =>
+      val u = n.getAttribute("id")
+      if (dynamic) {
+        val intId = try u.toLong catch { case _: Exception => u.drop(1).toLong }
+        mapping(u) = intId
+        val control = scala.collection.mutable.Map(
+          "elementAdded" -> false, "elementDeleted" -> false)
+        val spells = children(n, "spell")
+        if (spells.nonEmpty) spells.foreach(parseDynamics(_, "n", control, u))
+        else parseDynamics(n, "n", control, u)
+      } else { mapping(u) = nInitial; nInitial += 1 }
+    }
+    // mapDynamicNodes: dynamic nodes take ids nInitial + addition order;
+    // only NODE events are rewritten (the reference's exact behavior)
+    if (dynamic) {
+      val sorted = events.sortBy(_._5)(timeOrd)
+      events.clear(); events ++= sorted
+      var nNodes = nInitial
+      val isMapped = Array.fill(events.length)(false)
+      for (i <- events.indices) {
+        val ev = events(i)
+        if (!isMapped(i) && ev._1 == "NODE_ADDITION") {
+          val intId = ev._2
+          intToFinal(intId) = nNodes
+          for (j <- i until events.length) {
+            val e2 = events(j)
+            if (!isMapped(j) && e2._2 == intId && e2._1.startsWith("NODE")) {
+              events(j) = (e2._1, nNodes, -1L, 0.0, e2._5)
+              isMapped(j) = true
+            }
+          }
+          nNodes += 1
+          isMapped(i) = true
+        }
+      }
+    }
+
+    children(graphEl, "edge").foreach { e =>
+      val (u, v) = (e.getAttribute("source"), e.getAttribute("target"))
+      val w = if (e.hasAttribute("weight")) e.getAttribute("weight") else "1.0"
+      if (dynamic) {
+        val control = scala.collection.mutable.Map(
+          "elementAdded" -> false, "elementDeleted" -> false)
+        val spells = children(e, "spell")
+        if (spells.nonEmpty) spells.foreach(parseDynamics(_, "e", control, u, v, w))
+        else parseDynamics(e, "e", control, u, v, w)
+      } else initialEdges += ((u, v, w))
+    }
+
+    // TIME_STEP after every distinct timestamp boundary (appended with
+    // the EARLIER time; stable sort lands it after that time's events)
+    val sorted0 = events.sortBy(_._5)(timeOrd)
+    val steps = (1 until sorted0.length)
+      .filter(i => sorted0(i)._5 != sorted0(i - 1)._5)
+      .map(i => ("TIME_STEP", -1L, -1L, 0.0, sorted0(i - 1)._5))
+    val stream = (sorted0 ++ steps).sortBy(_._5)(timeOrd)
+      .zipWithIndex
+      .map { case ((t, u, v, w, _), seq) => (seq.toLong, t, u, v, w) }
+
+    val edges = initialEdges.toSeq
+      .map { case (u, v, w) => (mapping(u), mapping(v), w.toDouble) }
+      .toDF("src", "dst", "weight")
+    // undirected edges orient src ≤ dst but are NOT merged: the
+    // reference keeps reciprocal file entries as distinct edges
+    // (Graph.addEdge is a multigraph append), and celegans' staticTest
+    // fixture has 197 such pairs
+    val oriented =
+      if (directed) edges
+      else edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight"))
+    val g = PropertyGraph(oriented, directed,
+      Some(spark.range(nInitial).select(col("id"))))
+    (g, stream.toSeq.toDF("seq", "type", "u", "v", "w"))
+  }
+
+  /** Static GEXF writer (reference `GEXFWriter`, static path): nodes
+    * 0..n−1, one `<edge>` per stored edge. Driver-bounded single-file
+    * interchange sink like [[GraphReaders.writeGml]]. */
+  def write(g: PropertyGraph, path: String): Unit = {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<gexf xmlns=\"http://www.gexf.net/1.2draft\" version=\"1.2\">\n"
+    sb ++= s"""  <graph mode="static" defaultedgetype="${
+      if (g.directed) "directed" else "undirected"}">\n"""
+    sb ++= "    <nodes>\n"
+    g.vertices.select("id").orderBy("id").collect().foreach { r =>
+      sb ++= s"""      <node id="${r.getLong(0)}"/>\n"""
+    }
+    sb ++= "    </nodes>\n    <edges>\n"
+    g.edges.select("src", "dst", "weight").collect().foreach { r =>
+      sb ++= s"""      <edge source="${r.getLong(0)}" target="${r.getLong(1)}" weight="${r.getDouble(2)}"/>\n"""
+    }
+    sb ++= "    </edges>\n  </graph>\n</gexf>\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+}

@@ -1328,6 +1328,28 @@ object ExtendedQueries {
           .agg(count(lit(1)).as("deg"), round(sum("v"), 4).as("wdeg"))
           .select(lit("rb").as("source"), col("id"), col("deg"), col("wdeg")))
     }),
+    // GEXF reader on the reference's own celegans fixture: the oracle
+    // re-parses the XML character-level in DuckDB (document-order node
+    // mapping = row_number over node lines, edge endpoints joined by
+    // their original id strings) and re-derives the full multigraph
+    // degree table — reciprocal file entries stay distinct edges, so
+    // their degrees count twice on both sides
+    "x84_gexf" -> ((s, dir) => {
+      val (g, events) = graft.io.Gexf.read(
+        s, "/root/reference/input/staticTest.gexf")
+      require(events.isEmpty, "static mode must produce no events")
+      val rt = "/tmp/graft_x84_roundtrip.gexf"
+      graft.io.Gexf.write(g, rt)
+      val (back, _) = graft.io.Gexf.read(s, rt)
+      val a = g.edges.select("src", "dst")
+      val b = back.edges.select("src", "dst")
+      require(a.except(b).isEmpty && b.except(a).isEmpty,
+        "gexf write→read must reproduce the edge set")
+      g.vertices.select("id")
+        .join(g.adjacency.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    }),
     // Floyd–Warshall-class APSP (min-plus matrix squaring with the
     // reference's fewest-hops tie-break) on the 120 lowest-id vertices
     // of the part graph; the oracle runs the IDENTICAL min-plus closure
@@ -2437,6 +2459,24 @@ object ExtendedQueries {
         |    round(sum(v), 4) AS wdeg FROM mentries GROUP BY i)
         |SELECT * FROM tdeg UNION ALL SELECT * FROM pdeg
         |UNION ALL SELECT * FROM rdeg""".stripMargin,
+    "x84_gexf" ->
+      raw"""WITH raw AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/root/reference/input/staticTest.gexf',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |nodes AS (SELECT row_number() OVER (ORDER BY ln) - 1 AS id,
+        |    regexp_extract(l, '<node id="([^"]+)"', 1) AS orig
+        |  FROM raw WHERE regexp_matches(l, '^<node id="')),
+        |edges AS (SELECT
+        |    regexp_extract(l, 'source="([^"]+)"', 1) AS su,
+        |    regexp_extract(l, 'target="([^"]+)"', 1) AS tv
+        |  FROM raw WHERE regexp_matches(l, '^<edge ')),
+        |mapped AS (SELECT nu.id AS u, nv.id AS v FROM edges
+        |  JOIN nodes nu ON nu.orig = edges.su
+        |  JOIN nodes nv ON nv.orig = edges.tv),
+        |inc AS (SELECT u AS id FROM mapped UNION ALL SELECT v FROM mapped),
+        |dg AS (SELECT id, count(*) AS deg FROM inc GROUP BY id)
+        |SELECT n.id, coalesce(dg.deg, 0) AS deg
+        |FROM nodes n LEFT JOIN dg ON dg.id = n.id""".stripMargin,
     "x76_fw" -> {
       // identical min-plus closure, integer-composite encoded:
       // v = dist*512 + hops, min(v) = lexicographic (dist, hops) min —

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Gexf
+
+/** GEXF reader/writer on the reference's own fixtures
+  * (`test_graphio.py:7` TestGEXFIO). */
+class GexfSpec extends SparkSpec {
+
+  test("staticTest.gexf: celegans — 306 nodes, 2345 undirected edges") {
+    val (g, events) = Gexf.read(spark, "/root/reference/input/staticTest.gexf")
+    assert(!g.directed)
+    assert(g.vertices.count() == 306)
+    // 2345 edge elements; 197 reciprocal pairs stay distinct (the
+    // reference's multigraph append)
+    assert(g.edges.count() == 2345)
+    assert(events.isEmpty, "static mode must produce no events")
+    // node ids map by document order: first node line is id "0", third
+    // is id "10" → mapped 2
+    assert(g.edges.filter(col("src") < 0 || col("src") >= 306 ||
+      col("dst") < 0 || col("dst") >= 306).isEmpty)
+  }
+
+  test("static write -> read roundtrip preserves the graph") {
+    val (g, _) = Gexf.read(spark, "/root/reference/input/staticTest.gexf")
+    val p = "/tmp/graft_static_roundtrip.gexf"
+    Gexf.write(g, p)
+    val (back, ev) = Gexf.read(spark, p)
+    assert(ev.isEmpty)
+    assert(back.directed == g.directed)
+    assert(back.vertices.count() == 306)
+    val a = g.edges.select("src", "dst")
+    val b = back.edges.select("src", "dst")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("dynamicTest.gexf: date-format events parse with timesteps") {
+    val (g, events) = Gexf.read(spark, "/root/reference/input/dynamicTest.gexf")
+    val ev = events.orderBy("seq").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(ev.nonEmpty)
+    val types = ev.map(_._1).toSet
+    assert(types.contains("TIME_STEP"))
+    // every event type is one of the 7 GraphEvent kinds
+    val legal = Set("NODE_ADDITION", "NODE_REMOVAL", "NODE_RESTORATION",
+      "EDGE_ADDITION", "EDGE_REMOVAL", "EDGE_WEIGHT_UPDATE", "TIME_STEP")
+    assert(ev.forall(e => legal(e._1)))
+    // deterministic across reads
+    val (_, events2) = Gexf.read(spark, "/root/reference/input/dynamicTest.gexf")
+    assert(events.except(events2).isEmpty && events2.except(events).isEmpty)
+  }
+
+  test("dynamicTest3.gexf: exact event counts from the reference's spell rules") {
+    // hand-traced per the reference's parseDynamics decision table:
+    // node 0: spell(end=1) → initial node; spell(2,4) → an@2 + dn@4
+    // node 1: spell(start=1) → an@1; spell(start=4,end=3) → rn@4 + dn@3
+    // edge 0-1: (start=2,end=3) → ae@2 + de@3; 3 distinct timestamps
+    // beyond the first → 3 TIME_STEPs
+    val (g, events) = Gexf.read(spark, "/root/reference/input/dynamicTest3.gexf")
+    assert(g.vertices.count() == 1) // node 0 is the only initial node
+    val counts = events.groupBy("type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("NODE_ADDITION" -> 2L, "NODE_REMOVAL" -> 2L,
+      "NODE_RESTORATION" -> 1L, "EDGE_ADDITION" -> 1L, "EDGE_REMOVAL" -> 1L,
+      "TIME_STEP" -> 3L), s"got $counts")
+  }
+}
