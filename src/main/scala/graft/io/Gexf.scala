@@ -203,6 +203,72 @@ object Gexf {
     (g, stream.toSeq.toDF("seq", "type", "u", "v", "w"))
   }
 
+  /** GraphML reader (reference `networkit/graphio.pyx:2179`
+    * `GraphMLSAX`): nodes take ids 0..n−1 in document order;
+    * `edgedefault="directed"` decides direction; the graph is weighted
+    * iff a `<key for="edge" attr.name="weight" attr.type="double">`
+    * declaration exists, and each edge's weight then comes from its
+    * `<data key=…>` child. Driver-side DOM parse like [[read]]. */
+  def readGraphMl(spark: SparkSession, path: String): PropertyGraph = {
+    import spark.implicits._
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.File(path))
+    val graphEl = doc.getElementsByTagName("graph").item(0).asInstanceOf[Element]
+    val directed = graphEl.getAttribute("edgedefault") == "directed"
+    val weightedId = {
+      val keys = doc.getElementsByTagName("key")
+      (0 until keys.getLength).map(keys.item(_).asInstanceOf[Element])
+        .find(k => k.getAttribute("for") == "edge" &&
+          k.getAttribute("attr.name") == "weight" &&
+          k.getAttribute("attr.type") == "double")
+        .map(_.getAttribute("id"))
+    }
+    val mapping = scala.collection.mutable.HashMap[String, Long]()
+    var n = 0L
+    children(graphEl, "node").foreach { nd =>
+      mapping(nd.getAttribute("id")) = n; n += 1
+    }
+    val rows = children(graphEl, "edge").map { e =>
+      val w = weightedId.flatMap { wid =>
+        children(e, "data").find(_.getAttribute("key") == wid)
+          .map(_.getTextContent.trim.toDouble)
+      }.getOrElse(1.0)
+      (mapping(e.getAttribute("source")), mapping(e.getAttribute("target")), w)
+    }
+    val edges = rows.toDF("src", "dst", "weight")
+    PropertyGraph(
+      if (directed) edges
+      else edges.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight")),
+      directed, Some(spark.range(n).select(col("id"))))
+  }
+
+  /** GraphML writer (reference `GraphMLWriter`, `graphio.pyx:2279`):
+    * declares the weight key when any weight ≠ 1. Driver-bounded
+    * single-file interchange sink. */
+  def writeGraphMl(g: PropertyGraph, path: String): Unit = {
+    val weighted = g.edges.filter(col("weight") =!= 1.0).limit(1).count() > 0
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    sb ++= "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n"
+    if (weighted)
+      sb ++= "  <key id=\"d1\" for=\"edge\" attr.name=\"weight\" attr.type=\"double\"/>\n"
+    sb ++= s"""  <graph id="G" edgedefault="${
+      if (g.directed) "directed" else "undirected"}">\n"""
+    g.vertices.select("id").orderBy("id").collect().foreach { r =>
+      sb ++= s"""    <node id="n${r.getLong(0)}"/>\n"""
+    }
+    g.edges.select("src", "dst", "weight").collect().foreach { r =>
+      if (weighted)
+        sb ++= s"""    <edge source="n${r.getLong(0)}" target="n${r.getLong(1)}"><data key="d1">${r.getDouble(2)}</data></edge>\n"""
+      else
+        sb ++= s"""    <edge source="n${r.getLong(0)}" target="n${r.getLong(1)}"/>\n"""
+    }
+    sb ++= "  </graph>\n</graphml>\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
   /** Static GEXF writer (reference `GEXFWriter`, static path): nodes
     * 0..n−1, one `<edge>` per stored edge. Driver-bounded single-file
     * interchange sink like [[GraphReaders.writeGml]]. */

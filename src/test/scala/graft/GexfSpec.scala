@@ -64,4 +64,36 @@ class GexfSpec extends SparkSpec {
       "NODE_RESTORATION" -> 1L, "EDGE_ADDITION" -> 1L, "EDGE_REMOVAL" -> 1L,
       "TIME_STEP" -> 3L), s"got $counts")
   }
+
+  test("graphml: hand fixture parses; weighted roundtrip on karate") {
+    val p1 = "/tmp/graft_test.graphml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p1),
+      """<?xml version="1.0"?>
+        |<graphml>
+        |  <key id="w" for="edge" attr.name="weight" attr.type="double"/>
+        |  <graph id="G" edgedefault="directed">
+        |    <node id="a"/><node id="b"/><node id="c"/>
+        |    <edge source="a" target="b"><data key="w">2.5</data></edge>
+        |    <edge source="c" target="a"><data key="w">1.5</data></edge>
+        |  </graph>
+        |</graphml>""".stripMargin)
+    val g = Gexf.readGraphMl(spark, p1)
+    assert(g.directed)
+    val got = g.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // document order: a→0, b→1, c→2
+    assert(got == Set((0L, 1L, 2.5), (2L, 0L, 1.5)))
+    // weighted roundtrip on karate (weights forced non-1)
+    val karate0 = graft.io.GraphReaders.readMetis(
+      spark, "/root/reference/input/karate.graph")
+    val karate = karate0.copy(edges = karate0.edges
+      .withColumn("weight", col("src") + col("dst") + 2.0))
+    val p2 = "/tmp/graft_karate.graphml"
+    Gexf.writeGraphMl(karate, p2)
+    val back = Gexf.readGraphMl(spark, p2)
+    assert(back.vertices.count() == 34)
+    val a = karate.edges.select("src", "dst", "weight")
+    val b = back.edges.select("src", "dst", "weight")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
