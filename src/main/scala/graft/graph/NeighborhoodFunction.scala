@@ -61,6 +61,16 @@ object NeighborhoodFunction {
       seed: Long = 42): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
+    // the reference's preconditions (NeighborhoodFunctionHeuristic.cpp:30):
+    // the NF(diameter) = n(n−1) anchor and the n/k scaling are only valid
+    // on an undirected single-component graph — reject anything else
+    // rather than return misleading numbers
+    require(!g.directed,
+      "current implementation can only deal with undirected graphs")
+    val nComp = ConnectedComponents.run(g)
+      .agg(countDistinct(col("component"))).head.getLong(0)
+    require(nComp <= 1,
+      "current implementation only runs on graphs with 1 connected component")
     val n = g.vertices.count()
     val m = g.edges.filter(col("src") =!= col("dst")).count()
     val dia = graft.graph.DistanceTail.diameter(g)._1.toInt

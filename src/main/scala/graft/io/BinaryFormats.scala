@@ -87,10 +87,16 @@ object BinaryFormats {
     val withIds = decoded.withColumn("off",
       coalesce(typedLit(offsetOf).apply(col("file")), lit(0L)))
       .select((col("localNode") + col("off")).as("src"), col("dst"), col("isNode"))
-    val maxSeen = withIds.agg(greatest(
-      coalesce(max(col("src")), lit(-1L)),
-      coalesce(max(col("dst")), lit(-1L))).as("m")).head.getLong(0)
-    val vertices = spark.range(maxSeen + 1).select(col("id"))
+    // the vertex set is exactly the node records read; a neighbor id
+    // beyond them means a truncated/corrupt file, which the reference
+    // rejects (ThrillGraphBinaryReader.cpp:91) rather than inventing
+    // phantom nodes
+    val nTotal = counts.map(_._2).sum
+    val maxNeighbor = withIds.filter(col("isNode") === 0)
+      .agg(coalesce(max(col("dst")), lit(-1L))).head.getLong(0)
+    require(maxNeighbor < nTotal,
+      "Maximum read node id larger than number of nodes read.")
+    val vertices = spark.range(nTotal).select(col("id"))
     val edges = withIds.filter(col("isNode") === 0)
       // undirected: stored half is u ≤ v ⇒ already canonical src ≤ dst
       .select(col("src"), col("dst"), lit(1.0).as("weight"))
@@ -236,11 +242,12 @@ object BinaryFormats {
   }
 
   /** Binary partition reader (reference `BinaryPartitionReader.hpp:20`):
-    * little-endian fixed-width (4 or 8 bytes) community ids, entry i =
+    * little-endian fixed-width (4 or 8 bytes, default 4 like the
+    * reference) community ids, entry i =
     * node i. Fixed-width records split cleanly, so the file is decoded
     * in parallel byte ranges — `(id, community)` rows. */
   def readBinaryPartition(spark: SparkSession, path: String,
-      width: Int = 8): DataFrame = {
+      width: Int = 4): DataFrame = {
     import spark.implicits._
     require(width == 4 || width == 8, "width must be 4 or 8")
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -282,7 +289,7 @@ object BinaryFormats {
     * community)`; ids must be 0..n−1 (position IS the id in this
     * format). Single sequential sink like the reference. */
   def writeBinaryPartition(partition: DataFrame, path: String,
-      width: Int = 8): Unit = {
+      width: Int = 4): Unit = {
     require(width == 4 || width == 8, "width must be 4 or 8")
     val spark = partition.sparkSession
     val rows = partition.select(col("id").cast("long"), col("community").cast("long"))
@@ -304,7 +311,7 @@ object BinaryFormats {
     * [[readBinaryPartition]]'s positional ids. Fixed-width pairs split
     * cleanly; decoded in parallel byte ranges. */
   def readBinaryEdgeListPartition(spark: SparkSession, path: String,
-      width: Int = 8, firstNode: Long = 0L): DataFrame = {
+      width: Int = 4, firstNode: Long = 0L): DataFrame = {
     import spark.implicits._
     require(width == 4 || width == 8, "width must be 4 or 8")
     // reuse the fixed-width word scan: word index i alternates
@@ -323,7 +330,7 @@ object BinaryFormats {
     * `BinaryEdgeListPartitionWriter.hpp:20`): `(node, community)`
     * fixed-width little-endian pairs in node order. */
   def writeBinaryEdgeListPartition(partition: DataFrame, path: String,
-      width: Int = 8, firstNode: Long = 0L): Unit = {
+      width: Int = 4, firstNode: Long = 0L): Unit = {
     require(width == 4 || width == 8, "width must be 4 or 8")
     val spark = partition.sparkSession
     val rows = partition

@@ -18,11 +18,13 @@ import graft.graph.PropertyGraph
   *     time (numeric unless `timeformat="date"`, which sorts
   *     lexicographically — ISO dates), a TIME_STEP lands after each
   *     distinct timestamp, and dynamic nodes remap to
-  *     nInitial + addition-order (`mapDynamicNodes`). The reference
-  *     remaps only NODE events' ids — edge events keep the parsed
-  *     integer ids — and this port reproduces that behavior exactly.
-  *   - a dynamic element with NO time attributes joins the initial
-  *     graph (the reference's rule 4).
+  *     nInitial + addition-order (`mapDynamicNodes`). The remap runs
+  *     BEFORE edge parsing (the reference's order), so it only ever
+  *     sees node events; edge events created afterwards keep the
+  *     parsed integer ids even when those nodes were remapped — a
+  *     reference quirk this port reproduces exactly.
+  *   - a dynamic element with no start time joins the initial graph;
+  *     a non-empty end still emits its removal event (rule 4).
   *
   * XML is unsplittable and the dynamic remap is inherently sequential,
   * so the file parses driver-side (bounded interchange fixture — the
@@ -84,11 +86,14 @@ object Gexf {
     }
 
     // the reference's parseDynamics, verbatim decision table
+    // (graphio.pyx:1837; rules 1–3 are the two start/end blocks, rule 4
+    // is the trailing startTime-empty block, rule 5 the weight loop —
+    // which REASSIGNS startTime, so rule 4 sees the reassigned value)
     def parseDynamics(el: Element, kind: String,
         control: scala.collection.mutable.Map[String, Boolean],
         u: String, v: String = "0", w0: String = "1.0"): Unit = {
       var w = w0
-      val startTime = attr(el, "start", "startopen")
+      var startTime = attr(el, "start", "startopen")
       val endTime = attr(el, "end", "endopen")
       if (startTime.nonEmpty && endTime.nonEmpty) {
         val startsBefore =
@@ -115,16 +120,27 @@ object Gexf {
             "attvalue")
         atts.filter(_.getAttribute("for") == "weight").foreach { a =>
           w = a.getAttribute("value")
-          val st = attr(a, "start", "startopen")
+          startTime = attr(a, "start", "startopen")
           if (!control("elementAdded")) {
-            createEvent(st, "ae", u, v, w)
+            createEvent(startTime, "ae", u, v, w)
             control("elementAdded") = true
-          } else createEvent(st, "ce", u, v, w)
+          } else createEvent(startTime, "ce", u, v, w)
         }
       }
-      if (startTime.isEmpty && !control("elementAdded")) {
-        if (kind == "n") { mapping(u) = nInitial; nInitial += 1 }
-        else initialEdges += ((u, v, w))
+      // rule 4: end before start, or no start at all → the element joins
+      // the INITIAL graph; a non-empty end still emits its removal event
+      // (so a node whose first spell is `<spell end="t"/>` is an initial
+      // node that gets deleted at t and possibly restored later)
+      if (startTime.isEmpty) {
+        if (!control("elementAdded")) {
+          if (kind == "n") { mapping(u) = nInitial; nInitial += 1 }
+          else initialEdges += ((u, v, w))
+          control("elementAdded") = true
+        }
+        if (endTime.nonEmpty) {
+          createEvent(endTime, "d" + kind, u, v, w)
+          control("elementDeleted") = true
+        }
       }
     }
 
@@ -140,8 +156,11 @@ object Gexf {
         else parseDynamics(n, "n", control, u)
       } else { mapping(u) = nInitial; nInitial += 1 }
     }
-    // mapDynamicNodes: dynamic nodes take ids nInitial + addition order;
-    // only NODE events are rewritten (the reference's exact behavior)
+    // mapDynamicNodes: dynamic nodes take ids nInitial + addition order.
+    // Runs before the edge loop (the reference's order), so every event
+    // present is a node event — the NODE guard below is defensive, not a
+    // behavioral filter; edge events created later keep parsed int ids
+    // (the reference quirk, see header)
     if (dynamic) {
       val sorted = events.sortBy(_._5)(timeOrd)
       events.clear(); events ++= sorted

@@ -71,7 +71,7 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for all pairs sharing ≥1 shingle, thresholded.
-    * `(a, b, jaccard)`.
+    * `(a, b, n_inter, n_union, jaccard)`.
     *
     * Shingles appearing in more than `maxShingleDf` documents are
     * dropped from the shingle universe before the self-join (counts and
@@ -100,6 +100,8 @@ object Dedup {
       .join(cnt.select(col(id).as("a"), col("n").as("na")), "a")
       .join(cnt.select(col(id).as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
+        col("c").as("n_inter"),
+        (col("na") + col("nb") - col("c")).as("n_union"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
@@ -108,7 +110,7 @@ object Dedup {
     * over SUB-WORD character n-grams of the trimmed text — robust to
     * word reordering and in-word edits that word shingles miss (the
     * standard complement in dedup pipelines). Same keyed rare-gram
-    * join, same DF hot-gram cap. `(a, b, jaccard)`. */
+    * join, same DF hot-gram cap. `(a, b, n_inter, n_union, jaccard)`. */
   def charNgramJaccardPairs(df: DataFrame, id: String, text: String,
       n: Int = 5, minJaccard: Double = 0.0,
       maxGramDf: Int = 100): DataFrame = {
@@ -132,6 +134,8 @@ object Dedup {
       .join(cnt.select(col(id).as("a"), col("n").as("na")), "a")
       .join(cnt.select(col(id).as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
+        col("c").as("n_inter"),
+        (col("na") + col("nb") - col("c")).as("n_union"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }

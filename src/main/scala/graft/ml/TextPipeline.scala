@@ -19,11 +19,13 @@ object TextPipeline {
        |  (x, i) -> array_join(slice($toksCol, i + 1, $n), ' '))""".stripMargin)
 
   /** Repetition signals per document (the Gopher/MassiveText repetition
-    * filters re-expressed on a token stream): the fraction of tokens
-    * taken by the single most frequent word, and the duplicate n-gram
-    * fraction for n = 2, 3 (1 − distinct/total). High values flag
-    * boilerplate and degenerate repetition. One groupBy(doc) over
-    * map-side-exploded n-grams — scales linearly in corpus size. */
+    * filters re-expressed on a token stream), emitted as INTEGER counts
+    * so the contract is engine-invariant (no cross-engine `round(double)`
+    * tie fragility): total tokens, the count of the single most frequent
+    * word, and total/distinct n-gram counts for n = 2, 3. Fractions
+    * (top-word fraction, duplicate-n-gram fraction 1 − dₙ/nₙ) derive
+    * deterministically via [[repetitionFractions]]. One groupBy(doc)
+    * over map-side-exploded n-grams — scales linearly in corpus size. */
   def repetitionStats(df: DataFrame, id: String, text: String): DataFrame = {
     val base = df.select(col(id), Dedup.tokens(col(text)).as("toks"))
       .select(col(id), col("toks"),
@@ -34,19 +36,28 @@ object TextPipeline {
         sum("c").as("n_tokens"),
         max("c").as("top_word"))
     val dup = base.select(col(id),
-      size(col("g2")).as("n2"),
-      size(array_distinct(col("g2"))).as("d2"),
-      size(col("g3")).as("n3"),
-      size(array_distinct(col("g3"))).as("d3"))
+      size(col("g2")).cast("long").as("n2"),
+      size(array_distinct(col("g2"))).cast("long").as("d2"),
+      size(col("g3")).cast("long").as("n3"),
+      size(array_distinct(col("g3"))).cast("long").as("d3"))
     words.join(dup, id).select(
+      col(id), col("n_tokens"), col("top_word"),
+      col("n2"), col("d2"), col("n3"), col("d3"))
+  }
+
+  /** Ratio view over [[repetitionStats]]'s counts — for filtering
+    * pipelines that want the Gopher-style fractions directly. Plain
+    * IEEE double division (no rounding), so equal counts give equal
+    * fractions on every engine. */
+  def repetitionFractions(stats: DataFrame, id: String): DataFrame =
+    stats.select(
       col(id),
       col("n_tokens"),
-      round(col("top_word") / col("n_tokens"), 6).as("top_word_frac"),
-      round(when(col("n2") > 0, (col("n2") - col("d2")) / col("n2").cast("double"))
-        .otherwise(0.0), 6).as("dup_2gram_frac"),
-      round(when(col("n3") > 0, (col("n3") - col("d3")) / col("n3").cast("double"))
-        .otherwise(0.0), 6).as("dup_3gram_frac"))
-  }
+      (col("top_word") / col("n_tokens")).as("top_word_frac"),
+      when(col("n2") > 0, (col("n2") - col("d2")) / col("n2").cast("double"))
+        .otherwise(0.0).as("dup_2gram_frac"),
+      when(col("n3") > 0, (col("n3") - col("d3")) / col("n3").cast("double"))
+        .otherwise(0.0).as("dup_3gram_frac"))
 
   /** Deterministic stratified sample: within each stratum (the given
     * key columns) keep the `ceil(frac · |stratum|)` rows with the

@@ -93,10 +93,12 @@ object TextQueries {
         .agg(count(lit(1)).as("n_buckets"), max("c").as("max_bucket"))
     }),
 
-    // exact n-gram Jaccard near-dup pairs
+    // exact n-gram Jaccard near-dup pairs — hashed on the integer
+    // intersection/union counts (threshold compares the raw IEEE double,
+    // identical on every engine; round(double) ties are not)
     "t7_ngramjaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.03)
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+        .select(col("a"), col("b"), col("n_inter"), col("n_union"))),
 
     // 16-bit SimHash per document
     "t8_simhash" -> ((s, dir) =>
@@ -123,7 +125,7 @@ object TextQueries {
     "t13_chargram" -> ((s, dir) =>
       Dedup.charNgramJaccardPairs(docs(s, dir), "doc_id", "text",
         n = 8, minJaccard = 0.12, maxGramDf = 100)
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+        .select(col("a"), col("b"), col("n_inter"), col("n_union"))),
 
     // benchmark decontamination: the 5 globally most document-frequent
     // 3-grams stand in for an eval set's shingles; every document
@@ -207,7 +209,7 @@ object TextQueries {
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
          |          FROM shf x JOIN shf y ON x.sh = y.sh AND x.doc_id < y.doc_id
          |          GROUP BY x.doc_id, y.doc_id)
-         |SELECT a, b, round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
+         |SELECT a, b, c AS n_inter, na.n + nb.n - c AS n_union
          |FROM inter JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
          |WHERE c*1.0/(na.n + nb.n - c) >= 0.03""".stripMargin,
     "t8_simhash" -> {
@@ -223,6 +225,9 @@ object TextQueries {
     "t9_exactdedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct,
         | count(*) - count(DISTINCT md5(text)) AS n_dup FROM documents""".stripMargin,
+    // integer counts only — engine-invariant by construction (the r7
+    // red row was a cross-engine round(double) half-ulp tie; fractions
+    // now derive client-side via TextPipeline.repetitionFractions)
     "t10_repetition" ->
       raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
            |             FROM documents),
@@ -234,12 +239,9 @@ object TextQueries {
            |  [array_to_string(l[i:i+1], ' ') for i in range(1, len(l))] AS g2,
            |  [array_to_string(l[i:i+2], ' ') for i in range(1, len(l)-1)] AS g3
            |  FROM toks),
-           |d AS (SELECT doc_id, len(g2) AS n2, len(list_distinct(g2)) AS d2,
-           |             len(g3) AS n3, len(list_distinct(g3)) AS d3 FROM gs)
-           |SELECT wg.doc_id, n_tokens,
-           |  round(top_word*1.0/n_tokens, 6) AS top_word_frac,
-           |  round(CASE WHEN n2 > 0 THEN (n2-d2)*1.0/n2 ELSE 0 END, 6) AS dup_2gram_frac,
-           |  round(CASE WHEN n3 > 0 THEN (n3-d3)*1.0/n3 ELSE 0 END, 6) AS dup_3gram_frac
+           |d AS (SELECT doc_id, len(g2)::BIGINT AS n2, len(list_distinct(g2))::BIGINT AS d2,
+           |             len(g3)::BIGINT AS n3, len(list_distinct(g3))::BIGINT AS d3 FROM gs)
+           |SELECT wg.doc_id, n_tokens, top_word, n2, d2, n3, d3
            |FROM wg JOIN d ON wg.doc_id = d.doc_id""".stripMargin,
     "t11_sample" ->
       """WITH r AS (SELECT doc_id, lang, source,
@@ -260,7 +262,7 @@ object TextQueries {
            |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
            |          FROM shf x JOIN shf y ON x.sh = y.sh AND x.doc_id < y.doc_id
            |          GROUP BY x.doc_id, y.doc_id)
-           |SELECT a, b, round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
+           |SELECT a, b, c AS n_inter, na.n + nb.n - c AS n_union
            |FROM inter JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
            |WHERE c*1.0/(na.n + nb.n - c) >= 0.12""".stripMargin,
     "t12_decontam" ->

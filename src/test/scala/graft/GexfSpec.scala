@@ -51,18 +51,28 @@ class GexfSpec extends SparkSpec {
   }
 
   test("dynamicTest3.gexf: exact event counts from the reference's spell rules") {
-    // hand-traced per the reference's parseDynamics decision table:
-    // node 0: spell(end=1) → initial node; spell(2,4) → an@2 + dn@4
-    // node 1: spell(start=1) → an@1; spell(start=4,end=3) → rn@4 + dn@3
+    // hand-traced per the reference's parseDynamics decision table
+    // (graphio.pyx:1837, incl. rule 4's trailing d-event):
+    // node 0: spell(end=1) → initial node + dn@1; spell(2,4) →
+    //   deleted-before so rn@2 + dn@4
+    // node 1: spell(start=1) → an@1; spell(start=4,end=3) →
+    //   4<3 false so rn@4 + dn@3
     // edge 0-1: (start=2,end=3) → ae@2 + de@3; 3 distinct timestamps
     // beyond the first → 3 TIME_STEPs
     val (g, events) = Gexf.read(spark, "/root/reference/input/dynamicTest3.gexf")
     assert(g.vertices.count() == 1) // node 0 is the only initial node
     val counts = events.groupBy("type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts == Map("NODE_ADDITION" -> 2L, "NODE_REMOVAL" -> 2L,
-      "NODE_RESTORATION" -> 1L, "EDGE_ADDITION" -> 1L, "EDGE_REMOVAL" -> 1L,
+    assert(counts == Map("NODE_ADDITION" -> 1L, "NODE_REMOVAL" -> 3L,
+      "NODE_RESTORATION" -> 2L, "EDGE_ADDITION" -> 1L, "EDGE_REMOVAL" -> 1L,
       "TIME_STEP" -> 3L), s"got $counts")
+    // full trace: t1 = DN(0), AN(1); t2 = RN(0), AE; t3 = DN(1), DE;
+    // t4 = DN(0), RN(1) — node 0's events carry its INITIAL id (no
+    // NODE_ADDITION event, so mapDynamicNodes never touches it)
+    val byTypeU = events.select("type", "u").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(byTypeU.count(_ == (("NODE_REMOVAL", 0L))) == 2)
+    assert(byTypeU.count(_ == (("NODE_RESTORATION", 0L))) == 1)
   }
 
   test("graphml: hand fixture parses; weighted roundtrip on karate") {

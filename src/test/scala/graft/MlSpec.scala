@@ -27,7 +27,8 @@ class MlSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text").collect()
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
-    assert(pairs.head.getDouble(2) == 1.0)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+    assert(pairs.head.getAs[Long]("n_inter") == pairs.head.getAs[Long]("n_union"))
   }
 
   test("simhash: near-identical docs have close hashes (hamming ≤ 4)") {

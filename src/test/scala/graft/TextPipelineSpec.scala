@@ -7,17 +7,22 @@ import graft.ml.TextPipeline
   * repetition signals, stratified sampling, decontamination. */
 class TextPipelineSpec extends SparkSpec {
 
-  test("repetitionStats: exact fractions on a hand-built doc") {
+  test("repetitionStats: exact counts + derived fractions on a hand-built doc") {
     import spark.implicits._
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
-    val r = TextPipeline.repetitionStats(df, "doc_id", "text")
+    val stats = TextPipeline.repetitionStats(df, "doc_id", "text")
+    val c = stats.collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+        x.getLong(6))).toMap
+    // doc 1: tokens 4, top word 'a'×3; 2-grams [a a, a a, a b] → 3 total
+    // 2 distinct; 3-grams [a a a, a a b] → 2 total 2 distinct
+    assert(c(1L) == ((4L, 3L, 3L, 2L, 2L, 2L)))
+    assert(c(2L) == ((4L, 1L, 3L, 3L, 2L, 2L)))
+    val f = TextPipeline.repetitionFractions(stats, "doc_id")
       .collect().map(x => x.getLong(0) ->
-        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
-    // doc 1: tokens 4, top word 'a'×3; 2-grams [a a, a a, a b] → dup 1/3;
-    // 3-grams [a a a, a a b] → dup 0
-    assert(r(1L) == ((4L, 0.75, 0.333333, 0.0)))
-    // doc 2: all distinct
-    assert(r(2L) == ((4L, 0.25, 0.0, 0.0)))
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(f(1L) == ((0.75, 1.0 / 3.0, 0.0)))
+    assert(f(2L) == ((0.25, 0.0, 0.0)))
   }
 
   test("stratifiedSample: reproducible, per-stratum ceil(frac*n), salt-sensitive") {
