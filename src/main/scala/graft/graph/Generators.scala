@@ -240,91 +240,261 @@ object Generators {
     g.vertices.select(col("id"),
       pmod(xxhash64(lit(seed), col("id")), lit(k.toLong)).as("community"))
 
+  /** Local Havel–Hakimi + hash-seeded edge switching for one community's
+    * internal degree sequence — runs INSIDE a flatMapGroups task, plain
+    * Scala (the reference's EdgeSwitchingMarkovChainGenerator is the
+    * same realize-then-randomize shape). Members must be pre-sorted by
+    * id; degrees are capped to size−1 and the sum made even (decrement
+    * the largest >1, else drop one from the largest ≥1) before HH, like
+    * the reference's parity fix in generateIntraClusterGraph
+    * (`LFRGenerator.cpp:153`). Returns the realized edge list. */
+  private def localDegreeRealize(members: Vector[(Long, Int)],
+      seed: Long): Vector[(Long, Long)] = {
+    val cap = members.length - 1
+    var degs = members.map { case (id, d) => (id, math.min(d, cap)) }
+    if (degs.map(_._2.toLong).sum % 2 != 0) {
+      val i = degs.zipWithIndex.maxBy { case ((id, d), _) => (d, -id) }._2
+      degs = degs.updated(i, (degs(i)._1, degs(i)._2 - 1))
+    }
+    // Havel–Hakimi (greedy, exact for graphical sequences; unrealizable
+    // leftovers dropped like the reference's disabled-check generate())
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var rem = degs.filter(_._2 > 0).sortBy(d => (-d._2, d._1))
+    while (rem.nonEmpty) {
+      val (id, d) = rem.head
+      val take = math.min(d, rem.length - 1)
+      val targets = rem.tail.take(take)
+      out ++= targets.map(t => (math.min(id, t._1), math.max(id, t._1)))
+      rem = (targets.map(t => (t._1, t._2 - 1)) ++ rem.tail.drop(take))
+        .filter(_._2 > 0).sortBy(t => (-t._2, t._1))
+    }
+    // degree-preserving randomization: 10·m hash-seeded switch attempts
+    if (out.length >= 2) {
+      val present = scala.collection.mutable.HashSet[(Long, Long)](out.toSeq: _*)
+      var draw = 0L
+      def nextIdx(bound: Int): Int = {
+        draw += 1
+        java.lang.Long.remainderUnsigned(xxhash64scala(seed, draw), bound.toLong).toInt
+      }
+      var attempts = 10 * out.length
+      while (attempts > 0) {
+        val i = nextIdx(out.length); val j = nextIdx(out.length)
+        if (i != j) {
+          val (a, b) = out(i); val (c, d) = out(j)
+          val e1 = (math.min(a, d), math.max(a, d))
+          val e2 = (math.min(c, b), math.max(c, b))
+          if (a != d && c != b && !present(e1) && !present(e2) && e1 != e2) {
+            present -= out(i); present -= out(j)
+            present += e1; present += e2
+            out(i) = e1; out(j) = e2
+          }
+        }
+        attempts -= 1
+      }
+    }
+    out.toVector
+  }
+
   /** LFR benchmark graph with planted communities (reference
-    * `generators/LFRGenerator.hpp:28`): power-law degrees (exponent τ1),
-    * power-law community sizes (τ2), mixing parameter μ — each node
-    * spends ≈ (1−μ) of its degree inside its community.
+    * `generators/LFRGenerator.hpp:28`), following the reference's own
+    * pipeline stage for stage:
+    *   1. power-law degrees (exponent τ1, inverse-CDF per node);
+    *   2. internal degrees = stochastic rounding of (1−μ)·deg with a
+    *      minimum of 1 (`LFRGenerator.cpp:96` setMu);
+    *   3. power-law community sizes drawn until they cover n, the
+    *      remainder added to the smallest (`generatePowerlawCommunitySizeSequence`);
+    *   4. node → community assignment under the reference's constraint
+    *      size(c) > internalDegree(u), by rounds of hash-random
+    *      node↔slot pairing (rejected nodes re-pair next round; after
+    *      the rounds budget the stragglers take any open slot and their
+    *      internal degree is capped to size−1 — the same cap the
+    *      reference applies inside generateIntraClusterGraph);
+    *   5. one configuration-model graph PER community — Havel–Hakimi
+    *      realization + hash-seeded edge switching, parity fixed like
+    *      the reference — run as a `flatMapGroups` over communities
+    *      (each community is ≤ maxComm nodes by construction, so the
+    *      parallelism axis is the thousands of communities, not the
+    *      nodes of one);
+    *   6. the inter-community graph on the residual external degrees
+    *      deg − realized_internal: distributed stub matching in rounds —
+    *      pair hash-ranked stubs, accept only simple inter-community
+    *      edges, recycle rejected stubs with a fresh hash — which IS the
+    *      reference's rewiring loop re-expressed without a mutable
+    *      residual graph; stubs still unmatched after the rounds budget
+    *      are dropped, exactly like the reference's
+    *      maxIntraRemovelAttempts bail-out (`LFRGenerator.cpp:263`).
     *
-    * Realization is the Chung–Lu coupling of the LFR ensemble rather
-    * than the reference's configuration-model + rewiring: intra edges
-    * sampled pairwise within communities ∝ (1−μ)²·dᵤdᵥ / vol_intra(c),
-    * inter edges globally ∝ μ²·dᵤdᵥ / vol_inter — same expected degree
-    * sequence and mixing, fully hash-deterministic, no sequential
-    * rewiring (the documented semantic deviation; recovery tests behave
-    * identically). Exact pairwise sampling scans n²/2 candidate pairs —
-    * fine to ~10⁵ nodes, degree-bucket blocking beyond.
-    *
-    * Returns the graph and the planted partition `(id, community)`. */
+    * Per-node mixing compliance (the property the old Chung–Lu coupling
+    * could not guarantee): every node's realized internal degree equals
+    * its drawn internal degree exactly whenever the community sequence
+    * is graphical — HH + switching preserve degrees — and external
+    * degrees are exact up to the dropped-stub tail. `LfrSpec` gates
+    * both. Returns the graph and the planted partition `(id, community)`. */
   def lfr(spark: SparkSession, n: Long, mu: Double, tau1: Double = 2.5,
       tau2: Double = 1.5, minDeg: Int = 5, maxDeg: Int = 50,
       minComm: Int = 20, maxComm: Int = 100,
       seed: Long = 42): (PropertyGraph, DataFrame) = {
-    // power-law inverse-CDF sample: x = (a^(1-τ) + u·(b^(1-τ) − a^(1-τ)))^(1/(1-τ))
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 1. power-law inverse-CDF degree sample
     def plaw(u: org.apache.spark.sql.Column, a: Double, b: Double, tau: Double) = {
       val e = 1.0 - tau
       pow(lit(math.pow(a, e)) + u * lit(math.pow(b, e) - math.pow(a, e)), 1.0 / e)
     }
+    // 2. internal degree: stochastic rounding of (1−μ)·deg, min 1
     val nodes = spark.range(n)
       .select(col("id"),
         plaw(u01(seed, lit(1L), col("id")), minDeg, maxDeg, tau1)
           .cast("long").as("deg"))
-    // community sizes: sample C = ceil(n / E[size]) power-law sizes, then
-    // assign nodes round-robin weighted by size (hash-bucketed: node →
-    // community c with probability size_c / Σ sizes — deterministic via
-    // inverse-CDF over the cumulative size table)
-    val eSize = {
-      // closed-form mean of the bounded power-law used above
+      .withColumn("intT", col("deg") * (1.0 - mu))
+      .withColumn("intDeg", greatest(lit(1L),
+        (floor(col("intT")) + when(u01(seed + 5, col("id")) <
+          col("intT") - floor(col("intT")), 1L).otherwise(0L)).cast("long")))
+      .select(col("id"), col("deg"), least(col("intDeg"), col("deg")).as("intDeg"))
+      .localCheckpoint(true)
+    // 3. community sizes: draw until the next one doesn't fit, pad the
+    //    smallest with the remainder (reference semantics)
+    val sizes = {
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      var sum = 0L
+      var i = 0L
+      var done = false
       val e = 1.0 - tau2
-      val (a, b) = (minComm.toDouble, maxComm.toDouble)
-      // numeric mean via 1000-point inverse-CDF average (driver-side)
-      (0 until 1000).map { i =>
-        val u = (i + 0.5) / 1000.0
-        math.pow(math.pow(a, e) + u * (math.pow(b, e) - math.pow(a, e)), 1.0 / e)
-      }.sum / 1000.0
+      while (!done) {
+        val u = ((xxhash64scala(seed + 1, i) % (1L << 40)).abs + 0.5) / (1L << 40).toDouble
+        val s = math.pow(math.pow(minComm, e) +
+          u * (math.pow(maxComm, e) - math.pow(minComm, e)), 1.0 / e).toLong
+        if (sum + s <= n) { buf += s; sum += s; i += 1 }
+        else {
+          if (buf.isEmpty) { buf += n; sum = n }
+          else {
+            val j = buf.zipWithIndex.minBy(_._1)._2
+            buf(j) += n - sum
+          }
+          done = true
+        }
+      }
+      buf.toVector
     }
-    val nComm = math.max(2L, math.round(n / eSize))
-    val commSizes = (0L until nComm).map { c =>
-      val u = ((xxhash64scala(seed + 1, c) % (1L << 40)).abs + 0.5) / (1L << 40).toDouble
-      val e = 1.0 - tau2
-      c -> math.pow(math.pow(minComm, e) + u * (math.pow(maxComm, e) - math.pow(minComm, e)), 1.0 / e)
+    val commDf = sizes.zipWithIndex
+      .map { case (s, c) => (c.toLong, s) }.toDF("community", "size")
+    // 4. constrained assignment by rounds of node↔slot hash pairing
+    val slots0 = commDf
+      .select(col("community"), col("size"),
+        explode(sequence(lit(1L), col("size"))).as("slot"))
+    var unassigned = nodes.select("id", "intDeg").localCheckpoint(true)
+    var openSlots = slots0.localCheckpoint(true)
+    var assignedAcc = Seq.empty[(Long, Long, Long)].toDF("id", "community", "size")
+      .localCheckpoint(true)
+    var roundA = 0
+    val maxRoundsA = 25
+    var nLeft = unassigned.count()
+    while (nLeft > 0 && roundA < maxRoundsA) {
+      val rSeed = seed + 100 + roundA
+      val nodeRank = unassigned.withColumn("r",
+        row_number().over(Window.orderBy(
+          xxhash64(lit(rSeed), col("id")), col("id"))).cast("long"))
+      val slotRank = openSlots.withColumn("r",
+        row_number().over(Window.orderBy(
+          xxhash64(lit(rSeed + 1), col("community"), col("slot")),
+          col("community"), col("slot"))).cast("long"))
+      val pairedA = nodeRank.join(slotRank, "r")
+      // the reference's constraint: community must be STRICTLY larger
+      // than the node's internal degree; in the final round stragglers
+      // take any slot (their intDeg is capped by step 5's size−1 cap)
+      val ok = if (roundA == maxRoundsA - 1) pairedA
+        else pairedA.filter(col("size") > col("intDeg"))
+      val newAssign = ok.select(col("id"), col("community"), col("size"))
+        .localCheckpoint(true)
+      val acc2 = assignedAcc.unionAll(newAssign).localCheckpoint(true)
+      val un2 = unassigned.join(newAssign.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      val sl2 = openSlots.join(
+        ok.select(col("community"), col("slot")), Seq("community", "slot"),
+        "left_anti").localCheckpoint(true)
+      Fixpoint.free(assignedAcc); Fixpoint.free(unassigned); Fixpoint.free(openSlots)
+      assignedAcc = acc2; unassigned = un2; openSlots = sl2
+      nLeft = unassigned.count()
+      roundA += 1
     }
-    val totalSize = commSizes.map(_._2).sum
-    val cum = commSizes.scanLeft((0L, 0.0)) { case ((_, acc), (c, s)) => (c, acc + s / totalSize) }.tail
-    val cumDf = {
-      import spark.implicits._
-      // pad the top bin so float rounding can never orphan a node
-      cum.zipWithIndex.map { case ((c, hi), i) =>
-        (c, if (i == cum.size - 1) 1.000001 else hi)
-      }.toDF("community", "hi")
-    }
-    // node → community: first community whose cumulative share exceeds the node's hash
-    val withU = nodes.withColumn("u", u01(seed + 2, col("id")))
-    val assigned = withU.join(cumDf, col("u") <= col("hi"))
-      .groupBy("id", "deg", "u").agg(min("community").as("community"))
-      .select("id", "deg", "community")
+    val assigned = nodes.join(assignedAcc.select("id", "community"), "id")
       .localCheckpoint(true)
     val planted = assigned.select(col("id"), col("community"))
-
-    // intra-community Chung-Lu: expected internal degree (1-μ)·deg
-    val volIntra = assigned.groupBy("community")
-      .agg(sum((col("deg") * (1 - mu))).as("vol"))
-    val a = assigned.select(col("community"), col("id").as("u"), col("deg").as("du"))
-    val b = assigned.select(col("community"), col("id").as("v"), col("deg").as("dv"))
-    val intra = a.join(b, "community").filter(col("u") < col("v"))
-      .join(volIntra, "community")
-      .filter(u01(seed + 3, col("u"), col("v")) <
-        least(lit(1.0), col("du") * (1 - mu) * col("dv") * (1 - mu) / col("vol")))
-      .select(col("u").as("src"), col("v").as("dst"))
-    // inter-community Chung-Lu: expected external degree μ·deg
-    val volInter = assigned.agg(sum(col("deg") * mu)).head.getDouble(0)
-    val ax = assigned.select(col("id").as("u"), col("deg").as("du"), col("community").as("cu"))
-    val bx = assigned.select(col("id").as("v"), col("deg").as("dv"), col("community").as("cv"))
-    val inter = ax.join(bx, col("u") < col("v") && col("cu") =!= col("cv"))
-      .filter(u01(seed + 4, col("u"), col("v")) <
-        least(lit(1.0), col("du") * mu * col("dv") * mu / volInter))
-      .select(col("u").as("src"), col("v").as("dst"))
-
-    val edges = intra.unionAll(inter).withColumn("weight", lit(1.0))
+    // 5. per-community configuration model (HH + switching) — the
+    //    parallelism axis is the community count
+    val intra = assigned.select(col("community"), col("id"),
+        col("intDeg").cast("int").as("d"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (c, it) =>
+        val members = it.map(t => (t._2, t._3)).toVector.sortBy(_._1)
+        localDegreeRealize(members, seed + 7 + c).iterator
+      }
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    // 6. external degrees from what was actually realized internally
+    val realizedInt = intra.select(col("src").as("id"))
+      .unionAll(intra.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("ri"))
+    val ext0 = assigned.join(realizedInt, Seq("id"), "left")
+      .select(col("id"), col("community"),
+        (col("deg") - coalesce(col("ri"), lit(0L))).as("ext"))
+      .filter(col("ext") > 0)
+    // global parity: drop one stub from the max-ext node if the sum is odd
+    val extSum = ext0.agg(coalesce(sum("ext"), lit(0L))).head.getLong(0)
+    val ext = if (extSum % 2 == 0) ext0 else {
+      val fixId = ext0.orderBy(col("ext").desc, col("id")).limit(1)
+        .head.getLong(0)
+      ext0.withColumn("ext",
+        when(col("id") === fixId, col("ext") - 1).otherwise(col("ext")))
+        .filter(col("ext") > 0)
+    }
+    // distributed stub matching with rejection-recycling (the rewiring
+    // loop re-expressed): pair hash-ranked stubs, keep simple
+    // inter-community edges, recycle the rest with a fresh hash
+    var stubs = ext.select(col("id"), col("community"),
+        explode(sequence(lit(1L), col("ext"))).as("k"))
+      .localCheckpoint(true)
+    var interAcc = Seq.empty[(Long, Long)].toDF("src", "dst")
+      .localCheckpoint(true)
+    var roundB = 0
+    val maxRoundsB = 30
+    var nStubs = stubs.count()
+    while (nStubs > 1 && roundB < maxRoundsB) {
+      val rSeed = seed + 500 + roundB
+      val ranked = stubs.withColumn("r",
+        row_number().over(Window.orderBy(
+          xxhash64(lit(rSeed), col("id"), col("k")), col("id"), col("k")))
+          .cast("long") - 1)
+      val l = ranked.filter(col("r") % 2 === 0).select(
+        expr("r div 2").as("p"), col("id").as("u"),
+        col("community").as("cu"), col("k").as("ku"))
+      val rr = ranked.filter(col("r") % 2 === 1).select(
+        expr("r div 2").as("p"), col("id").as("v"),
+        col("community").as("cv"), col("k").as("kv"))
+      val cand = l.join(rr, "p")
+        .filter(col("u") =!= col("v") && col("cu") =!= col("cv"))
+        .select(col("p"), col("u"), col("ku"), col("v"), col("kv"),
+          least(col("u"), col("v")).as("src"),
+          greatest(col("u"), col("v")).as("dst"))
+      // simple graph: one pair per (src,dst) this round, none already kept
+      val kept = cand.withColumn("rn",
+          row_number().over(Window.partitionBy("src", "dst").orderBy("p")))
+        .filter(col("rn") === 1)
+        .join(interAcc, Seq("src", "dst"), "left_anti")
+        .localCheckpoint(true)
+      val acc2 = interAcc.unionAll(kept.select("src", "dst")).localCheckpoint(true)
+      val used = kept.select(col("u").as("id"), col("ku").as("k"))
+        .unionAll(kept.select(col("v").as("id"), col("kv").as("k")))
+      val stubs2 = stubs.join(used, Seq("id", "k"), "left_anti")
+        .localCheckpoint(true)
+      Fixpoint.free(interAcc); Fixpoint.free(stubs); Fixpoint.free(kept)
+      interAcc = acc2; stubs = stubs2
+      nStubs = stubs.count()
+      roundB += 1
+    }
+    // leftover stubs are dropped, like the reference's rewiring bail-out
+    val edges = intra.unionAll(interAcc).withColumn("weight", lit(1.0))
     (PropertyGraph(edges, directed = false,
       Some(spark.range(n).select(col("id")))), planted)
   }

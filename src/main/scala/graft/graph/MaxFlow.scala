@@ -222,11 +222,63 @@ object MaxFlow {
     * et al.): augment the graph with an artificial sink t connected to
     * every node with weight α, then each unassigned node's community is
     * the source side of its min v-t cut. α = 0 → one cluster;
-    * α ≥ max edge weight → singletons. Driver-bounded like
-    * [[edmondsKarp]] (the reference implementation is sequential
-    * Edmonds-Karp too); one max-flow per discovered community, not per
-    * node. Returns `(id, community)`. */
-  def cutClustering(g: PropertyGraph, alpha: Double): DataFrame = {
+    * α ≥ max edge weight → singletons. One max-flow per DISCOVERED
+    * community, not per node. Returns `(id, community)`.
+    *
+    * Size dispatch like `Betweenness.run`: graphs whose residual
+    * representation fits the driver run the sequential Edmonds–Karp
+    * inner loop (the reference is sequential EK too, and EK is strictly
+    * faster at that size); beyond `driverMaxElements` (n + 2m) each
+    * community's flow runs on the distributed [[pushRelabel]]. Both
+    * paths return the identical partition: the community is the
+    * residual-reachable source side, which is the unique MINIMAL min
+    * cut for any maximum flow. */
+  def cutClustering(g: PropertyGraph, alpha: Double,
+      driverMaxElements: Long = 4000000L): DataFrame = {
+    val size = g.vertices.count() + 2L * g.edges.count()
+    if (size <= driverMaxElements) cutClusteringLocal(g, alpha)
+    else cutClusteringDistributed(g, alpha)
+  }
+
+  /** Distributed Flake cuts: one [[pushRelabel]] per discovered
+    * community on the α-augmented graph; between flows only the
+    * unassigned frontier (one id column) is state. */
+  private def cutClusteringDistributed(g: PropertyGraph, alpha: Double): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val sink = g.vertices.agg(max(col("id"))).head.getLong(0) + 1
+    val augEdges = g.edges.select(col("src"), col("dst"), col("weight"))
+      .unionAll(g.vertices.select(col("id").as("src"),
+        lit(sink).as("dst"), lit(alpha).as("weight")))
+      .persist()
+    val aug = PropertyGraph(augEdges, g.directed,
+      Some(g.vertices.select(col("id")).unionAll(Seq(sink).toDF("id"))))
+    var unassigned = g.vertices.select(col("id")).localCheckpoint(true)
+    var acc = Seq.empty[(Long, Long)].toDF("id", "community")
+      .localCheckpoint(true)
+    var nLeft = unassigned.count()
+    while (nLeft > 0) {
+      val s = unassigned.agg(min(col("id"))).head.getLong(0)
+      val (_, cutDf) = pushRelabel(aug, s, sink)
+      // the cut side claims its still-unassigned members (the reference
+      // never reassigns nodes an earlier community already took)
+      val newAssign = cutDf.filter(col("id") =!= sink)
+        .join(unassigned, Seq("id"), "left_semi")
+        .select(col("id"), lit(s).as("community"))
+      val acc2 = acc.unionAll(newAssign).localCheckpoint(true)
+      val un2 = unassigned.join(newAssign.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      Fixpoint.free(acc); Fixpoint.free(unassigned)
+      acc = acc2; unassigned = un2
+      nLeft = unassigned.count()
+    }
+    augEdges.unpersist(false)
+    acc
+  }
+
+  /** Driver-bounded Flake cuts (sequential EK inner loop, like the
+    * reference implementation). */
+  private def cutClusteringLocal(g: PropertyGraph, alpha: Double): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val arcs = g.adjacency.select(col("src"), col("dst"), col("weight"))

@@ -173,17 +173,21 @@ object Dedup {
     * false ones. Component-finding reuses the distributed large/small
     * star CC kernel, O(log n) rounds at any scale. */
   def embeddingNearDup(vectors: DataFrame, id: String, vec: String,
-      minCosine: Double, exact: Boolean = false, nBits: Int = 6): DataFrame = {
+      minCosine: Double, exact: Boolean = false, nBits: Int = 0): DataFrame = {
     import graft.graph.{ConnectedComponents, PropertyGraph}
     val pairs =
       if (exact) Similarity.cosinePairs(vectors, id, vec, minCosine)
       else {
-        val b0 = vectors.join(Similarity.srpBuckets(vectors, id, vec, nBits), Seq(id))
+        // nBits ≤ 0 auto-sizes the bucket space from the corpus count —
+        // a fixed bucket count makes the per-bucket join quadratic at
+        // scale (see Similarity.srpBits)
+        val bits = if (nBits > 0) nBits else Similarity.srpBits(vectors.count())
+        val b0 = vectors.join(Similarity.srpBuckets(vectors, id, vec, bits), Seq(id))
         // multi-probe: each vector also visits its Hamming-1 buckets, so
         // a pair meets when their buckets differ by ≤ 1 bit (visit-side
         // expansion keeps the join key a single bucket column)
         val probed = b0.withColumn("probe",
-            explode(array(lit(0L) +: (0 until nBits).map(b => lit(1L << b)): _*)))
+            explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*)))
           .withColumn("bucket", expr("cast(bucket as bigint) ^ probe"))
         val v = probed.select(col(id).as("a"), col("bucket"),
             expr(s"transform($vec, x -> cast(x as double))").as("va"))

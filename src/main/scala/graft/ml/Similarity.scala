@@ -58,10 +58,27 @@ object Similarity {
       .select("a", "b", "cosine")
   }
 
+  /** Scale-aware SRP bit count. The bucket join is per-bucket QUADRATIC,
+    * so a fixed bucket space is a scale-killer: 256 buckets over 10⁹
+    * vectors means ~10⁷ rows per bucket and a ~10¹⁴-pair join. The
+    * bucket count must grow with the corpus — 2^nBits ≈ n /
+    * targetBucketRows keeps the expected bucket at `targetBucketRows`
+    * rows and the total candidate-pair count near-linear in n
+    * (n · targetBucketRows · (1 + nBits multi-probes)). Clamped to
+    * [4, 24]: ≥16 buckets even for tiny inputs, and 2²⁴ buckets carry
+    * 10¹⁰+ vectors at the default target. */
+  def srpBits(n: Long, targetBucketRows: Long = 1024L): Int = {
+    require(targetBucketRows > 0, "targetBucketRows must be positive")
+    val buckets = math.max(1.0, n.toDouble / targetBucketRows)
+    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** Sign-random-projection LSH bucket per vector: `nBits` pseudo-random
     * hyperplanes with deterministic ±1 coefficients derived from
     * xxhash64(bit, dim) — no stored plane matrix, reproducible under any
-    * partitioning. Approximate-NN then joins within buckets only. */
+    * partitioning. Approximate-NN then joins within buckets only.
+    * Size `nBits` with [[srpBits]] (the callers' auto default) — a fixed
+    * bucket space does not survive corpus growth. */
   def srpBuckets(vectors: DataFrame, id: String, vec: String, nBits: Int = 8): DataFrame = {
     val v = vectors.select(col(id), asDouble(col(vec)).as("srp_v"))
     val bitCols = (0 until nBits).map { b =>
@@ -271,16 +288,19 @@ object Similarity {
   }
 
   /** Approximate cosine top-k: candidates restricted to the query's SRP
-    * bucket (optionally ± Hamming-1 neighbors via multi-probe). */
+    * bucket (optionally ± Hamming-1 neighbors via multi-probe).
+    * `nBits ≤ 0` (the default) auto-sizes the bucket space from the
+    * corpus count via [[srpBits]] — the required behavior at scale. */
   def annTopK(vectors: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
-    val vb = vectors.join(srpBuckets(vectors, id, vec, nBits), Seq(id))
-    val qb0 = queries.join(srpBuckets(queries, id, vec, nBits), Seq(id))
+      k: Int, nBits: Int = 0, multiProbe: Boolean = true): DataFrame = {
+    val bits = if (nBits > 0) nBits else srpBits(vectors.count())
+    val vb = vectors.join(srpBuckets(vectors, id, vec, bits), Seq(id))
+    val qb0 = queries.join(srpBuckets(queries, id, vec, bits), Seq(id))
     // multi-probe: also search the nBits buckets at Hamming distance 1
     val qb =
       if (!multiProbe) qb0
       else qb0.withColumn("probe",
-          explode(array(lit(0L) +: (0 until nBits).map(b => lit(1L << b)): _*)))
+          explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*)))
         .withColumn("bucket", expr("cast(bucket as bigint) ^ probe"))
         .drop("probe")
     val v = vb.select(col(id).as("cid"), col("bucket"), asDouble(col(vec)).as("v"))

@@ -54,7 +54,11 @@ object EmbeddingQueries {
       val queries = all.filter(col("vec_id") % 20 === 0)
       val k = 3
       val nQ = queries.count()
-      val ann = Similarity.annTopK(all, queries, "vec_id", "embedding", k)
+      // nBits pinned to 8: the random baseline below is calibrated to
+      // 9 multi-probe buckets of 2^8 (auto-sizing would shrink the
+      // bucket space at this test scale and unbalance the comparison)
+      val ann = Similarity.annTopK(all, queries, "vec_id", "embedding", k,
+          nBits = 8)
         .persist()
       val exact = Similarity.cosineTopK(all, queries, "vec_id", "embedding", k)
         .persist()

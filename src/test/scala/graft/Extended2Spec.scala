@@ -114,6 +114,26 @@ class Extended2Spec extends SparkSpec {
     assert(k >= 1 && k <= 34, s"mid alpha gave $k clusters")
   }
 
+  test("cut clustering: distributed push-relabel path equals the driver EK path") {
+    import spark.implicits._
+    // two K4s joined by a single bridge: alpha = 0.5 cuts at the bridge,
+    // giving exactly two communities → two Flake flows per path.
+    // driverMaxElements = 0 forces every flow through pushRelabel; both
+    // paths take the residual-reachable source side = the unique MINIMAL
+    // min cut, so the partitions must be identical, not merely equivalent.
+    val k4a = for (i <- 0 until 4; j <- i + 1 until 4) yield (i.toLong, j.toLong)
+    val k4b = k4a.map { case (u, v) => (u + 4, v + 4) }
+    val edges = (k4a ++ k4b :+ (3L, 4L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    val g = PropertyGraph(edges, directed = false,
+      Some(spark.range(8).select(col("id"))))
+    val viaEk = MaxFlow.cutClustering(g, 0.5)
+    val viaPr = MaxFlow.cutClustering(g, 0.5, driverMaxElements = 0L)
+    assert(viaEk.select("community").distinct().count() == 2)
+    assert(viaEk.except(viaPr).isEmpty && viaPr.except(viaEk).isEmpty,
+      "distributed CutClustering diverged from the driver path")
+  }
+
   test("scd seed expansion: karate seed 33 grows a connected low-conductance set") {
     val comm = Community.expandSeed(karate, 33L, maxSize = 18)
     val members = comm.collect().map(_.getLong(0)).toSet

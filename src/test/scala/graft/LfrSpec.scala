@@ -38,6 +38,39 @@ class LfrSpec extends SparkSpec {
     assert(hi < lo - 0.2, s"mu=0.6 internal fraction $hi vs $lo")
   }
 
+  test("lfr: per-node mixing compliance — realized internal degree ≈ (1−μ)·deg per node") {
+    // the property the old Chung–Lu coupling could not guarantee: every
+    // node's INTERNAL degree must individually match its (1−μ)·deg
+    // target (stochastic rounding → within 1 of the real target; HH +
+    // switching realize the drawn sequence exactly up to graphicality
+    // caps), not merely in expectation over the graph
+    val mu = 0.2
+    val (g, p) = Generators.lfr(spark, 600, mu = mu, seed = 3)
+    val lbl = p.select(col("id"), col("community"))
+    val tagged = g.edges
+      .join(lbl.select(col("id").as("src"), col("community").as("cs")), "src")
+      .join(lbl.select(col("id").as("dst"), col("community").as("cd")), "dst")
+    val intDeg = tagged.filter(col("cs") === col("cd"))
+      .select(col("src").as("id")).unionAll(
+        tagged.filter(col("cs") === col("cd")).select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("di"))
+    val deg = g.adjacency.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val rows = deg.join(intDeg, Seq("id"), "left")
+      .select(col("id"), col("d"),
+        coalesce(col("di"), lit(0L)).as("di")).collect()
+    // per-node: |di − (1−μ)·d| ≤ 1.5 for ≥ 90 % of nodes (stochastic
+    // rounding is ±1; stub drops / graphicality caps explain a small tail)
+    val devs = rows.map(r => math.abs(r.getLong(2) - (1 - mu) * r.getLong(1)))
+    val within = devs.count(_ <= 1.5).toDouble / devs.length
+    assert(within >= 0.9, s"only ${within * 100}%% of nodes within 1.5 of target")
+    // and the mean per-node mixing tracks μ itself
+    val mixing = rows.filter(_.getLong(1) > 0)
+      .map(r => 1.0 - r.getLong(2).toDouble / r.getLong(1))
+    val meanMix = mixing.sum / mixing.length
+    assert(math.abs(meanMix - mu) < 0.08, s"mean per-node mixing $meanMix vs mu=$mu")
+  }
+
   test("lfr recovery: louvain and leiden recover the planted partition at mu=0.1 (NMI ≥ 0.6)") {
     val (g, planted) = Generators.lfr(spark, 400, mu = 0.1, seed = 11)
     val louvain = Community.louvain(g)

@@ -82,6 +82,46 @@ class MlSpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall $recall too low")
   }
 
+  test("srpBits: auto sizing rule, and candidate pairs stay near-linear in n") {
+    import spark.implicits._
+    // the sizing rule: 2^bits ≈ n / targetBucketRows, clamped [4, 24]
+    assert(Similarity.srpBits(1000) == 4)
+    assert(Similarity.srpBits(1L << 20, 1024) == 10)
+    assert(Similarity.srpBits(1000000000L, 1024) == 20)
+    assert(Similarity.srpBits(Long.MaxValue) == 24)
+    assert(Similarity.srpBits(0L) == 4)
+    // candidate-pair growth: deterministic hash-derived vectors; the
+    // multi-probe bucket join (the embeddingNearDup candidate stage)
+    // with AUTO bits must grow near-linearly when n quadruples, while
+    // FIXED bits grow quadratically
+    def vecs(n: Int) = spark.range(n).select(col("id"),
+      expr("transform(sequence(0, 31), d -> cast(pmod(xxhash64(id, d), 1000) as double) / 500.0 - 1.0)")
+        .as("embedding"))
+    def candPairs(n: Int, bits: Int): Long = {
+      val b0 = vecs(n).join(
+        Similarity.srpBuckets(vecs(n), "id", "embedding", bits), Seq("id"))
+      val probed = b0.withColumn("probe",
+          explode(array(lit(0L) +: (0 until bits).map(b => lit(1L << b)): _*)))
+        .withColumn("bucket", expr("cast(bucket as bigint) ^ probe"))
+        .select("id", "bucket")
+      probed.select(col("id").as("a"), col("bucket"))
+        .join(probed.select(col("id").as("b"), col("bucket")), "bucket")
+        .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    }
+    val (n1, n2) = (1024, 4096)
+    val auto1 = candPairs(n1, Similarity.srpBits(n1, 32))
+    val auto2 = candPairs(n2, Similarity.srpBits(n2, 32))
+    val fixed2 = candPairs(n2, Similarity.srpBits(n1, 32))
+    val growth = auto2.toDouble / auto1
+    // uniform buckets would give ~5.6× (4× data × 7/5 probes); SRP sign
+    // patterns are inherently skewed so allow up to 10× — the gate is
+    // "clearly below the ≥16× a fixed bucket space gives on 4× data"
+    assert(growth < 10.0,
+      s"auto-sized candidate pairs grew ${growth}x on 4x data")
+    assert(fixed2 > 2L * auto2,
+      s"fixed bucket space should blow up quadratically (fixed=$fixed2 auto=$auto2)")
+  }
+
   test("IVF top-k: cosines exact for returned pairs, recall beats cell fraction") {
     val emb = Tables.load(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") % 50 === 0)
