@@ -851,6 +851,30 @@ object Generators {
     * `ignoreIfRealizable`). Sequential greedy (reference likewise), so
     * driver-side over the collected sequence — O(n+m). */
   def havelHakimi(spark: SparkSession, degrees: Seq[(Long, Int)]): PropertyGraph = {
+    havelHakimiSeq(spark, degrees)
+  }
+
+  /** DataFrame-input Havel–Hakimi — the scale-correct API shape: callers
+    * pass the degree TABLE `(id, degree)` and never collect anything
+    * themselves. The greedy realization itself is inherently sequential
+    * (the reference's is too), so the sequence — n (id, degree) pairs,
+    * never edge data — is brought to the driver internally, the same
+    * documented driver bound as [[dorogovtsevMendes]]. */
+  def havelHakimi(degrees: DataFrame): PropertyGraph = {
+    val spark = degrees.sparkSession
+    val seq = degrees.select(col("id").cast("long"), col("degree").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    havelHakimiSeq(spark, seq)
+  }
+
+  /** DataFrame-input exact configuration model: [[havelHakimi]]
+    * realization + seed-deterministic global Curveball trades (both
+    * degree-preserving), from the degree table. */
+  def configurationModelExact(degrees: DataFrame, trades: Int,
+      seed: Long): PropertyGraph =
+    Randomization.globalCurveball(havelHakimi(degrees), trades, seed)
+
+  private def havelHakimiSeq(spark: SparkSession, degrees: Seq[(Long, Int)]): PropertyGraph = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     var rem = degrees.filter(_._2 > 0).sortBy(d => (-d._2, d._1)).toVector

@@ -92,6 +92,36 @@ object ExtendedQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // spectral coloring (reference networkit/coloring.py:5): recursive
+    // sign-splits over the smallest adjacency eigenvectors; the gate is
+    // per-node VALIDITY — no node may share its color with a neighbor
+    // (the oracle asserts all-ones), plus an in-query bound that the
+    // palette stays well below singletons
+    "x85_coloring" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val coloring = graft.graph.Coloring.spectralColoring(g)
+        .localCheckpoint(true)
+      val n = coloring.count()
+      val nColors = coloring.select("color").distinct().count()
+      require(nColors < n / 2,
+        s"spectral coloring degenerated to near-singletons ($nColors of $n)")
+      val monoSide = g.adjacency
+        .join(coloring.select(col("id").as("src"), col("color").as("cs")), "src")
+        .join(coloring.select(col("id").as("dst"), col("color").as("cd")), "dst")
+        .filter(col("cs") === col("cd"))
+        .select(col("src").as("id")).distinct()
+      coloring.join(monoSide.withColumn("bad", lit(1L)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("bad").isNull, 1L).otherwise(0L).as("properly_colored"))
+    }),
+    // Gini coefficient of the degree distribution (reference
+    // networkit/stats.pyx:16) — num/den are the exact integer-valued
+    // decomposition 2(fair−area) / 2·fair, so the contract has no
+    // rounding; both engines compute the identical window cumsum
+    "x86_gini" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      graft.graph.Coloring.gini(g.degrees, "degree")
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -657,9 +687,7 @@ object ExtendedQueries {
       val r2 = row("dm", dm.vertices.count() == 500, dm.edges.count() == 997)
 
       val g = DerivedGraphs.partGraph(s, dir, 2)
-      val degSeq = g.degrees.select("id", "degree").as[(Long, Long)].collect()
-        .map { case (i, d) => (i, d.toInt) }.toSeq
-      val hh = Generators.havelHakimi(s, degSeq)
+      val hh = Generators.havelHakimi(g.degrees)
       val hhMatch = hh.degrees
         .join(g.degrees.withColumnRenamed("degree", "want"), "id")
         .filter(col("degree") =!= col("want")).count() == 0
@@ -1649,11 +1677,7 @@ object ExtendedQueries {
     // and at least one edge changed by the randomization trades
     "x72_configmodel" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
-      val spark = s
-      import spark.implicits._
-      val degSeq = g.degrees.select("id", "degree").as[(Long, Long)].collect()
-        .map { case (i, d) => (i, d.toInt) }.toSeq
-      val cm = Generators.configurationModelExact(s, degSeq, trades = 3)
+      val cm = Generators.configurationModelExact(g.degrees, trades = 3, seed = 42)
       val mismatch = cm.degrees
         .join(g.degrees.withColumnRenamed("degree", "want"), Seq("id"), "full")
         .filter(coalesce(col("degree"), lit(0L)) =!= coalesce(col("want"), lit(0L)))
@@ -1670,6 +1694,18 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x85_coloring" ->
+      s"""WITH $graphCte
+         |SELECT id, 1::BIGINT AS properly_colored FROM deg""".stripMargin,
+    "x86_gini" ->
+      s"""WITH $graphCte,
+         |ranked AS (SELECT d,
+         |  sum(d) OVER (ORDER BY d, id ROWS BETWEEN UNBOUNDED PRECEDING
+         |               AND CURRENT ROW) AS cum FROM deg),
+         |a AS (SELECT count(*) AS n, sum(d)::DOUBLE AS s,
+         |      sum(2*cum - d)::DOUBLE AS area2 FROM ranked)
+         |SELECT n*s - area2 AS num, n*s AS den,
+         |  (n*s - area2) / (n*s) AS gini FROM a""".stripMargin,
     "x48_electrical" ->
       s"""WITH $graphCte,
          |sampled AS (SELECT src AS u, dst AS v, c AS w FROM e ORDER BY src, dst LIMIT 8)
