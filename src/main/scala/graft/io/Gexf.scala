@@ -249,10 +249,14 @@ object Gexf {
       mapping(nd.getAttribute("id")) = n; n += 1
     }
     val rows = children(graphEl, "edge").map { e =>
-      val w = weightedId.flatMap { wid =>
-        children(e, "data").find(_.getAttribute("key") == wid)
-          .map(_.getTextContent.trim.toDouble)
-      }.getOrElse(1.0)
+      // weighted file, edge with no <data>: the reference's SAX parser
+      // adds it with its edgeweight accumulator still 0.0 — mirror that,
+      // not a 1.0 default; unweighted files take addEdge's default 1.0
+      val w = weightedId match {
+        case Some(wid) => children(e, "data").find(_.getAttribute("key") == wid)
+          .map(_.getTextContent.trim.toDouble).getOrElse(0.0)
+        case None => 1.0
+      }
       (mapping(e.getAttribute("source")), mapping(e.getAttribute("target")), w)
     }
     val edges = rows.toDF("src", "dst", "weight")

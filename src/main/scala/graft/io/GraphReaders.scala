@@ -531,4 +531,145 @@ object GraphReaders {
         .filter(col("line").isNotNull)),
       path)
   }
+
+  /** Format sniffing (reference `networkit/graphio.pyx:1144`
+    * `guessFileFormat`): magic bytes decide the binary formats in O(1);
+    * the first lines decide the structured text formats (GEXF, GraphML,
+    * GraphViz, GML, KONECT, MatrixMarket, Rutherford–Boeing); the
+    * METIS / SNAP / edge-list tail scans the whole file, linear like
+    * the reference's. All reads are driver-side header/line scans of a
+    * single interchange file (the same discipline as the readers
+    * themselves — parquet is the engine-native format). Returns the
+    * reference's Format name. */
+  def guessFileFormat(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = {
+      val in = fs.open(p)
+      val b = new Array[Byte](7)
+      val got = in.read(b); in.close()
+      b.take(math.max(got, 0))
+    }
+    val GtMagic = Array(0xe2, 0x9b, 0xbe, 0x20, 0x67, 0x74).map(_.toByte)
+    if (head.length >= 6 && head.take(6).sameElements(GtMagic))
+      return "GraphToolBinary"
+    val headStr = new String(head, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (headStr == "nkbg002" || headStr == "nkbg003") return "NetworkitBinary"
+
+    def readLines(limit: Int): Vector[String] = {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      var l = in.readLine()
+      while (l != null && (limit < 0 || buf.length < limit)) { buf += l; l = in.readLine() }
+      in.close(); buf.toVector
+    }
+    val first4 = readLines(4)
+    val firstline = first4.headOption.getOrElse("")
+    val secondline = if (first4.length > 1) first4(1) else ""
+    if (firstline.startsWith("<?xml")) {
+      if (secondline.startsWith("<gexf")) return "GEXF"
+      if (secondline.startsWith("<graphml")) return "GraphML"
+    }
+    if ("^(strict)?\\s?(di)?graph(\\s.)*\\s?\\{".r
+        .findFirstIn(firstline.toLowerCase).isDefined) return "GraphViz"
+    if ("^graph\\s\\[$".r.findFirstIn(firstline.toLowerCase).isDefined) return "GML"
+    if (("^%\\s((asym)|(sym)|(bip))\\s((unweighted)|(positive)|(posweighted)|(signed)|" +
+        "(multisigned)|(weighted)|(multiweighted)|(dynamic)|(multiposweighted))$").r
+        .findFirstIn(firstline.toLowerCase).isDefined) return "KONECT"
+    if ("^%+MatrixMarket".r.findFirstIn(firstline).isDefined) return "MatrixMarket"
+    if (first4.length > 3 &&
+        "^\\(\\d+[A-Z]\\d+\\)\\s+\\(\\d+[A-Z]\\d+\\)\\s+\\(\\d+[A-Z]\\d+".r
+          .findFirstIn(first4(3)).isDefined) return "RB"
+
+    // METIS / SNAP / edge-list heuristics over the full file, mirroring
+    // the reference's scan exactly (comment prefix = first char when
+    // non-numeric; separator = the last line's id<sep>id separator)
+    val lines = readLines(-1)
+    val commentPrefix: Option[Char] = firstline.headOption.filterNot(_.isDigit)
+    var separator: Option[Char] = None
+    val sepRe = "^\\d+(.)\\d+".r
+    lines.foreach { line =>
+      if (!commentPrefix.exists(c => line.startsWith(c.toString)))
+        sepRe.findFirstMatchIn(line).foreach(m => separator = Some(m.group(1).head))
+    }
+    var minId = Long.MaxValue
+    var snapFound = commentPrefix.isEmpty && separator.exists(c => c == ' ' || c == '\t')
+    val snapRe = "(^\\d+\\s\\d+\\s*$)|(^\\s*$)".r
+    val idsRe = "^(\\d+)\\s(\\d+)".r
+    val metisHeadRe = "\\s*(\\d+)\\s+(\\d+)(?:\\s+(\\d+))?(?:\\s+(\\d+))?".r
+    val numRe = "\\d+(\\.\\d+)?".r
+    var n = -1L; var m = -1L; var fmt = -1L
+    var noncomment = 0L; var edgeTokens = 0L
+    var break = false
+    for (line <- lines if !break) {
+      if (snapFound && snapRe.findPrefixMatchOf(line).isEmpty) snapFound = false
+      val isComment = commentPrefix.exists(c => line.startsWith(c.toString))
+      if (!isComment && !(line.trim.isEmpty && noncomment == n + 1)) {
+        idsRe.findFirstMatchIn(line).foreach { mm =>
+          minId = math.min(minId, math.min(mm.group(1).toLong, mm.group(2).toLong))
+        }
+        if (noncomment == 0) {
+          metisHeadRe.findPrefixMatchOf(line) match {
+            case Some(mm) =>
+              n = mm.group(1).toLong; m = mm.group(2).toLong
+              if (mm.group(3) != null) fmt = mm.group(3).toLong
+            case None => break = true
+          }
+        } else edgeTokens += numRe.findAllIn(line).length
+        if (!break) noncomment += 1
+      }
+    }
+    val metisFound = n == noncomment - 1 &&
+      (commentPrefix.isEmpty || commentPrefix.contains('%')) &&
+      (((fmt == -1L || fmt == 0L) && m * 2 == edgeTokens) ||
+        (fmt == 1L && m * 4 == edgeTokens) || fmt == 10L || fmt == 11L)
+    var guess: Option[String] = None
+    if (commentPrefix.contains('#')) {
+      guess = (minId == 0L, separator) match {
+        case (true, Some('\t')) => Some("EdgeListTabZero")
+        case (true, Some(' ')) => Some("EdgeListSpaceZero")
+        case (false, Some('\t')) => Some("EdgeListTabOne")
+        case (false, Some(' ')) => Some("EdgeListSpaceOne")
+        case (false, Some(',')) => Some("EdgeListCommaOne")
+        case _ => None
+      }
+    }
+    if (snapFound) guess = Some("SNAP")
+    if (metisFound && guess.isDefined)
+      throw new java.io.IOException(
+        "Format guessing failed: file could be METIS or edge list!")
+    guess.getOrElse(
+      if (metisFound) "METIS"
+      else throw new java.io.IOException("Format guessing failed: no type found"))
+  }
+
+  /** The reference's single `readGraph` entry point
+    * (`graphio.pyx:1310`): sniff the format with [[guessFileFormat]]
+    * (or take it explicitly) and dispatch to the matching reader. */
+  def readGraph(spark: SparkSession, path: String,
+      format: String = ""): PropertyGraph = {
+    val fmt = if (format.nonEmpty) format else guessFileFormat(spark, path)
+    fmt match {
+      case "GraphToolBinary" => BinaryFormats.readGraphTool(spark, path)
+      case "NetworkitBinary" => NetworkitBinary.read(spark, path)
+      case "GEXF" => Gexf.read(spark, path)._1
+      case "GraphML" => Gexf.readGraphMl(spark, path)
+      case "GML" => readGml(spark, path)
+      case "KONECT" => readKonect(spark, path)
+      case "MatrixMarket" => PropertyGraph(
+        readMatrixMarket(spark, path).toDF("src", "dst", "weight"),
+        directed = false)
+      case "RB" => PropertyGraph(
+        readRutherfordBoeing(spark, path).toDF("src", "dst", "weight"),
+        directed = false)
+      case "METIS" => readMetis(spark, path)
+      case "SNAP" => readEdgeList(spark, path, "\\s+", "#", 0L)
+      case "EdgeListTabZero" => readEdgeList(spark, path, "\t", "#", 0L)
+      case "EdgeListSpaceZero" => readEdgeList(spark, path, " ", "#", 0L)
+      case "EdgeListTabOne" => readEdgeList(spark, path, "\t", "#", 1L)
+      case "EdgeListSpaceOne" => readEdgeList(spark, path, " ", "#", 1L)
+      case "EdgeListCommaOne" => readEdgeList(spark, path, ",", "#", 1L)
+      case other => throw new java.io.IOException(s"no reader for format $other")
+    }
+  }
 }

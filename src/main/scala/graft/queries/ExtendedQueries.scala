@@ -122,6 +122,44 @@ object ExtendedQueries {
       val g = DerivedGraphs.partGraph(s, dir, 2)
       graft.graph.Coloring.gini(g.degrees, "degree")
     }),
+    // electrical-family agreement gate against CLOSED-FORM values (the
+    // quantified deviation the 🔶 demanded: the reference guarantees an
+    // ε-bound via UST sampling, this engine solves the same systems with
+    // CG — here the solves are pinned to exact closed forms with stated
+    // tolerances): path resistance r(0,j) = j (tol 1e-6), cycle
+    // electrical closeness = 6/(n+1) for every node (tol 0.02 absolute —
+    // the Hutchinson trace term with 16 seeded probes), tree spanning-
+    // edge centrality exactly 1 per edge (tol 1e-6)
+    "x87_electrical2" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val n = 24
+      val path = PropertyGraph(
+        (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+          .withColumn("weight", lit(1.0)),
+        directed = false, Some(s.range(n).select(col("id"))))
+      val rp = Electrical.effectiveResistance(
+          path, (1 until n).map(j => (0L, j.toLong)), maxIter = 60)
+        .select(lit("path_r").as("kind"), col("u").as("a"), col("v").as("b"),
+          (abs(col("resistance") - (col("v") - col("u"))) <= 1e-6)
+            .cast("long").as("within_tol"))
+      val cyc = Generators.regularRingLattice(s, n, 1)
+      val cc = Electrical.electricalCloseness(cyc, (0L until 8L).toSeq,
+          probes = 16, maxIter = 60)
+        .select(lit("cycle_ccl").as("kind"), col("id").as("a"), lit(-1L).as("b"),
+          (abs(col("closeness") - lit(6.0 / (n + 1))) <= 0.02)
+            .cast("long").as("within_tol"))
+      val star = PropertyGraph(
+        (1 until n).map(i => (0L, i.toLong)).toDF("src", "dst")
+          .withColumn("weight", lit(1.0)),
+        directed = false, Some(s.range(n).select(col("id"))))
+      val se = Electrical.spanningEdgeCentrality(star, sampleEdges = 6, maxIter = 60)
+        .agg(sum(when(abs(col("resistance") - 1.0) <= 1e-6, 1L).otherwise(0L)).as("ok"),
+          count(lit(1)).as("total"))
+        .select(lit("tree_se").as("kind"), col("ok").as("a"), col("total").as("b"),
+          (col("ok") === col("total")).cast("long").as("within_tol"))
+      rp.unionAll(cc).unionAll(se)
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1706,6 +1744,13 @@ object ExtendedQueries {
          |      sum(2*cum - d)::DOUBLE AS area2 FROM ranked)
          |SELECT n*s - area2 AS num, n*s AS den,
          |  (n*s - area2) / (n*s) AS gini FROM a""".stripMargin,
+    "x87_electrical2" ->
+      """SELECT 'path_r' AS kind, 0::BIGINT AS a, j::BIGINT AS b, 1::BIGINT AS within_tol
+        |FROM range(1, 24) t(j)
+        |UNION ALL
+        |SELECT 'cycle_ccl', j, -1::BIGINT, 1::BIGINT FROM range(0, 8) t(j)
+        |UNION ALL
+        |SELECT 'tree_se', 6::BIGINT, 6::BIGINT, 1::BIGINT""".stripMargin,
     "x48_electrical" ->
       s"""WITH $graphCte,
          |sampled AS (SELECT src AS u, dst AS v, c AS w FROM e ORDER BY src, dst LIMIT 8)

@@ -220,4 +220,36 @@ class Io2Spec extends SparkSpec {
     assert(cov.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((0L, 0L), (0L, 2L), (1L, 1L), (2L, 0L)))
   }
+
+  test("guessFileFormat: the reference's own testGuessFormat table") {
+    // (test_graphio.py testGuessFormat instances, plus power.gt)
+    val expected = Seq(
+      "airfoil1.graph" -> "METIS",
+      "comments.edgelist" -> "EdgeListTabOne",
+      "dynamicTest.gexf" -> "GEXF",
+      "foodweb-baydry.konect" -> "KONECT",
+      "foodweb-baydry.nkbg002" -> "NetworkitBinary",
+      "foodweb-baydry.nkbg003" -> "NetworkitBinary",
+      "jazz2_directed.gml" -> "GML",
+      "chesapeake.mtx" -> "MatrixMarket",
+      "tiny_05.rb" -> "RB",
+      "power.gt" -> "GraphToolBinary")
+    expected.foreach { case (file, fmt) =>
+      val got = GraphReaders.guessFileFormat(spark, s"/root/reference/input/$file")
+      assert(got == fmt, s"$file guessed $got, expected $fmt")
+    }
+  }
+
+  test("readGraph: sniffing dispatcher reproduces the direct readers") {
+    val viaDispatch = GraphReaders.readGraph(
+      spark, "/root/reference/input/karate.graph")
+    assert(edgeSet(viaDispatch) == edgeSet(karate))
+    val gml = GraphReaders.readGraph(
+      spark, "/root/reference/input/jazz2_undirected.gml")
+    assert(edgeSet(gml) == edgeSet(GraphReaders.readGml(
+      spark, "/root/reference/input/jazz2_undirected.gml")))
+    val gt = GraphReaders.readGraph(spark, "/root/reference/input/power.gt")
+    assert(edgeSet(gt) == edgeSet(BinaryFormats.readGraphTool(
+      spark, "/root/reference/input/power.gt")))
+  }
 }
