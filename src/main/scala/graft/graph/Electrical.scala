@@ -170,13 +170,38 @@ object Electrical {
     * closeness = (n−1) / farness — the reference normalizes by n−1, i.e.
     * (n−1)/(n·diag + trace). Solves use
     * the centered rhs e_v − 1/n (⊥ 1, so CG stays in the solvable
-    * subspace); probe vectors are centered the same way. `(id, closeness)`. */
+    * subspace); probe vectors are centered the same way.
+    * `exactTrace = true` replaces the Hutchinson estimate with the sum
+    * of ALL n diagonal solves — the analog of the reference test's
+    * `computeExactDiagonal` baseline (one rhs per node, so reserve it
+    * for exactness gates / small graphs). `(id, closeness)`. */
   def electricalCloseness(g: PropertyGraph, candidates: Seq[Long], probes: Int = 4,
-      maxIter: Int = 40, seed: Long = 42): DataFrame = {
+      maxIter: Int = 40, seed: Long = 42,
+      exactTrace: Boolean = false): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val n = g.vertices.count()
     val lap = Coo.laplacianMatrix(g)
+    if (exactTrace) {
+      val ids = g.vertices.select(col("id")).as[Long].collect().sorted
+      val all = ids.zipWithIndex.toSeq.map { case (v, k) => (k.toLong, v) }
+        .toDF("rhs", "tgt")
+      val eb = g.vertices.join(all)
+        .select(col("rhs"), col("id").as("i"),
+          (when(col("id") === col("tgt"), 1.0).otherwise(0.0) - lit(1.0 / n)).as("v"))
+      val x = conjugateGradientBatch(lap, eb.localCheckpoint(true), maxIter)
+      val diagAll = x.join(all, Seq("rhs")).filter(col("i") === col("tgt"))
+        .select(col("tgt").as("id"), col("v").as("d")).persist()
+      val trace = diagAll.agg(coalesce(sum("d"), lit(0.0))).head.getDouble(0)
+      val out = diagAll
+        .join(candidates.toDF("id"), Seq("id"), "left_semi")
+        .select(col("id"),
+          when(col("d") * n + trace <= 0, 0.0)
+            .otherwise(lit(n - 1.0) / (col("d") * n + lit(trace))).as("closeness"))
+        .localCheckpoint(true)
+      diagAll.unpersist(false)
+      return out
+    }
     val cand = candidates.zipWithIndex.map { case (v, k) => (k.toLong, v) }.toDF("rhs", "tgt")
     val eb = g.vertices.join(cand)
       .select(col("rhs"), col("id").as("i"),

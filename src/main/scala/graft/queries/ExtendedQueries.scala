@@ -127,9 +127,10 @@ object ExtendedQueries {
     // ε-bound via UST sampling, this engine solves the same systems with
     // CG — here the solves are pinned to exact closed forms with stated
     // tolerances): path resistance r(0,j) = j (tol 1e-6), cycle
-    // electrical closeness = 6/(n+1) for every node (tol 0.02 absolute —
-    // the Hutchinson trace term with 16 seeded probes), tree spanning-
-    // edge centrality exactly 1 per edge (tol 1e-6)
+    // electrical closeness = 6/(n+1) for every node (exact-trace mode —
+    // all-node diagonal solves, the reference test's computeExactDiagonal
+    // baseline — tol 1e-6), tree spanning-edge centrality exactly 1 per
+    // edge (tol 1e-6)
     "x87_electrical2" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -145,9 +146,9 @@ object ExtendedQueries {
             .cast("long").as("within_tol"))
       val cyc = Generators.regularRingLattice(s, n, 1)
       val cc = Electrical.electricalCloseness(cyc, (0L until 8L).toSeq,
-          probes = 16, maxIter = 60)
+          maxIter = 60, exactTrace = true)
         .select(lit("cycle_ccl").as("kind"), col("id").as("a"), lit(-1L).as("b"),
-          (abs(col("closeness") - lit(6.0 / (n + 1))) <= 0.02)
+          (abs(col("closeness") - lit(6.0 / (n + 1))) <= 1e-6)
             .cast("long").as("within_tol"))
       val star = PropertyGraph(
         (1 until n).map(i => (0L, i.toLong)).toDF("src", "dst")

@@ -20,6 +20,21 @@ class ElectricalSpec extends SparkSpec {
     assert(math.abs(r((2L, 3L)) - 1.0) < 1e-6, s"bridge ${r((2L, 3L))}")
   }
 
+  test("electricalCloseness exactTrace: cycle closed form 6/(n+1) to 1e-6") {
+    // C_24 is vertex-transitive with Σ_u r(v,u) = (n²−1)/6 exactly, so
+    // closeness = (n−1)/((n²−1)/6) = 6/(n+1) — the x87 gate's cycle leg
+    val n = 24
+    val cyc = Generators.regularRingLattice(spark, n, 1)
+    val cc = Electrical.electricalCloseness(cyc, Seq(0L, 3L, 17L),
+      maxIter = 60, exactTrace = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = 6.0 / (n + 1)
+    cc.foreach { case (id, c) =>
+      assert(math.abs(c - want) < 1e-6, s"node $id closeness $c vs $want")
+    }
+    assert(cc.keySet == Set(0L, 3L, 17L))
+  }
+
   test("batched CG solves k systems together and matches single-solve CG") {
     val g = PropertyGraph.fromEdges(
       Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"),
