@@ -78,20 +78,44 @@ object Coloring {
     * the smallest id with a non-negligible component is positive
     * (determinism under any partitioning). */
   def smallestAdjacencyEigenvectors(g: PropertyGraph, k: Int,
-      iters: Int = 30, seed: Long = 42): DataFrame = {
-    val adj = g.adjacency.persist()
-    val nodes = g.vertices.select("id").persist()
-    // Gershgorin: |lambda| <= max_u sum_v |w(u,v)|
-    val sigma = adj.groupBy("src").agg(sum(abs(col("weight"))).as("s"))
+      iters: Int = 30, seed: Long = 42): DataFrame =
+    smallestEigenvectors(
+      g.adjacency.select(col("src").as("i"), col("dst").as("j"),
+        col("weight").as("v")),
+      g.vertices.select("id"), k, iters, seed, projectOutConstant = false)
+
+  /** Generic kernel behind [[smallestAdjacencyEigenvectors]] and
+    * [[Spectral.laplacianEigenvectors]]: the k smallest-eigenvalue
+    * eigenvectors of a symmetric COO matrix `(i, j, v)`.
+    * `projectOutConstant` deflates the all-ones direction each round —
+    * required for the Laplacian, whose smallest eigenvector is the
+    * (known) constant, so the k returned vectors start at the Fiedler
+    * vector. */
+  private[graph] def smallestEigenvectors(matrix0: DataFrame,
+      vertices: DataFrame, k: Int, iters: Int, seed: Long,
+      projectOutConstant: Boolean): DataFrame = {
+    val mat = matrix0.persist()
+    val nodes = vertices.select("id").persist()
+    // Gershgorin: |lambda| <= max_i sum_j |v_ij|
+    val sigma = mat.groupBy("i").agg(sum(abs(col("v"))).as("s"))
       .agg(coalesce(max(col("s")), lit(0.0))).head.getDouble(0) + 1.0
 
-    // one MxV of the whole block: (id, xs[k]) -> (id, (σI−A)·xs[k])
+    // subtract each component's mean — keeps the block ⊥ 1
+    def center(v: DataFrame): DataFrame = {
+      if (!projectOutConstant) return v
+      val meanAggs = (0 until k).map(i => avg(expr(s"xs[$i]")).as(s"m$i"))
+      val row = v.agg(meanAggs.head, meanAggs.tail: _*).head
+      val shifted = (0 until k)
+        .map(i => s"(xs[$i] - ${row.getDouble(i)})").mkString(", ")
+      v.select(col("id"), expr(s"array($shifted)").as("xs"))
+    }
+
+    // one MxV of the whole block: (id, xs[k]) -> (id, (σI−M)·xs[k])
     def shiftMul(v: DataFrame): DataFrame = {
-      val contrib = adj.join(v.select(col("id").as("dst"), col("xs")), "dst")
-        .select(col("src"), posexplode(col("xs")).as(Seq("pos", "x")),
-          col("weight"))
-        .groupBy(col("src").as("id"), col("pos"))
-        .agg(sum(col("x") * col("weight")).as("ax"))
+      val contrib = mat.join(v.select(col("id").as("j"), col("xs")), "j")
+        .select(col("i"), posexplode(col("xs")).as(Seq("pos", "x")), col("v"))
+        .groupBy(col("i").as("id"), col("pos"))
+        .agg(sum(col("x") * col("v")).as("ax"))
         .groupBy("id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("ax")))),
           s => s.getField("ax")).as("axs"))
@@ -139,18 +163,18 @@ object Coloring {
       v.select(col("id"), expr(s"array(${combos.mkString(", ")})").as("xs"))
     }
 
-    var v = nodes.select(col("id"), expr(
+    var v = center(nodes.select(col("id"), expr(
       s"""transform(sequence(0, ${k - 1}),
          |  j -> cast(pmod(xxhash64($seed + j, id), 1048576) as double)
-         |       / 1048576.0 - 0.5)""".stripMargin).as("xs"))
+         |       / 1048576.0 - 0.5)""".stripMargin).as("xs")))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val v2 = orthonormalize(shiftMul(v)).localCheckpoint(true)
+      val v2 = orthonormalize(center(shiftMul(v))).localCheckpoint(true)
       Fixpoint.free(v)
       v = v2
     }
-    // Rayleigh–Ritz: H = Xᵀ(σI−A)X, rotate X by H's eigenvectors,
-    // descending H eigenvalue = ascending A eigenvalue = depth order
+    // Rayleigh–Ritz: H = Xᵀ(σI−M)X, rotate X by H's eigenvectors,
+    // descending H eigenvalue = ascending M eigenvalue = depth order
     val z = shiftMul(v)
     val hAggs = for (i <- 0 until k; j <- 0 until k)
       yield sum(expr(s"xs[$i] * zs[$j]")).as(s"h_${i}_$j")
@@ -178,7 +202,7 @@ object Coloring {
       .collect().map(r => r.getInt(0) -> (if (r.getDouble(1) < 0) -1.0 else 1.0))
       .toMap
     val signs = (0 until k).map(d => leads.getOrElse(d, 1.0))
-    adj.unpersist(false); nodes.unpersist(false)
+    mat.unpersist(false); nodes.unpersist(false)
     rotated.select(col("id"), posexplode(col("xs")).as(Seq("depth", "value")))
       .select(col("depth"), col("id"),
         (col("value") * element_at(typedLit(signs), col("depth") + 1)).as("value"))

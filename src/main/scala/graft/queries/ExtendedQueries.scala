@@ -161,6 +161,24 @@ object ExtendedQueries {
           (col("ok") === col("total")).cast("long").as("within_tol"))
       rp.unionAll(cc).unionAll(se)
     }),
+    // spectral bisection (reference algebraic.py laplacianEigenvectors +
+    // the classic Fiedler-sign partition): on a barbell (two K8s joined
+    // by one bridge) the bisection is EXACTLY the clique split — an
+    // integer, hash-matched oracle for a spectral operator (the spectral
+    // gap makes the split robust to iteration error; side normalized so
+    // node 0 is side 0)
+    "x88_bisect" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val c = 8
+      val k1 = for (i <- 0 until c; j <- i + 1 until c) yield (i.toLong, j.toLong)
+      val k2 = k1.map { case (u, v) => (u + c, v + c) }
+      val g = PropertyGraph(
+        (k1 ++ k2 :+ ((c - 1).toLong, c.toLong)).toDF("src", "dst")
+          .withColumn("weight", lit(1.0)),
+        directed = false, Some(s.range(2L * c).select(col("id"))))
+      Spectral.spectralBisection(g)
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1745,6 +1763,9 @@ object ExtendedQueries {
          |      sum(2*cum - d)::DOUBLE AS area2 FROM ranked)
          |SELECT n*s - area2 AS num, n*s AS den,
          |  (n*s - area2) / (n*s) AS gini FROM a""".stripMargin,
+    "x88_bisect" ->
+      """SELECT j AS id, (CASE WHEN j < 8 THEN 0 ELSE 1 END)::BIGINT AS side
+        |FROM range(0, 16) t(j)""".stripMargin,
     "x87_electrical2" ->
       """SELECT 'path_r' AS kind, 0::BIGINT AS a, j::BIGINT AS b, 1::BIGINT AS within_tol
         |FROM range(1, 24) t(j)
