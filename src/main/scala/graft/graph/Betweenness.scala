@@ -232,10 +232,9 @@ object Betweenness {
         + math.log(2.0 / delta)) / (err * err)).toLong
     val n = g.vertices.count()
 
-    // indexable node table for uniform draws
-    val ranked = g.vertices.select("id").withColumn("r",
-      row_number().over(Window.orderBy("id")).cast("long") - 1)
-      .localCheckpoint(true)
+    // indexable node table for uniform draws (distributed zipRank — an
+    // unpartitioned window here would single-task the node table)
+    val ranked = Ranks.zipRank(g.vertices.select("id"), Seq(col("id")), "r")
     val adj = g.adjacency.select(col("src"), col("dst"))
       .repartition(col("src")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adj.count()

@@ -237,15 +237,17 @@ object Coloring {
         // spectrum exhausted for whatever is left: singleton fallback
         val bad = state.join(invalid, Seq("color"), "left_semi")
         val done = state.join(invalid, Seq("color"), "left_anti")
-        val fixed = done.select("id", "color")
-          // id-offset keeps fallback colors disjoint from trie labels
-          .unionAll(bad.select(col("id"),
-            (col("id") + lit(1L << 40)).as("color")))
-        val dense = fixed.select(col("color")).distinct()
-          .withColumn("c2", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("color"))
-            .cast("long") - 1)
-        val out = fixed.join(dense, "color").select(col("id"), col("c2").as("color"))
+        // an explicit fallback flag keeps singleton colors disjoint from
+        // trie labels at ANY id range (an arithmetic id-offset would
+        // collide or overflow for ids ≥ 2⁶³−2⁴⁰); densified via the
+        // distributed zipRank, ordered (trie first, fallbacks after)
+        val fixed = done.select(col("id"), lit(0L).as("fb"), col("color"))
+          .unionAll(bad.select(col("id"), lit(1L).as("fb"), col("id").as("color")))
+        val dense = Ranks.zipRank(
+          fixed.select(col("fb"), col("color")).distinct(),
+          Seq(col("fb"), col("color")), "c2", base = 0L)
+        val out = fixed.join(dense, Seq("fb", "color"))
+          .select(col("id"), col("c2").as("color"))
         vecs.unpersist(false); edges.unpersist(false)
         return out
       }
@@ -270,25 +272,37 @@ object Coloring {
 
   /** Gini coefficient of a value column (reference `stats.pyx:16`):
     * values sorted ascending, height = running sum, area = Σ(height −
-    * value/2), fair = total·n/2, gini = (fair − area)/fair. One global
-    * window cumsum. Returns one row `(num, den, gini)` where num/den
-    * are the exact integer-free decomposition 2·(fair − area) and
-    * 2·fair — hash-stable across engines, gini = num/den. */
+    * value/2), fair = total·n/2, gini = (fair − area)/fair. Returns one
+    * row `(num, den, gini)` where num/den are the exact integer-valued
+    * decomposition 2·(fair − area) and 2·fair — hash-stable across
+    * engines, gini = num/den.
+    *
+    * The running sum is eliminated algebraically: with 1-based ascending
+    * rank i, Σ(2·cumᵢ − xᵢ) = Σ xᵢ·(2(n−i)+1), so
+    * num = n·S − Σ xᵢ(2n−2i+1) = 2·Σ i·xᵢ − (n+1)·S. Ranks come from a
+    * range-partitioned distributed sort + `zipWithIndex` (no
+    * single-partition window stage), and rank order among tied values is
+    * irrelevant (Σ i·x over a tied block is order-free) — the result is
+    * bit-identical to the window-cumsum formulation on integer inputs. */
   def gini(values: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = values.select(col(valueCol).cast("double").as("x"))
-      .withColumn("rid", monotonically_increasing_id())
-      .withColumn("cum", sum(col("x")).over(
-        Window.orderBy(col("x"), col("rid"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // 2·area = Σ(2·cum − x), 2·fair = n·S → gini = (n·S − 2area)/(n·S);
-    // integer inputs keep num/den exact (no rounding in the contract)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, DoubleType, LongType}
+    val spark = values.sparkSession
+    val xs = values.select(col(valueCol).cast("double").as("x"))
+      .filter(col("x").isNotNull)
+    val rankSchema = StructType(Seq(
+      StructField("x", DoubleType, nullable = false),
+      StructField("rnk", LongType, nullable = false)))
+    val ranked = spark.createDataFrame(
+      xs.sort("x").rdd.zipWithIndex
+        .map { case (r, i) => Row(r.getDouble(0), i + 1L) },
+      rankSchema)
     ranked.agg(
         count(lit(1)).as("n"),
         coalesce(sum("x"), lit(0.0)).as("s"),
-        coalesce(sum(col("cum") * 2 - col("x")), lit(0.0)).as("area2"))
+        coalesce(sum(col("x") * col("rnk") * 2), lit(0.0)).as("rx2"))
       .select(
-        (col("n") * col("s") - col("area2")).as("num"),
+        (col("rx2") - (col("n") + 1) * col("s")).as("num"),
         (col("n") * col("s")).as("den"))
       .select(col("num"), col("den"),
         when(col("den") =!= 0, col("num") / col("den")).otherwise(0.0).as("gini"))

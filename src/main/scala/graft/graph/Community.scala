@@ -616,9 +616,10 @@ object Community {
   /** Compact community ids to 0..k-1 (reference `Partition::compact`,
     * `structures/Partition.hpp:190`). */
   def compact(partition: DataFrame): DataFrame = {
-    val ids = partition.select("community").distinct()
-      .withColumn("compactId",
-        row_number().over(Window.orderBy("community")).cast("long") - 1)
+    // community count can approach n before convergence — rank the id
+    // dictionary with the distributed zipRank, not a global window
+    val ids = Ranks.zipRank(partition.select("community").distinct(),
+      Seq(col("community")), "compactId")
     partition.join(ids, "community")
       .select(col("id"), col("compactId").as("community"))
   }

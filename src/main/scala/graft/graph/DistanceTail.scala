@@ -113,9 +113,9 @@ object DistanceTail {
       newEdges: DataFrame, k: Int): DataFrame = {
     val updated = ShortestPaths.updateBfsInsert(g2, candidateState, newEdges)
     val harmonic = ShortestPaths.harmonicCloseness(updated)
-    import org.apache.spark.sql.expressions.Window
-    harmonic.withColumn("rank",
-        row_number().over(Window.orderBy(col("harmonic").desc, col("id").asc)).cast("long"))
-      .filter(col("rank") <= k)
+    // distributed TakeOrdered for the top-k, then rank the k survivors
+    // — the previous global window sorted ALL nodes through one task
+    Ranks.zipRank(harmonic.orderBy(col("harmonic").desc, col("id").asc).limit(k),
+      Seq(col("harmonic").desc, col("id").asc), "rank", base = 1L)
   }
 }

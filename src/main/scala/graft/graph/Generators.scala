@@ -391,13 +391,13 @@ object Generators {
     var nLeft = unassigned.count()
     while (nLeft > 0 && roundA < maxRoundsA) {
       val rSeed = seed + 100 + roundA
-      val nodeRank = unassigned.withColumn("r",
-        row_number().over(Window.orderBy(
-          xxhash64(lit(rSeed), col("id")), col("id"))).cast("long"))
-      val slotRank = openSlots.withColumn("r",
-        row_number().over(Window.orderBy(
-          xxhash64(lit(rSeed + 1), col("community"), col("slot")),
-          col("community"), col("slot"))).cast("long"))
+      // rank↔rank pairing needs one CONSISTENT global order per side —
+      // distributed sort + zipWithIndex (Ranks), not a global window
+      val nodeRank = Ranks.zipRank(unassigned,
+        Seq(xxhash64(lit(rSeed), col("id")), col("id")), "r", base = 1L)
+      val slotRank = Ranks.zipRank(openSlots,
+        Seq(xxhash64(lit(rSeed + 1), col("community"), col("slot")),
+          col("community"), col("slot")), "r", base = 1L)
       val pairedA = nodeRank.join(slotRank, "r")
       // the reference's constraint: community must be STRICTLY larger
       // than the node's internal degree; in the final round stragglers
@@ -462,10 +462,9 @@ object Generators {
     var nStubs = stubs.count()
     while (nStubs > 1 && roundB < maxRoundsB) {
       val rSeed = seed + 500 + roundB
-      val ranked = stubs.withColumn("r",
-        row_number().over(Window.orderBy(
-          xxhash64(lit(rSeed), col("id"), col("k")), col("id"), col("k")))
-          .cast("long") - 1)
+      val ranked = Ranks.zipRank(stubs,
+        Seq(xxhash64(lit(rSeed), col("id"), col("k")), col("id"), col("k")),
+        "r", base = 0L)
       val l = ranked.filter(col("r") % 2 === 0).select(
         expr("r div 2").as("p"), col("id").as("u"),
         col("community").as("cu"), col("k").as("ku"))
@@ -769,13 +768,12 @@ object Generators {
 
   def configurationModel(spark: SparkSession, degrees: DataFrame,
       seed: Long = 42): PropertyGraph = {
-    val stubs = degrees.select(col("id"), col("deg"))
-      .filter(col("deg") > 0)
-      .select(col("id"), explode(sequence(lit(1L), col("deg"))).as("k"))
-      .withColumn("r",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(xxhash64(lit(seed), col("id"), col("k")), col("id"), col("k")))
-          .cast("long") - 1)
+    val stubs = Ranks.zipRank(
+      degrees.select(col("id"), col("deg"))
+        .filter(col("deg") > 0)
+        .select(col("id"), explode(sequence(lit(1L), col("deg"))).as("k")),
+      Seq(xxhash64(lit(seed), col("id"), col("k")), col("id"), col("k")),
+      "r", base = 0L)
     val evens = stubs.filter(col("r") % 2 === 0)
       .select(expr("r div 2").as("p"), col("id").as("src"))
     val odds = stubs.filter(col("r") % 2 === 1)

@@ -88,12 +88,20 @@ object GraphOps {
   }
 
   /** Dense re-id 0..n-1 (reference `getContinuousNodeIds`,
-    * `graphtools.pyx:578`): rank over sorted ids, join-remapped onto
-    * both endpoints. Window over a single global ordering — fine for
-    * id dictionaries (n rows), never applied to edges directly. */
+    * `graphtools.pyx:578`): distributed range-partitioned sort +
+    * `zipWithIndex` rank (no single-partition window stage),
+    * join-remapped onto both endpoints. */
   def compactIds(g: PropertyGraph): (PropertyGraph, DataFrame) = {
-    val mapping = g.vertices.select("id")
-      .withColumn("newId", row_number().over(Window.orderBy("id")).cast("long") - 1)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val spark = g.edges.sparkSession
+    val mapSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("newId", LongType, nullable = false)))
+    val mapping = spark.createDataFrame(
+      g.vertices.select("id").sort("id").rdd.zipWithIndex
+        .map { case (r, i) => Row(r.getLong(0), i) },
+      mapSchema).localCheckpoint()
     val e = g.edges
       .join(mapping.withColumnRenamed("id", "src"), "src")
       .withColumnRenamed("newId", "newSrc")

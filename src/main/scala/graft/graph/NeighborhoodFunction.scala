@@ -58,19 +58,24 @@ object NeighborhoodFunction {
     * multi-source BFS + one tiny per-distance aggregate — the sampled
     * alternative to the [[approximate]] ANF sketch. `(h, nf)`. */
   def heuristic(g: PropertyGraph, nSamples: Int = 32,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42, checkPreconditions: Boolean = true): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     // the reference's preconditions (NeighborhoodFunctionHeuristic.cpp:30):
     // the NF(diameter) = n(n−1) anchor and the n/k scaling are only valid
     // on an undirected single-component graph — reject anything else
-    // rather than return misleading numbers
+    // rather than return misleading numbers. The connectivity check is a
+    // full distributed CC run (can rival the heuristic's own cost on big
+    // graphs) — callers that already know the graph is connected pass
+    // checkPreconditions = false to skip it.
     require(!g.directed,
       "current implementation can only deal with undirected graphs")
-    val nComp = ConnectedComponents.run(g)
-      .agg(countDistinct(col("component"))).head.getLong(0)
-    require(nComp <= 1,
-      "current implementation only runs on graphs with 1 connected component")
+    if (checkPreconditions) {
+      val nComp = ConnectedComponents.run(g)
+        .agg(countDistinct(col("component"))).head.getLong(0)
+      require(nComp <= 1,
+        "current implementation only runs on graphs with 1 connected component")
+    }
     val n = g.vertices.count()
     val m = g.edges.filter(col("src") =!= col("dst")).count()
     val dia = graft.graph.DistanceTail.diameter(g)._1.toInt

@@ -21,16 +21,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object Randomization {
 
+  /** Salted pairing buckets: windows are PARTITIONED by bucket, so the
+    * per-round rank sort never funnels through one task; sized off the
+    * session's parallelism so each bucket holds ~|E|/(4·cores) rows. */
+  private def pairBuckets(df: DataFrame): Int =
+    math.max(32, df.sparkSession.sparkContext.defaultParallelism * 4)
+
   private def round(edges: DataFrame, seed: Long): DataFrame = {
-    // pair edges by hashed rank: 2k with 2k+1
-    val ranked = edges.withColumn("r",
-      row_number().over(Window.orderBy(
-        xxhash64(lit(seed), col("src"), col("dst")), col("src"), col("dst")))
+    // pair edges by hashed rank WITHIN salted buckets: 2k with 2k+1;
+    // (bucket, k) folded into one unique pair id. An odd bucket leaves
+    // its last edge unpaired (kept verbatim) — pairing choice has no
+    // semantic weight, any matching samples the same swap ensemble.
+    val nB = pairBuckets(edges)
+    val ranked = edges
+      .withColumn("bkt", pmod(
+        xxhash64(lit(seed ^ 3), col("src"), col("dst")), lit(nB.toLong)))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("bkt").orderBy(
+          xxhash64(lit(seed), col("src"), col("dst")), col("src"), col("dst")))
         .cast("long") - 1)
+      .withColumn("p", expr("r div 2") * nB + col("bkt"))
     val a = ranked.filter(col("r") % 2 === 0)
-      .select(expr("r div 2").as("p"), col("src").as("a"), col("dst").as("b"))
+      .select(col("p"), col("src").as("a"), col("dst").as("b"))
     val bDf = ranked.filter(col("r") % 2 === 1)
-      .select(expr("r div 2").as("p"), col("src").as("c"), col("dst").as("d"))
+      .select(col("p"), col("src").as("c"), col("dst").as("d"))
     val pairs = a.join(bDf, "p")
     val unpaired = a.join(bDf, Seq("p"), "left_anti")
       .select(col("a").as("src"), col("b").as("dst"))
@@ -112,13 +126,18 @@ object Randomization {
     * rule, extended to unowned adjacency so re-deals cannot create
     * multi-edges. All steps are keyed joins/group-bys. */
   private def curveballRound(edges: DataFrame, seed: Long): DataFrame = {
-    // pair nodes by hashed rank: 2k with 2k+1 (odd one out keeps edges)
+    // pair nodes by hashed rank WITHIN salted buckets: 2k with 2k+1
+    // (odd ones out keep their edges via the n===2 pair filter below)
     val nodes = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()
-    val ranked = nodes.withColumn("r",
-      row_number().over(Window.orderBy(xxhash64(lit(seed), col("id")), col("id")))
+    val nB = pairBuckets(edges)
+    val ranked = nodes
+      .withColumn("bkt", pmod(xxhash64(lit(seed ^ 5), col("id")), lit(nB.toLong)))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("bkt").orderBy(xxhash64(lit(seed), col("id")), col("id")))
         .cast("long") - 1)
-    val pairAss = ranked.select(col("id"), expr("r div 2").as("p"), (col("r") % 2).as("side"))
+    val pairAss = ranked.select(col("id"),
+      (expr("r div 2") * nB + col("bkt")).as("p"), (col("r") % 2).as("side"))
     val maxPair = pairAss.groupBy("p").agg(count(lit(1)).as("n"))
       .filter(col("n") === 2).select("p")
     val inPair = pairAss.join(maxPair, "p") // drop the unpaired node

@@ -298,8 +298,7 @@ object Sparsification {
       .repartition(col("src")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adj.count()
     val n = g.vertices.count()
-    val ranked = g.vertices.select("id").withColumn("r",
-      row_number().over(Window.orderBy("id")).cast("long") - 1)
+    val ranked = Ranks.zipRank(g.vertices.select("id"), Seq(col("id")), "r")
     val roots = spark.range(nFires.toLong)
       .select(col("id").as("fire"), pmod(xxhash64(lit(seed), col("id")), lit(n)).as("r"))
       .join(ranked, "r").select(col("fire"), col("id"))

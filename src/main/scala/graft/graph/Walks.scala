@@ -108,9 +108,7 @@ object Walks {
     val (kk, t) = kPathBudget(n, m, alpha, k, trials)
     // trial i starts at a hash-uniform node with hashed length ∈ [1, k];
     // nodes are ranked 0..n-1 so every trial matches exactly one start
-    val starts = g.vertices.select(col("id"),
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id"))
-          .cast("long") - 1).as("slot"))
+    val starts = Ranks.zipRank(g.vertices.select("id"), Seq(col("id")), "slot")
     val trialsDf = spark.range(t).select(col("id").as("trial"),
         pmod(xxhash64(lit(seed), lit(1L), col("id")), lit(n)).as("slot"),
         (pmod(xxhash64(lit(seed), lit(2L), col("id")), lit(kk.toLong)) + 1).as("len"))

@@ -172,16 +172,25 @@ object Dedup {
     * approximation can only MISS pairs (lower recall), never admit
     * false ones. Component-finding reuses the distributed large/small
     * star CC kernel, O(log n) rounds at any scale. */
-  def embeddingNearDup(vectors: DataFrame, id: String, vec: String,
-      minCosine: Double, exact: Boolean = false, nBits: Int = 0): DataFrame = {
+  def embeddingNearDup(vectors0: DataFrame, id: String, vec: String,
+      minCosine: Double, exact: Boolean = false, nBits: Int = 0,
+      nRows: Long = 0L): DataFrame = {
     import graft.graph.{ConnectedComponents, PropertyGraph}
+    // auto-sizing needs a count; persist first (the plan is scanned
+    // again for bucketing + the final vertex set), or skip the count
+    // entirely when the caller passes a known nRows
+    val vectors =
+      if (exact || nBits > 0 || nRows > 0) vectors0
+      else vectors0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs =
       if (exact) Similarity.cosinePairs(vectors, id, vec, minCosine)
       else {
         // nBits ≤ 0 auto-sizes the bucket space from the corpus count —
         // a fixed bucket count makes the per-bucket join quadratic at
         // scale (see Similarity.srpBits)
-        val bits = if (nBits > 0) nBits else Similarity.srpBits(vectors.count())
+        val bits =
+          if (nBits > 0) nBits
+          else Similarity.srpBits(if (nRows > 0) nRows else vectors.count())
         val b0 = vectors.join(Similarity.srpBuckets(vectors, id, vec, bits), Seq(id))
         // multi-probe: each vector also visits its Hamming-1 buckets, so
         // a pair meets when their buckets differ by ≤ 1 bit (visit-side

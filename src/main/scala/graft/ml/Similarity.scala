@@ -290,11 +290,20 @@ object Similarity {
   /** Approximate cosine top-k: candidates restricted to the query's SRP
     * bucket (optionally ± Hamming-1 neighbors via multi-probe).
     * `nBits ≤ 0` (the default) auto-sizes the bucket space from the
-    * corpus count via [[srpBits]] — the required behavior at scale. */
+    * corpus count via [[srpBits]] — the required behavior at scale.
+    * Pass `nRows` when the caller already knows the corpus size (saves
+    * the sizing count job); otherwise the input is persisted before
+    * counting since the bucketing scans it again. */
   def annTopK(vectors: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, nBits: Int = 0, multiProbe: Boolean = true): DataFrame = {
-    val bits = if (nBits > 0) nBits else srpBits(vectors.count())
-    val vb = vectors.join(srpBuckets(vectors, id, vec, bits), Seq(id))
+      k: Int, nBits: Int = 0, multiProbe: Boolean = true,
+      nRows: Long = 0L): DataFrame = {
+    val corpus =
+      if (nBits > 0 || nRows > 0) vectors
+      else vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bits =
+      if (nBits > 0) nBits
+      else srpBits(if (nRows > 0) nRows else corpus.count())
+    val vb = corpus.join(srpBuckets(corpus, id, vec, bits), Seq(id))
     val qb0 = queries.join(srpBuckets(queries, id, vec, bits), Seq(id))
     // multi-probe: also search the nBits buckets at Hamming distance 1
     val qb =

@@ -719,12 +719,12 @@ object ExtendedQueries {
       // between Spark (HALF_UP on the shortest decimal) and DuckDB
       // (binary value) near .xx5 boundaries — scaling removes the flake
       val scaled = floor(col("score") * 100 + 0.5).cast("long")
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(scaled.desc, col("id").asc)
-      ex64.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("rank"), col("id"), scaled.as("dep64"),
-          lit(if (maxDev <= 0.1) 1L else 0L).as("within_err"))
+      val top5 = graft.graph.Ranks.zipRank(
+        ex64.withColumn("dep64", scaled)
+          .orderBy(col("dep64").desc, col("id").asc).limit(5),
+        Seq(col("dep64").desc, col("id").asc), "rank", base = 1L)
+      top5.select(col("rank"), col("id"), col("dep64"),
+        lit(if (maxDev <= 0.1) 1L else 0L).as("within_err"))
     }),
     // generator tail (ring lattice, Dorogovtsev-Mendes, Havel-Hakimi,
     // PubWeb, Mocnik, forest fire) + curveball randomization: each row
@@ -899,10 +899,9 @@ object ExtendedQueries {
       val inc = DistanceTail.dynTopHarmonic(g, state0, held, k)
         .select(col("rank"), col("id"), round(col("harmonic"), 6).as("h"))
       val scratch = ShortestPaths.harmonicCloseness(ShortestPaths.bfs(g, cands))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("harmonic").desc, col("id").asc)
-      val scratchTop = scratch.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
+      val scratchTop = graft.graph.Ranks.zipRank(
+          scratch.orderBy(col("harmonic").desc, col("id").asc).limit(k),
+          Seq(col("harmonic").desc, col("id").asc), "rank", base = 1L)
         .select(col("rank"), col("id"), round(col("harmonic"), 6).as("h"))
       val same = inc.except(scratchTop).isEmpty && scratchTop.except(inc).isEmpty
       // the oracle re-derives the top-k rows themselves from scratch, so a

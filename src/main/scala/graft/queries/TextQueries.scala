@@ -233,7 +233,7 @@ object TextQueries {
            |             FROM documents),
            |w AS (SELECT doc_id, unnest(l) AS tok FROM toks),
            |wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
-           |wg AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word
+           |wg AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_word
            |       FROM wc GROUP BY doc_id),
            |gs AS (SELECT doc_id,
            |  [array_to_string(l[i:i+1], ' ') for i in range(1, len(l))] AS g2,

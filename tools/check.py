@@ -52,22 +52,49 @@ def main():
             n_fail += 1
             print(f"  [FAIL-rows] {name}: spark={len(g)} oracle={len(e)}")
             continue
-        # value compare: stringify (timestamps/floats normalized)
+        # Dtype-sensitive compare, faithful to the driver's stringify+hash:
+        # the driver hashes stringified values, so int64(10) vs float64(10.0)
+        # IS a mismatch.  Rules:
+        #   - int-kind vs float-kind on the same column  -> FAIL (dtype)
+        #   - integer / bool / string / object columns   -> exact equality
+        #   - float on BOTH sides                        -> 1e-9 tolerance
+        #   - timestamps normalized to us on both sides
+        def dkind(s):
+            k = s.dtype.kind
+            return {"i": "i", "u": "i", "b": "b", "f": "f", "M": "M"}.get(k, "o")
+        dtype_fail = None
+        for c in g.columns:
+            kg, ke = dkind(g[c]), dkind(e[c])
+            if kg != ke and {kg, ke} <= {"i", "f"}:
+                dtype_fail = (c, g[c].dtype, e[c].dtype)
+                break
+        if dtype_fail:
+            n_fail += 1
+            c, dg, de = dtype_fail
+            print(f"  [FAIL-type] {name}: column '{c}' spark={dg} oracle={de} "
+                  f"(int-vs-float hashes differ in the driver)")
+            continue
         def norm(df):
             out = pd.DataFrame()
             for c in df.columns:
                 s = df[c]
-                if s.dtype.kind == "f":
-                    out[c] = s.round(6)
-                elif s.dtype.kind == "M":
+                if s.dtype.kind == "M":
                     out[c] = s.astype("datetime64[us]")
                 else:
                     out[c] = s
             return out
         g2, e2 = norm(g), norm(e)
         try:
-            pd.testing.assert_frame_equal(g2, e2, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
+            float_cols = [c for c in g2.columns if dkind(g2[c]) == "f"]
+            exact_cols = [c for c in g2.columns if c not in float_cols]
+            if exact_cols:
+                pd.testing.assert_frame_equal(
+                    g2[exact_cols], e2[exact_cols],
+                    check_dtype=False, check_exact=True)
+            if float_cols:
+                pd.testing.assert_frame_equal(
+                    g2[float_cols], e2[float_cols],
+                    check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
             n_pass += 1
             print(f"  [PASS     ] {name}: rows={len(g)}")
         except AssertionError as ex:
