@@ -87,9 +87,19 @@ object ScaleBench {
       timeIt("triangles") { Triangles.triangleCount(g).count(); 1L }
     else -1.0
 
+    // blocked subspace iteration (Fiedler block, k = 4): one distributed
+    // MxV + one k²-entry Gram aggregate per round — O(1) Spark jobs per
+    // round regardless of k, driver work k×k only. Opt-in via
+    // SPARK_GRAFT_KERNELS=spectral (fixed 60-round iteration, not part
+    // of the default kernel confirmation set)
+    val tSpec = if (kernels.exists(_.contains("spectral")))
+      timeIt("spectral")(Spectral.laplacianEigenvectors(g, k = 4).count())
+    else -1.0
+
     // per-iteration edge throughput: symmetric edge traversals per second
-    val prEps = 2.0 * m * prIters / tPr
-    println(f"""{"bench":"scale","scale":$scale,"edge_factor":$edgeFactor,"n":$n,"m":$m,"spark":{"pagerank10":$tPr%.3f,"cc":$tCc%.3f,"bfs":$tBfs%.3f,"degree":$tDeg%.3f,"kcore":$tCore%.3f,"triangles":$tTri%.3f},"pagerank_edge_ops_per_sec":$prEps%.0f}""")
+    // (−1 when pagerank was filtered out of this invocation)
+    val prEps = if (tPr > 0) 2.0 * m * prIters / tPr else -1.0
+    println(f"""{"bench":"scale","scale":$scale,"edge_factor":$edgeFactor,"n":$n,"m":$m,"spark":{"pagerank10":$tPr%.3f,"cc":$tCc%.3f,"bfs":$tBfs%.3f,"degree":$tDeg%.3f,"kcore":$tCore%.3f,"triangles":$tTri%.3f,"spectral":$tSpec%.3f},"pagerank_edge_ops_per_sec":$prEps%.0f}""")
     spark.stop()
   }
 }
