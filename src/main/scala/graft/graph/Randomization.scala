@@ -27,7 +27,7 @@ object Randomization {
   private def pairBuckets(df: DataFrame): Int =
     math.max(32, df.sparkSession.sparkContext.defaultParallelism * 4)
 
-  private def round(edges: DataFrame, seed: Long): DataFrame = {
+  private[graft] def round(edges: DataFrame, seed: Long): DataFrame = {
     // pair edges by hashed rank WITHIN salted buckets: 2k with 2k+1;
     // (bucket, k) folded into one unique pair id. An odd bucket leaves
     // its last edge unpaired (kept verbatim) — pairing choice has no
@@ -125,7 +125,7 @@ object Randomization {
     * treated as common and kept — exactly curveball's common-neighbor
     * rule, extended to unowned adjacency so re-deals cannot create
     * multi-edges. All steps are keyed joins/group-bys. */
-  private def curveballRound(edges: DataFrame, seed: Long): DataFrame = {
+  private[graft] def curveballRound(edges: DataFrame, seed: Long): DataFrame = {
     // pair nodes by hashed rank WITHIN salted buckets: 2k with 2k+1
     // (odd ones out keep their edges via the n===2 pair filter below)
     val nodes = edges.select(col("src").as("id"))

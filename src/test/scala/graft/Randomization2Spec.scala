@@ -31,6 +31,33 @@ class Randomization2Spec extends SparkSpec {
     assert(moved.filter(col("dOld") =!= col("d")).isEmpty)
   }
 
+  test("edge switching / curveball rounds: no single-task exchange in the DAG") {
+    // the r8 implementation globally ranked edges/nodes each round —
+    // a Window with an empty partition spec, i.e. `Exchange SinglePartition`
+    // in the physical plan. Bucketed pairing must produce neither.
+    val karate = GraphReaders.readMetis(spark, "/root/reference/input/karate.graph")
+    val es = Randomization.edgeSwitching(karate, rounds = 1, seed = 3)
+    val cb = Randomization.globalCurveball(karate, trades = 1, seed = 3)
+    // the public API localCheckpoints each round, hiding its plan — audit
+    // one un-materialized round directly (package-private for this gate)
+    val base = graft.graph.PropertyGraph.canonicalizeUndirected(
+      karate.edges.filter(col("src") =!= col("dst"))).select("src", "dst").distinct()
+    Seq(Randomization.round(base, 3L), Randomization.curveballRound(base, 3L))
+      .foreach { oneRound =>
+        val p = oneRound.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange SinglePartition"),
+          s"randomization round plan has a single-task exchange:\n$p")
+      }
+    // and the results still hold the degree invariant
+    def degs(e: org.apache.spark.sql.DataFrame) =
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+        .groupBy("id").count()
+    assert(degs(es.edges.select("src", "dst"))
+      .except(degs(karate.adjacency.filter(col("src") < col("dst"))
+        .select("src", "dst"))).isEmpty)
+    assert(cb.edges.count() == 78)
+  }
+
   test("clusteredRandom: planted partition, deterministic, rates ordered") {
     val (g, part) = Generators.clusteredRandom(spark, 400, 4, 0.2, 0.01, seed = 8)
     val (g2, _) = Generators.clusteredRandom(spark, 400, 4, 0.2, 0.01, seed = 8)
