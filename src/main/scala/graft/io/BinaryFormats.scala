@@ -347,4 +347,83 @@ object BinaryFormats {
     rows.foreach { r => put(r.getLong(0) + firstNode); put(r.getLong(1)) }
     os.close()
   }
+
+  /** DiBaP `.gi` binary reader (reference `DibapGraphReader.hpp:25`,
+    * `DibapGraphReader.cpp:32`): big-endian ("network order") stream —
+    * int16 type tag `GI`, int32 n, int32 vertex-weight dim (+ n·dvw
+    * int32 weights), int32 CSR offsets `of[0..n]`, `of[n]` int32
+    * targets, int32 edge-weight dim (+ 2m·dew int32 weights), int32
+    * coordinate dim (+ n·dxy float32 coordinates, exposed via
+    * [[readDibapCoordinates]]). The CSR stores BOTH directions; the
+    * graph keeps the `v ≤ to[e]` half once, first occurrence winning on
+    * duplicates, exactly like the reference's checked addEdge loop.
+    * Single sequential file → one decode task, no driver byte handling. */
+  def readDibap(spark: SparkSession, path: String): PropertyGraph = {
+    import spark.implicits._
+    val decoded = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, stream) =>
+        val bytes = stream.toArray()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        require(bb.getShort() == (('G' << 8) | 'I').toShort,
+          "bad file structure (not a DiBaP GI file)")
+        val n = bb.getInt()
+        val dvw = bb.getInt()
+        bb.position(bb.position() + n * dvw * 4) // vertex weights unused
+        val of = Array.fill(n + 1)(bb.getInt())
+        val numE2 = of(n)
+        val to = Array.fill(numE2)(bb.getInt())
+        val dew = bb.getInt()
+        val ew = if (dew > 0) Array.fill(numE2 * dew)(bb.getInt()) else null
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+        var v = 0
+        while (v < n) {
+          // node marker row keeps isolated vertices in the vertex set
+          out += ((v.toLong, -1L, 0.0, 1L))
+          var e = of(v)
+          while (e < of(v + 1)) {
+            if (v <= to(e))
+              out += ((v.toLong, to(e).toLong,
+                if (dew > 0) ew(e * dew).toDouble else 1.0, 0L))
+            e += 1
+          }
+          v += 1
+        }
+        out.iterator
+      }.toDF("src", "dst", "weight", "isNode").localCheckpoint(true)
+    val vertices = decoded.filter(col("isNode") === 1).select(col("src").as("id"))
+    // duplicates: first CSR occurrence wins (weights identical per edge
+    // in practice; min keeps determinism either way)
+    val edges = decoded.filter(col("isNode") === 0)
+      .groupBy("src", "dst").agg(min("weight").as("weight"))
+    PropertyGraph(edges, directed = false, Some(vertices))
+  }
+
+  /** Node coordinates from a DiBaP `.gi` file: `(id, coords: array<double>)`
+    * (empty result when the file carries no coordinate block). */
+  def readDibapCoordinates(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, stream) =>
+        val bytes = stream.toArray()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        require(bb.getShort() == (('G' << 8) | 'I').toShort,
+          "bad file structure (not a DiBaP GI file)")
+        val n = bb.getInt()
+        val dvw = bb.getInt()
+        bb.position(bb.position() + n * dvw * 4)
+        val nOf = n + 1
+        var i = 0; var numE2 = 0
+        while (i < nOf) { numE2 = bb.getInt(); i += 1 } // of[n] is the last
+        bb.position(bb.position() + numE2 * 4) // targets
+        val dew = bb.getInt()
+        bb.position(bb.position() + numE2 * dew * 4)
+        val dxy = bb.getInt()
+        if (dxy <= 0) Iterator.empty
+        else (0 until n).iterator.map { u =>
+          (u.toLong, Seq.fill(dxy)(bb.getFloat().toDouble))
+        }
+      }.toDF("id", "coords")
+  }
 }

@@ -651,6 +651,9 @@ object GraphReaders {
     val fmt = if (format.nonEmpty) format else guessFileFormat(spark, path)
     fmt match {
       case "GraphToolBinary" => BinaryFormats.readGraphTool(spark, path)
+      // explicit-format only, like the reference's C++ reader (its
+      // guessFileFormat table does not sniff the GI magic)
+      case "DibaP" => BinaryFormats.readDibap(spark, path)
       case "NetworkitBinary" => NetworkitBinary.read(spark, path)
       case "GEXF" => Gexf.read(spark, path)._1
       case "GraphML" => Gexf.readGraphMl(spark, path)

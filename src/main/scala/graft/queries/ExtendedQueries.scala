@@ -179,6 +179,30 @@ object ExtendedQueries {
         directed = false, Some(s.range(2L * c).select(col("id"))))
       Spectral.spectralBisection(g)
     }),
+    // DiBaP .gi binary reader on the reference's own airfoil1 fixture:
+    // hard Spark-side require that the binary parse equals the METIS
+    // twin edge-for-edge, then emit the degree table + coordinate dim;
+    // the oracle re-derives degrees character-level from the TEXT twin
+    "x89_dibap" -> ((s, dir) => {
+      val gi = graft.io.BinaryFormats.readDibap(
+        s, "/root/reference/input/airfoil1.gi")
+      val twin = graft.io.GraphReaders.readMetis(
+        s, "/root/reference/input/airfoil1.graph")
+      def canon(g: PropertyGraph) = PropertyGraph.canonicalizeUndirected(
+        g.edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+        .select("src", "dst")
+      require(canon(gi).except(canon(twin)).isEmpty &&
+        canon(twin).except(canon(gi)).isEmpty,
+        "dibap fixture must equal its METIS twin edge-for-edge")
+      val coordDim = graft.io.BinaryFormats.readDibapCoordinates(
+          s, "/root/reference/input/airfoil1.gi")
+        .select(size(col("coords"))).distinct().head.getInt(0)
+      gi.vertices.select("id")
+        .join(gi.adjacency.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          lit(coordDim.toLong).as("coord_dim"))
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1765,6 +1789,18 @@ object ExtendedQueries {
     "x88_bisect" ->
       """SELECT j AS id, (CASE WHEN j < 8 THEN 0 ELSE 1 END)::BIGINT AS side
         |FROM range(0, 16) t(j)""".stripMargin,
+    // character-level re-derivation from the METIS TEXT twin (line i
+    // lists node i−2's neighbors; fixture verified blank-line-free);
+    // coord_dim = 2 is the published airfoil1 fixture property the
+    // Spark side must extract from the binary coordinate block
+    "x89_dibap" ->
+      raw"""WITH raw AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/root/reference/input/airfoil1.graph',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'}))
+        |SELECT ln - 2 AS id,
+        |  len(string_split_regex(l, '\s+'))::BIGINT AS deg,
+        |  2::BIGINT AS coord_dim
+        |FROM raw WHERE ln > 1""".stripMargin,
     "x87_electrical2" ->
       """SELECT 'path_r' AS kind, 0::BIGINT AS a, j::BIGINT AS b, 1::BIGINT AS within_tol
         |FROM range(1, 24) t(j)

@@ -20,6 +20,25 @@ class Io2Spec extends SparkSpec {
     g.edges.select("src", "dst").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("dibap: airfoil1.gi equals its METIS twin; coordinates are 2-D") {
+    val gi = graft.io.BinaryFormats.readDibap(
+      spark, "/root/reference/input/airfoil1.gi")
+    val twin = GraphReaders.readMetis(
+      spark, "/root/reference/input/airfoil1.graph")
+    assert(gi.vertices.count() == 4253)
+    assert(gi.edges.count() == 12289) // METIS header: 4253 12289
+    def canon(g: PropertyGraph) = PropertyGraph.canonicalizeUndirected(
+      g.edges.select(col("src"), col("dst"), lit(1.0).as("weight")))
+      .select("src", "dst")
+    assert(canon(gi).except(canon(twin)).isEmpty &&
+      canon(twin).except(canon(gi)).isEmpty,
+      "dibap fixture must equal its METIS twin edge-for-edge")
+    val coords = graft.io.BinaryFormats.readDibapCoordinates(
+      spark, "/root/reference/input/airfoil1.gi")
+    assert(coords.count() == 4253)
+    assert(coords.select(size(col("coords"))).distinct().head.getInt(0) == 2)
+  }
+
   test("thrill: write karate, read back the identical edge set") {
     val path = "/tmp/graft_karate.thrill"
     BinaryFormats.writeThrill(karate, path)
