@@ -203,6 +203,27 @@ object ExtendedQueries {
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
           lit(coordDim.toLong).as("coord_dim"))
     }),
+    // profiling stat battery (reference profiling/stat.py) over the
+    // part-graph degree distribution + Spearman(degree, triangles):
+    // every value emitted as floor(v·1e6 + 0.5) — identical IEEE
+    // multiply/add/floor on both engines (round() differs near .xx5)
+    "x90_profile" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val deg = g.degrees
+      val stats = graft.stats.Profiling.measureStats(deg, "degree")
+      val tri = deg.join(graft.graph.Triangles.perNode(g), Seq("id"), "left")
+        .select(col("id"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("tri"))
+        .localCheckpoint(true)
+      val sp = graft.stats.Profiling.spearman(
+        tri.select("id", "degree"), tri.select("id", "tri"),
+        "id", "degree", "tri")
+      stats.unionAll(Seq(("spearman_degree_triangles", sp)).toDF("stat", "value"))
+        .select(col("stat"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("value_e6"))
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1789,6 +1810,73 @@ object ExtendedQueries {
     "x88_bisect" ->
       """SELECT j AS id, (CASE WHEN j < 8 THEN 0 ELSE 1 END)::BIGINT AS side
         |FROM range(0, 16) t(j)""".stripMargin,
+    // the same stat battery re-derived in SQL: α-quartile rule via a
+    // sorted list, two-pass moments, tie-averaged ranks for Spearman
+    "x90_profile" ->
+      s"""WITH $graphCte,
+         |tri AS (SELECT s1.src AS id, count(*) AS t
+         |  FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+         |  JOIN e ON e.src = s1.dst AND e.dst = s2.dst
+         |  GROUP BY s1.src),
+         |dt AS (SELECT d.id, d.d::DOUBLE AS degree,
+         |         coalesce(t.t, 0)::DOUBLE AS tri
+         |       FROM deg d LEFT JOIN tri t USING (id)),
+         |ra AS (SELECT id, avg(rn) OVER (PARTITION BY degree) AS ra FROM
+         |  (SELECT id, degree, row_number() OVER (ORDER BY degree, id) AS rn FROM dt)),
+         |rb AS (SELECT id, avg(rn) OVER (PARTITION BY tri) AS rb FROM
+         |  (SELECT id, tri, row_number() OVER (ORDER BY tri, id) AS rn FROM dt)),
+         |sp AS (SELECT corr(ra.ra, rb.rb) AS v FROM ra JOIN rb USING (id)),
+         |s AS (SELECT count(*)::BIGINT AS n, min(d)::DOUBLE AS mn,
+         |  max(d)::DOUBLE AS mx, avg(d::DOUBLE) AS mean,
+         |  sqrt(avg((d::DOUBLE)^2)) AS qm, cbrt(avg((d::DOUBLE)^3)) AS cm,
+         |  1.0 / avg(1.0 / d::DOUBLE) AS hm,
+         |  list_sort(list(d::DOUBLE)) AS a FROM deg),
+         |q AS (SELECT *,
+         |  CASE WHEN floor(0.25*n) <> 0.25*n OR floor(0.25*n) < 1
+         |    THEN a[(floor(0.25*n)+1)::INT]
+         |    ELSE (a[floor(0.25*n)::INT] + a[(floor(0.25*n)+1)::INT]) / 2.0 END AS q1,
+         |  CASE WHEN floor(0.5*n) <> 0.5*n OR floor(0.5*n) < 1
+         |    THEN a[(floor(0.5*n)+1)::INT]
+         |    ELSE (a[floor(0.5*n)::INT] + a[(floor(0.5*n)+1)::INT]) / 2.0 END AS med,
+         |  CASE WHEN floor(0.75*n) <> 0.75*n OR floor(0.75*n) < 1
+         |    THEN a[(floor(0.75*n)+1)::INT]
+         |    ELSE (a[floor(0.75*n)::INT] + a[(floor(0.75*n)+1)::INT]) / 2.0 END AS q3,
+         |  list_aggregate(a[(floor(0.25*n)+1)::INT:(n-floor(0.25*n))::INT], 'avg') AS iqm
+         |  FROM s),
+         |m AS (SELECT q.*, avg((d.d::DOUBLE - q.mean)^2) AS vu
+         |      FROM deg d CROSS JOIN q GROUP BY ALL),
+         |m2 AS (SELECT m.*, vu * n / (n-1) AS vc, sqrt(vu * n / (n-1)) AS sd,
+         |       sqrt(vu) AS sdu FROM m),
+         |m3 AS (SELECT m2.*,
+         |  avg(((d.d::DOUBLE - m2.mean) / m2.sd)^3) AS sk,
+         |  avg(((d.d::DOUBLE - m2.mean) / m2.sd)^4) - 3 AS ku
+         |  FROM deg d CROSS JOIN m2 GROUP BY ALL),
+         |rows0 AS (
+         |  SELECT 'size' AS stat, n::DOUBLE AS value FROM m3
+         |  UNION ALL SELECT 'min', mn FROM m3
+         |  UNION ALL SELECT 'max', mx FROM m3
+         |  UNION ALL SELECT 'arithmetic_mean', mean FROM m3
+         |  UNION ALL SELECT 'quadratic_mean', qm FROM m3
+         |  UNION ALL SELECT 'cubic_mean', cm FROM m3
+         |  UNION ALL SELECT 'harmonic_mean', hm FROM m3
+         |  UNION ALL SELECT 'q1', q1 FROM m3
+         |  UNION ALL SELECT 'median', med FROM m3
+         |  UNION ALL SELECT 'q3', q3 FROM m3
+         |  UNION ALL SELECT 'interquartile_mean', iqm FROM m3
+         |  UNION ALL SELECT 'iqr', q3 - q1 FROM m3
+         |  UNION ALL SELECT 'sample_range', mx - mn FROM m3
+         |  UNION ALL SELECT 'mid_range', (mn + mx) / 2 FROM m3
+         |  UNION ALL SELECT 'uncorrected_variance', vu FROM m3
+         |  UNION ALL SELECT 'variance', vc FROM m3
+         |  UNION ALL SELECT 'standard_deviation', sd FROM m3
+         |  UNION ALL SELECT 'uncorrected_standard_deviation', sdu FROM m3
+         |  UNION ALL SELECT 'coefficient_of_variation', sd / mean FROM m3
+         |  UNION ALL SELECT 'uncorrected_coefficient_of_variation', sdu / mean FROM m3
+         |  UNION ALL SELECT 'skewness_yp', 3 * (mean - med) / sd FROM m3
+         |  UNION ALL SELECT 'skewness_m', sk FROM m3
+         |  UNION ALL SELECT 'kurtosis', ku FROM m3
+         |  UNION ALL SELECT 'spearman_degree_triangles', v FROM sp)
+         |SELECT stat, floor(value * 1e6 + 0.5)::BIGINT AS value_e6 FROM rows0""".stripMargin,
     // character-level re-derivation from the METIS TEXT twin (line i
     // lists node i−2's neighbors; fixture verified blank-line-free);
     // coord_dim = 2 is the published airfoil1 fixture property the
