@@ -224,6 +224,57 @@ object ExtendedQueries {
         .select(col("stat"),
           floor(col("value") * 1e6 + 0.5).cast("long").as("value_e6"))
     }),
+    // partition / cover readers on the reference's own community
+    // fixtures (EdgeListPartitionReader(1) / EdgeListCoverReader(1) /
+    // CoverReader semantics); the oracle re-parses the text files
+    // character-level, so every (id, community) row is independently
+    // re-derived
+    "x91_partio" -> ((s, dir) => {
+      val p = graft.io.GraphReaders.readEdgeListPartition(
+          s, "/root/reference/input/community.dat", firstNode = 1L)
+        .select(lit("partition").as("source"), col("id"), col("community"))
+      val elc = graft.io.GraphReaders.readEdgeListCover(
+          s, "/root/reference/input/community_overlapping.dat", firstNode = 1L)
+        .select(lit("elcover").as("source"), col("id"), col("community"))
+      val cov = graft.io.GraphReaders.readCover(
+          s, "/root/reference/input/community_overlapping.cover")
+        .select(lit("cover").as("source"), col("id"), col("community"))
+      p.unionAll(elc).unionAll(cov)
+    }),
+    // A* (reference `distance/AStar.hpp`): 3 source↔target pairs on the
+    // unit-weight part graph, run with BOTH the zero heuristic (≡
+    // dijkstra) and the tightest admissible landmark heuristic
+    // h(v) = d(v, t); a hard require pins their equality (heuristic
+    // admissibility gate), the oracle re-derives the hop distances by
+    // recursive CTE
+    "x92_astar" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g0 = DerivedGraphs.partGraph(s, dir, 2)
+      val g = PropertyGraph(
+        g0.edges.select(col("src"), col("dst"), lit(1.0).as("weight")),
+        directed = false, g0.verticesOpt)
+      val lows = g.vertices.orderBy(col("id").asc).limit(3)
+        .collect().map(_.getLong(0))
+      val highs = g.vertices.orderBy(col("id").desc).limit(3)
+        .collect().map(_.getLong(0))
+      // ONE multi-source BFS from all targets supplies every landmark
+      // table h(v) = d(v, t) AND the true distances the A* runs must hit
+      val lm = graft.graph.ShortestPaths.bfs(g, highs.toSeq.toDF("source"))
+        .select(col("source"), col("id"), col("dist").cast("double").as("h"))
+        .localCheckpoint(true)
+      val rows = lows.zip(highs).flatMap { case (a, b) =>
+        val hB = lm.filter(col("source") === b).select("id", "h")
+        val dh = graft.graph.Paths.aStar(g, a, b, hB)
+          .select("dist").as[Double].collect().headOption
+        val want = lm.filter(col("source") === b && col("id") === a)
+          .select("h").as[Double].collect().headOption
+        require(dh == want,
+          s"A* with admissible landmark heuristic must equal the BFS distance ($a->$b: $dh vs $want)")
+        dh.map(d => (a, b, d.toLong))
+      }
+      rows.toSeq.toDF("s", "t", "dist")
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1810,6 +1861,54 @@ object ExtendedQueries {
     "x88_bisect" ->
       """SELECT j AS id, (CASE WHEN j < 8 THEN 0 ELSE 1 END)::BIGINT AS side
         |FROM range(0, 16) t(j)""".stripMargin,
+    // recursive-CTE hop distances for the 3 lowest↔highest id pairs
+    "x92_astar" ->
+      s"""WITH RECURSIVE $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |los AS (SELECT id, row_number() OVER (ORDER BY id) AS rn
+         |        FROM (SELECT id FROM nodes ORDER BY id LIMIT 3)),
+         |his AS (SELECT id, row_number() OVER (ORDER BY id DESC) AS rn
+         |        FROM (SELECT id FROM nodes ORDER BY id DESC LIMIT 3)),
+         |pairs AS (SELECT l.id AS s, h.id AS t FROM los l JOIN his h USING (rn)),
+         |reach(s, id, dist) AS (
+         |  SELECT id, id, 0 FROM los
+         |  UNION
+         |  SELECT r.s, e2.dst, r.dist + 1 FROM reach r
+         |  JOIN sym e2 ON e2.src = r.id WHERE r.dist < 30),
+         |d AS (SELECT s, id, min(dist) AS dist FROM reach GROUP BY s, id)
+         |SELECT p.s, p.t, d.dist::BIGINT AS dist
+         |FROM pairs p JOIN d ON d.s = p.s AND d.id = p.t""".stripMargin,
+    // character-level re-parse of the three community fixtures: the
+    // .dat partition is (node, community) with 1-based nodes; the
+    // overlapping .dat lists a 1-based node then its community ids; the
+    // .cover lists community c's members on non-comment line rank c
+    "x91_partio" ->
+      raw"""WITH p0 AS (SELECT trim(l) AS l
+        |  FROM read_csv('/root/reference/input/community.dat', header=false,
+        |    delim='|', quote='', columns={'l': 'VARCHAR'})
+        |  WHERE l NOT LIKE '#%' AND trim(l) <> ''),
+        |part AS (SELECT 'partition' AS source,
+        |    string_split_regex(l, '\s+')[1]::BIGINT - 1 AS id,
+        |    string_split_regex(l, '\s+')[2]::BIGINT AS community FROM p0),
+        |e0 AS (SELECT trim(l) AS l
+        |  FROM read_csv('/root/reference/input/community_overlapping.dat',
+        |    header=false, delim='|', quote='', columns={'l': 'VARCHAR'})
+        |  WHERE l NOT LIKE '#%' AND trim(l) <> ''),
+        |elc AS (SELECT 'elcover' AS source,
+        |    string_split_regex(l, '\s+')[1]::BIGINT - 1 AS id,
+        |    unnest(string_split_regex(l, '\s+')[2:])::BIGINT AS community FROM e0),
+        |craw AS (SELECT
+        |    unnest(string_split(regexp_replace(content, '\n$$', ''), chr(10))) AS l,
+        |    unnest(generate_series(1,
+        |      len(string_split(regexp_replace(content, '\n$$', ''), chr(10))))) AS i
+        |  FROM read_text('/root/reference/input/community_overlapping.cover')),
+        |c0 AS (SELECT row_number() OVER (ORDER BY i) - 1 AS community, trim(l) AS l
+        |  FROM craw WHERE l NOT LIKE '#%'),
+        |cov AS (SELECT 'cover' AS source,
+        |    unnest(string_split_regex(l, '\s+'))::BIGINT AS id,
+        |    community FROM c0 WHERE l <> '')
+        |SELECT * FROM part UNION ALL SELECT * FROM elc
+        |UNION ALL SELECT * FROM cov""".stripMargin,
     // the same stat battery re-derived in SQL: α-quartile rule via a
     // sorted list, two-pass moments, tie-averaged ranks for Spearman
     "x90_profile" ->
