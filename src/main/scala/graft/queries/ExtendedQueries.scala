@@ -275,6 +275,36 @@ object ExtendedQueries {
       }
       rows.toSeq.toDF("s", "t", "dist")
     }),
+    // GraphML writer → reader on the WEIGHTED part graph (no GraphML
+    // fixture ships upstream): a hard require pins read-back == source
+    // under the writer's dense re-id, then the emitted weighted degree
+    // table is re-derived character-level from the XML by the oracle
+    "x93_graphml" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = "/tmp/graft_x93.graphml"
+      graft.io.Gexf.writeGraphMl(g, p)
+      val back = graft.io.Gexf.readGraphMl(s, p)
+      // writer emits nodes sorted by id; reader densifies in document
+      // order → dense id = rank of the original id
+      val m = graft.graph.Ranks.zipRank(
+        g.vertices.select("id"), Seq(col("id")), "did")
+      val remapped = g.edges
+        .join(m.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("did", "dsrc")
+        .join(m.withColumnRenamed("id", "dst"), "dst")
+        .withColumnRenamed("did", "ddst")
+        .select(least(col("dsrc"), col("ddst")).as("src"),
+          greatest(col("dsrc"), col("ddst")).as("dst"), col("weight"))
+      val got = back.edges.select("src", "dst", "weight")
+      require(got.except(remapped).isEmpty && remapped.except(got).isEmpty,
+        "GraphML write -> read must reproduce the weighted edge set")
+      back.vertices.select("id")
+        .join(back.adjacency.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"), round(sum("weight"), 4).as("wdeg")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          coalesce(col("wdeg"), lit(0.0)).as("wdeg"))
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1861,6 +1891,29 @@ object ExtendedQueries {
     "x88_bisect" ->
       """SELECT j AS id, (CASE WHEN j < 8 THEN 0 ELSE 1 END)::BIGINT AS side
         |FROM range(0, 16) t(j)""".stripMargin,
+    // character-level XML re-parse of the file the Spark side wrote:
+    // node dense id = document order, edges joined by their n<id>
+    // attributes, weights from the <data> payload, weighted degrees
+    // over both endpoints (undirected)
+    "x93_graphml" ->
+      raw"""WITH x0 AS (SELECT row_number() OVER () AS ln, trim(l) AS l
+        |  FROM read_csv('/tmp/graft_x93.graphml', header=false,
+        |    delim='|', quote='', columns={'l': 'VARCHAR'})),
+        |nd AS (SELECT row_number() OVER (ORDER BY ln) - 1 AS id,
+        |    regexp_extract(l, 'node id="([^"]+)"', 1) AS nid
+        |  FROM x0 WHERE l LIKE '<node %'),
+        |ed AS (SELECT regexp_extract(l, 'source="([^"]+)"', 1) AS sid,
+        |    regexp_extract(l, 'target="([^"]+)"', 1) AS tid,
+        |    regexp_extract(l, '<data key="d1">([^<]+)</data>', 1)::DOUBLE AS w
+        |  FROM x0 WHERE l LIKE '<edge %'),
+        |e2 AS (SELECT ns.id AS src, nt.id AS dst, w FROM ed
+        |  JOIN nd ns ON ns.nid = ed.sid JOIN nd nt ON nt.nid = ed.tid),
+        |sym AS (SELECT src, dst, w FROM e2
+        |        UNION ALL SELECT dst, src, w FROM e2)
+        |SELECT n.id, coalesce(d.deg, 0)::BIGINT AS deg,
+        |  coalesce(d.wdeg, 0.0) AS wdeg
+        |FROM nd n LEFT JOIN (SELECT src AS id, count(*) AS deg,
+        |  round(sum(w), 4) AS wdeg FROM sym GROUP BY src) d USING (id)""".stripMargin,
     // recursive-CTE hop distances for the 3 lowest↔highest id pairs
     "x92_astar" ->
       s"""WITH RECURSIVE $graphCte,
