@@ -305,6 +305,19 @@ object ExtendedQueries {
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
           coalesce(col("wdeg"), lit(0.0)).as("wdeg"))
     }),
+    // projection ops upgraded spec→oracle: compactIds' dense re-id map
+    // (rank over sorted ids) and transpose (out-degree of the transposed
+    // directed graph = in-degree of the src<dst orientation)
+    "x94_projections" -> ((s, dir) => {
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val (_, mapping) = GraphOps.compactIds(g)
+      val dirG = PropertyGraph(g.edges, directed = true) // edges are src<dst
+      val t = GraphOps.transpose(dirG)
+      val tdeg = t.edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("v"))
+      mapping.select(lit("compact").as("kind"), col("id"), col("newId").as("v"))
+        .unionAll(tdeg.select(lit("tdeg").as("kind"), col("id"), col("v")))
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1891,6 +1904,16 @@ object ExtendedQueries {
     "x88_bisect" ->
       """SELECT j AS id, (CASE WHEN j < 8 THEN 0 ELSE 1 END)::BIGINT AS side
         |FROM range(0, 16) t(j)""".stripMargin,
+    // dense re-id = row_number over sorted ids; transpose out-degree =
+    // in-degree of the src<dst oriented edge table
+    "x94_projections" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |cmp AS (SELECT 'compact' AS kind, id,
+         |  row_number() OVER (ORDER BY id) - 1 AS v FROM nodes),
+         |td AS (SELECT 'tdeg' AS kind, dst AS id, count(*) AS v
+         |       FROM e GROUP BY dst)
+         |SELECT * FROM cmp UNION ALL SELECT * FROM td""".stripMargin,
     // character-level XML re-parse of the file the Spark side wrote:
     // node dense id = document order, edges joined by their n<id>
     // attributes, weights from the <data> payload, weighted degrees
