@@ -42,9 +42,14 @@ object Multigrid {
 
   /** One level of the hierarchy: operator `a` (COO `(i,j,v)`), inverse
     * diagonal `dinv` (`(i, v)`), prolongator `p` to THIS level from the
-    * coarser one (`(i fine, j coarse, v=1)`), nodes. */
+    * coarser one (`(i fine, j coarse, v=1)`), nodes. `gsColors` (proper
+    * coloring of the level operator + its color ids in sweep order) is
+    * present when the hierarchy was set up with
+    * `smoother = "gauss-seidel"` — the smoothing sweeps then run
+    * multi-color [[GaussSeidel]] instead of damped Jacobi. */
   final case class Level(a: DataFrame, dinv: DataFrame,
-      p: Option[DataFrame], n: Long)
+      p: Option[DataFrame], n: Long,
+      gsColors: Option[(DataFrame, Seq[Int])] = None)
 
   /** Pairwise aggregation `(i, agg)` for one coarsening step: each node
     * points at its strongest off-diagonal neighbor (|v|, symmetric-hash
@@ -87,7 +92,14 @@ object Multigrid {
   }
 
   /** Build the level hierarchy down to ≤ `coarsestN` nodes. */
-  def setup(a0: DataFrame, coarsestN: Int = 64, maxLevels: Int = 25): Seq[Level] = {
+  /** Build the level hierarchy. `smoother` picks the relaxation used by
+    * every V-cycle against this hierarchy: `"jacobi"` (default, one
+    * join per sweep) or `"gauss-seidel"` (the reference's
+    * `GaussSeidelRelaxation` smoother in its multi-color parallel form —
+    * one join per color class per sweep; colorings are computed here,
+    * once per level, and reused by every later solve). */
+  def setup(a0: DataFrame, coarsestN: Int = 64, maxLevels: Int = 25,
+      smoother: String = "jacobi"): Seq[Level] = {
     var a = a0.select(col("i"), col("j"), col("v")).localCheckpoint(true)
     var n = a.select("i").distinct().count()
     val levels = scala.collection.mutable.ArrayBuffer.empty[Level]
@@ -96,7 +108,13 @@ object Multigrid {
     while (!done) {
       val dinv = a.filter(col("i") === col("j")).filter(col("v") =!= 0.0)
         .select(col("i"), (lit(1.0) / col("v")).as("v")).localCheckpoint(true)
-      levels += Level(a, dinv, p, n)
+      val gs = if (smoother == "gauss-seidel") {
+        val cols = GaussSeidel.colorMatrix(a).localCheckpoint(true)
+        val ids = cols.select("color").distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+        Some((cols, ids))
+      } else None
+      levels += Level(a, dinv, p, n, gs)
       if (n <= coarsestN || levels.size >= maxLevels) done = true
       else {
         val agg = aggregate(a).localCheckpoint(true)
@@ -154,6 +172,14 @@ object Multigrid {
     x
   }
 
+  /** Smoothing dispatch: multi-color Gauss–Seidel when the hierarchy
+    * was set up with it, damped Jacobi otherwise. */
+  private def smooth(l: Level, b: DataFrame, x0: DataFrame, nu: Int): DataFrame =
+    l.gsColors match {
+      case Some((cols, ids)) => GaussSeidel.sweeps(l.a, b, x0, cols, ids, nu)
+      case None => jacobi(l, b, x0, nu)
+    }
+
   /** Dense coarsest-level solve on the driver: Laplacian pinned at the
     * smallest node id (row/col identity) per rhs — O(coarsestN³), a
     * constant by construction. */
@@ -206,7 +232,7 @@ object Multigrid {
     val l = levels(d)
     if (d == levels.size - 1) coarseSolve(l, r)
     else {
-      var x = jacobi(l, r, zeroVec(r), nu1)
+      var x = smooth(l, r, zeroVec(r), nu1)
       val pc = levels(d + 1).p.get // prolongator INTO level d+1's parent = d
       val res = residual(l.a, r, x)
       val rc = Coo.transpose(pc)
@@ -218,7 +244,7 @@ object Multigrid {
         .join(xc.select(col("rhs"), col("i").as("j"), col("v").as("xv")), "j")
         .groupBy(col("rhs"), col("i")).agg(sum(col("v") * col("xv")).as("v"))
       x = vAdd(x, corr).localCheckpoint(true)
-      jacobi(l, r, x, nu2)
+      smooth(l, r, x, nu2)
     }
   }
 

@@ -318,6 +318,40 @@ object ExtendedQueries {
       mapping.select(lit("compact").as("kind"), col("id"), col("newId").as("v"))
         .unionAll(tdeg.select(lit("tdeg").as("kind"), col("id"), col("v")))
     }),
+    // Gauss–Seidel relaxation (reference numerics/GaussSeidelRelaxation
+    // .hpp:22, ported multi-color in algebra.GaussSeidel): the 24 lowest
+    // customer keys become a weighted path, A = Laplacian + I (SDD), two
+    // batched rhs run 10 FIXED red–black sweeps (colors = pos % 2 —
+    // proper on a path and deterministic, so the oracle replays the
+    // identical update sequence as 20 unrolled half-sweep CTEs). Every
+    // row has ≤ 2 off-diagonal terms, so each update is a fixed IEEE
+    // expression with no summation-order freedom — both engines must
+    // agree BIT-EXACTLY on the raw doubles; no rounding anywhere.
+    "x95_gs" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val n = 24
+      val keys = Tables.load(s, dir, "customer")
+        .orderBy("c_custkey").limit(n)
+        .select(col("c_custkey").cast("long").as("key"))
+      val pos = Ranks.zipRank(keys, Seq(col("key")), "pos")
+      val e = pos.filter(col("pos") < n - 1)
+        .select(col("pos").as("i"), (col("pos") + 1).as("j"),
+          (lit(1.0) + (col("key") % 7).cast("double")).as("w"))
+        .localCheckpoint(true)
+      val a = e.select(col("i"), col("j"), (-col("w")).as("v"))
+        .unionAll(e.select(col("j").as("i"), col("i").as("j"), (-col("w")).as("v")))
+        .unionAll(e.select(col("i"), col("i").as("j"), col("w").as("v")))
+        .unionAll(e.select(col("j").as("i"), col("j").as("j"), col("w").as("v")))
+        .unionAll(pos.select(col("pos").as("i"), col("pos").as("j"), lit(1.0).as("v")))
+        .groupBy("i", "j").agg(sum("v").as("v"))
+      val b = Seq((0L, 0L, 5.0), (1L, (n - 1).toLong, 3.0), (1L, (n / 2).toLong, -2.0))
+        .toDF("rhs", "i", "v")
+      val colors = pos.select(col("pos").as("i"), (col("pos") % 2).cast("int").as("color"))
+      graft.algebra.GaussSeidel
+        .relax(a, b, maxIterations = 10, tolerance = 0, colors = Some(colors))
+        .select(col("rhs"), col("i").as("pos"), col("v").as("x"))
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1888,7 +1922,47 @@ object ExtendedQueries {
     })
   )
 
+  /** The x95 oracle's 20 unrolled Gauss–Seidel half-sweeps: step k
+    * updates parity (k−1)%2 rows from the previous state using the
+    * latest values (the defining Gauss–Seidel property the replay
+    * pins), all other rows carry over. */
+  private val gsSteps: String = (1 to 20).map { k =>
+    val par = (k - 1) % 2
+    s"""s$k AS MATERIALIZED (SELECT t.rhs, t.i,
+       |  CASE WHEN t.i % 2 = $par THEN
+       |    (COALESCE(bb.v, 0.0) - COALESCE(sg.sigma, 0.0)) / dg.d
+       |  ELSE t.x END AS x
+       |  FROM s${k - 1} t
+       |  JOIN diag dg ON dg.i = t.i
+       |  LEFT JOIN b bb ON bb.rhs = t.rhs AND bb.i = t.i
+       |  LEFT JOIN (SELECT q.rhs, o.i, sum(o.v * q.x) AS sigma
+       |             FROM offd o JOIN s${k - 1} q ON q.i = o.j
+       |             GROUP BY q.rhs, o.i) sg
+       |    ON sg.rhs = t.rhs AND sg.i = t.i)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "x95_gs" ->
+      s"""WITH k24 AS (SELECT c_custkey AS key FROM customer
+         |             ORDER BY c_custkey LIMIT 24),
+         |p AS MATERIALIZED (SELECT row_number() OVER (ORDER BY key) - 1 AS pos, key
+         |                   FROM k24),
+         |e AS MATERIALIZED (SELECT pos AS i, pos + 1 AS j,
+         |                   (1 + (key % 7))::DOUBLE AS w
+         |                   FROM p WHERE pos < 23),
+         |offd AS MATERIALIZED (SELECT i, j, -w AS v FROM e
+         |         UNION ALL SELECT j AS i, i AS j, -w AS v FROM e),
+         |diag AS MATERIALIZED (SELECT n.pos AS i,
+         |         1.0 + COALESCE(l.w, 0.0) + COALESCE(r.w, 0.0) AS d
+         |         FROM p n LEFT JOIN e l ON l.j = n.pos
+         |                  LEFT JOIN e r ON r.i = n.pos),
+         |b AS MATERIALIZED (SELECT 0 AS rhs, 0 AS i, 5.0::DOUBLE AS v
+         |      UNION ALL SELECT 1, 23, 3.0
+         |      UNION ALL SELECT 1, 12, -2.0),
+         |s0 AS MATERIALIZED (SELECT r.rhs, p.pos AS i, 0.0::DOUBLE AS x
+         |       FROM (SELECT DISTINCT rhs FROM b) r CROSS JOIN p),
+         |$gsSteps
+         |SELECT rhs::BIGINT AS rhs, i::BIGINT AS pos, x FROM s20""".stripMargin,
     "x85_coloring" ->
       s"""WITH $graphCte
          |SELECT id, 1::BIGINT AS properly_colored FROM deg""".stripMargin,
