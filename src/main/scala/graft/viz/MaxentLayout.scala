@@ -24,15 +24,15 @@ import graft.algebra.Multigrid
   *    batched solve.
   *  - the rhs Laplacian term (`computeCoordinateLaplacianTerm`,
   *    `MaxentStress.cpp:415-440`) is one S-coords join + aggregate.
-  *  - repulsion uses a grid-of-cells center-of-mass approximation in
-  *    place of the reference's octree (`approxRepulsiveForces`,
-  *    `MaxentStress.cpp:473-500`): cells are a broadcastable constant
-  *    (≤ `cellsPerAxis`^dim rows), so the force pass is one broadcast
-  *    join — no n² pair explosion. Like the octree version, known
-  *    pairs are not excluded from the approximate field. Deviation:
-  *    forces refresh every solve (the reference staleness schedule
-  *    `floor(5·ln(numSolves))` exists to amortize octree rebuilds,
-  *    which the broadcast join makes unnecessary).
+  *  - repulsion is the distributed Barnes–Hut field ([[Octree]]): the
+  *    reference's octree descent (`approxRepulsiveForces`,
+  *    `MaxentStress.cpp:473-500`) as multilevel-grid interaction
+  *    lists, O(log n) accepted cells per node, every accepted cell
+  *    satisfying the reference's θ = 0.6 criterion. Like the octree
+  *    version, known pairs are not excluded from the approximate
+  *    field. Deviation: forces refresh every solve (the reference
+  *    staleness schedule `floor(5·ln(numSolves))` exists to amortize
+  *    octree rebuilds, which the join formulation makes unnecessary).
   *
   * Defaults mirror the reference (alpha 1.0 ×0.3 → 0.008, 50 solves
   * per alpha, convergence at relative change < 1e-6); queries pass
@@ -88,7 +88,7 @@ object MaxentLayout {
       finalAlpha: Double = 0.008, maxSolvesPerAlpha: Int = 50,
       fastComputation: Boolean = true, seed: Long = 42L,
       solveTol: Double = 1e-6, solveMaxCycles: Int = 12,
-      cellsPerAxis: Int = 8, coarsestN: Int = 64): MaxentResult = {
+      coarsestN: Int = 64): MaxentResult = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val s = knownDistances(g, k).localCheckpoint(true)
@@ -155,36 +155,10 @@ object MaxentLayout {
           rhs = rhs.select(col("id") +: (0 until dim).map(dd =>
             (col(s"r$dd") / norms(dd)).as(s"r$dd")): _*)
         }
-        // grid center-of-mass repulsion, normalized then scaled by alpha
-        val boxCols = (0 until dim).map(dd => min(col(s"c$dd")).as(s"lo$dd")) ++
-          (0 until dim).map(dd => max(col(s"c$dd")).as(s"hi$dd"))
-        val box = coords.agg(boxCols.head, boxCols.tail: _*).first()
-        val los = (0 until dim).map(dd => box.getDouble(dd))
-        val his = (0 until dim).map(dd => box.getDouble(dim + dd))
-        val hs = (0 until dim).map(dd =>
-          math.max((his(dd) - los(dd)) / cellsPerAxis, 1e-9))
-        val cellCol = (0 until dim).map(dd =>
-          least(floor((col(s"c$dd") - los(dd)) / hs(dd)),
-            lit(cellsPerAxis - 1)).cast("long").as(s"g$dd"))
-        val withCell = coords.select(col("id") +:
-          ((0 until dim).map(dd => col(s"c$dd")) ++ cellCol): _*)
-        val cellAgg = (0 until dim).map(dd => avg(col(s"c$dd")).as(s"m$dd")) :+
-          count(lit(1)).as("cnt")
-        val cells2 = broadcast(withCell
-          .groupBy((0 until dim).map(dd => col(s"g$dd")): _*)
-          .agg(cellAgg.head, cellAgg.tail: _*))
-        val sqd = (0 until dim).map(dd =>
-          (col(s"c$dd") - col(s"m$dd")) * (col(s"c$dd") - col(s"m$dd")))
-          .reduce(_ + _)
-        val repCols = (0 until dim).map(dd =>
-          sum(col("factor") * (col(s"c$dd") - col(s"m$dd"))).as(s"f$dd"))
-        val rep0 = coords.crossJoin(cells2)
-          .withColumn("sqd", sqd)
-          .filter(col("sqd") >= 1e-5)
-          .withColumn("factor",
-            lit(qSign) * col("cnt") / pow(greatest(col("sqd"), lit(1e-3)), q2))
-          .groupBy("id")
-          .agg(repCols.head, repCols.tail: _*)
+        // Barnes–Hut octree repulsion (the reference's
+        // approxRepulsiveForces shape), normalized then scaled by alpha
+        val rep0 = Octree.repulsion(coords, dim, qSign, q2)
+          .drop("cov")
           .localCheckpoint(true)
         val fnCols = (0 until dim).map(dd =>
           sqrt(sum(col(s"f$dd") * col(s"f$dd"))).as(s"n$dd"))
