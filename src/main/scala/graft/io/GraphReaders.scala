@@ -318,7 +318,7 @@ object GraphReaders {
     * semantic, so the lines are shuffled to ONE partition and sorted
     * there — Spark writes `path/part-*` which every reader here accepts
     * (textFile on a directory). Lines carry an explicit order key. */
-  private def writeOrderedLines(lines: DataFrame, path: String): Unit =
+  private[io] def writeOrderedLines(lines: DataFrame, path: String): Unit =
     lines.repartition(1).sortWithinPartitions("ord")
       .select(col("line"))
       .write.mode("overwrite").text(path)

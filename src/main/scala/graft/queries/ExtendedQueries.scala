@@ -352,6 +352,56 @@ object ExtendedQueries {
         .relax(a, b, maxIterations = 10, tolerance = 0, colors = Some(colors))
         .select(col("rhs"), col("i").as("pos"), col("v").as("x"))
     }),
+    // Gephi Streaming Protocol export (reference gephi/streaming.py):
+    // the part graph's event stream is written, then DEGREES ARE
+    // RE-PARSED FROM THE FILE character-level ("source"/"target" of the
+    // ae lines) — the oracle derives the same degrees independently
+    // from lineitem, so a missing/extra/malformed event line breaks the
+    // gate. Hard requires pin the protocol frame: exactly one clean
+    // event, one an per node, one ae per edge, and the deterministic
+    // √n-grid coordinates invert back to each node's rank.
+    "x96_gephi" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g = DerivedGraphs.partGraph(s, dir, 2)
+      val p = "/tmp/graft_x96.gephi"
+      graft.io.GephiStreaming.exportGraph(g, p)
+      val lines = s.read.textFile(p).select(col("value").as("l"))
+        .localCheckpoint(true)
+      val nV = g.vertices.count(); val nE = g.edges.count()
+      require(lines.filter(col("l").startsWith("{\"dn\": {\"filter\"")).count() == 1,
+        "exactly one clean event")
+      val an = lines.filter(col("l").startsWith("{\"an\""))
+        .select(regexp_extract(col("l"), "\\{\"an\": \\{\"(\\d+)\"", 1)
+          .cast("long").as("id"),
+          regexp_extract(col("l"), "\"x\": (-?[0-9.E]+)", 1)
+            .cast("double").as("x"),
+          regexp_extract(col("l"), "\"y\": (-?[0-9.E]+)", 1)
+            .cast("double").as("y"))
+        .localCheckpoint(true)
+      require(an.count() == nV, "one an per node")
+      // grid contract: rank = (y+1000)/step * side + (x+1000)/step
+      val side = math.max(1L, math.ceil(math.sqrt(nV.toDouble)).toLong)
+      val step = 2000.0 / side
+      val rankFromGrid = an.select(col("id"),
+        (round((col("y") + 1000.0) / step) * side +
+          round((col("x") + 1000.0) / step)).cast("long").as("rank"))
+      val expect = Ranks.zipRank(g.vertices.select("id"), Seq(col("id")), "rank")
+      require(rankFromGrid.except(expect).isEmpty &&
+        expect.except(rankFromGrid).isEmpty,
+        "grid coordinates must invert to the id rank")
+      val st = lines.filter(col("l").startsWith("{\"ae\""))
+        .select(regexp_extract(col("l"), "\"source\": (\\d+)", 1)
+          .cast("long").as("src"),
+          regexp_extract(col("l"), "\"target\": (\\d+)", 1)
+            .cast("long").as("dst"))
+        .localCheckpoint(true)
+      require(st.count() == nE, "one ae per edge")
+      val deg = st.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      an.select("id").join(deg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1942,6 +1992,11 @@ object ExtendedQueries {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // degrees of the minShared=2 part graph, derived from the TABLES —
+    // the Spark side re-parses them from its own exported gephi stream
+    "x96_gephi" ->
+      s"""WITH $graphCte
+         |SELECT d.id, d.d::BIGINT AS deg FROM deg d""".stripMargin,
     "x95_gs" ->
       s"""WITH k24 AS (SELECT c_custkey AS key FROM customer
          |             ORDER BY c_custkey LIMIT 24),
