@@ -111,18 +111,28 @@ object GraphOps {
     (PropertyGraph(e, g.directed, Some(mapping.select(col("newId").as("id")))), mapping)
   }
 
-  /** Disjoint union with id shift (reference `append`, `graphtools.pyx:237`).
-    * Unions by NAME — a USING join upstream can reorder edge columns. */
+  /** Disjoint union with id shift (reference `append`,
+    * `graphtools.pyx:237`: every G2 node is added shifted, including
+    * isolated ones). Unions by NAME — a USING join upstream can
+    * reorder edge columns. */
   def append(g1: PropertyGraph, g2: PropertyGraph, offset: Long): PropertyGraph =
-    g1.copy(edges = g1.edges.select(col("src"), col("dst"), col("weight"))
-      .unionAll(g2.edges.select(
-        (col("src") + offset).as("src"), (col("dst") + offset).as("dst"), col("weight"))))
+    g1.copy(
+      edges = g1.edges.select(col("src"), col("dst"), col("weight"))
+        .unionAll(g2.edges.select(
+          (col("src") + offset).as("src"), (col("dst") + offset).as("dst"),
+          col("weight"))),
+      verticesOpt = Some(g1.vertices.select("id")
+        .unionAll(g2.vertices.select((col("id") + offset).as("id")))))
 
-  /** Union keeping ids (reference `merge`, `graphtools.pyx:255`). */
+  /** Union keeping ids (reference `merge`, `graphtools.pyx:255`: nodes
+    * and edges missing from G1 are added, existing ids kept). */
   def merge(g1: PropertyGraph, g2: PropertyGraph): PropertyGraph =
-    g1.copy(edges = g1.edges.select(col("src"), col("dst"), col("weight"))
-      .unionAll(g2.edges.select(col("src"), col("dst"), col("weight")))
-      .dropDuplicates("src", "dst"))
+    g1.copy(
+      edges = g1.edges.select(col("src"), col("dst"), col("weight"))
+        .unionAll(g2.edges.select(col("src"), col("dst"), col("weight")))
+        .dropDuplicates("src", "dst"),
+      verticesOpt = Some(g1.vertices.select("id")
+        .unionAll(g2.vertices.select("id")).distinct()))
 
   /** Graph scalar stats, 1-row: n, m, density, max degree, self-loops,
     * total weight (reference `GraphTools.hpp:141-160`, `Graph.hpp:122`). */

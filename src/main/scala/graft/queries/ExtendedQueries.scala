@@ -402,6 +402,44 @@ object ExtendedQueries {
       an.select("id").join(deg, Seq("id"), "left")
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
     }),
+    // GraphTools batch upgraded spec→oracle: subgraphAndNeighbors
+    // (core ∪ neighbors, neighbor-neighbor edges dropped),
+    // removeEdgesFromIsolatedSet, toUnweighted, append (id-shifted
+    // disjoint union INCLUDING g2's node set), merge (id-keeping union;
+    // minShared=3 ⊆ minShared=2 so the merged graph equals g2), and the
+    // randomNodes sample-size/membership contract (the draw itself is
+    // xxhash64-seeded — membership is hard-required Spark-side).
+    "x97_graphops" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val g2 = DerivedGraphs.partGraph(s, dir, 2)
+      val g3 = DerivedGraphs.partGraph(s, dir, 3)
+      val core = g2.vertices.orderBy("id").limit(10).localCheckpoint(true)
+      val sn = GraphOps.subgraphAndNeighbors(g2, core)
+      val snNodes = sn.vertices
+        .select(lit("sn_node").as("kind"), col("id"), lit(1L).as("v"))
+      val snAgg = sn.edges.agg(count(lit(1)).as("c"),
+        sum("weight").cast("long").as("w")).first()
+      val iso = GraphOps.removeEdgesFromIsolatedSet(g2, core).edges.count()
+      val unw = GraphOps.toUnweighted(g2).edges
+        .agg(sum("weight")).first().getDouble(0).toLong
+      val app = GraphOps.append(g2, g3, 100000L)
+      val mer = GraphOps.merge(g2, g3)
+      val rnd = GraphOps.randomNodes(g2, 10, 7L).localCheckpoint(true)
+      require(rnd.join(g2.vertices, Seq("id"), "left_anti").isEmpty,
+        "randomNodes must sample existing nodes")
+      Seq(
+        ("sn_edges", -1L, snAgg.getLong(0)),
+        ("sn_w", -1L, snAgg.getLong(1)),
+        ("iso_edges", -1L, iso),
+        ("unw_w", -1L, unw),
+        ("append_m", -1L, app.edges.count()),
+        ("append_n", -1L, app.vertices.count()),
+        ("merge_m", -1L, mer.edges.count()),
+        ("merge_n", -1L, mer.vertices.count()),
+        ("rand_n", -1L, rnd.count())
+      ).toDF("kind", "id", "v").unionAll(snNodes)
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -1992,6 +2030,36 @@ object ExtendedQueries {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // GraphTools batch: all quantities re-derived relationally from the
+    // part-graph CTE (core = 10 lowest ids; the c>=3 subset plays g3)
+    "x97_graphops" ->
+      s"""WITH $graphCte,
+         |nodes AS (SELECT DISTINCT src AS id FROM sym),
+         |core AS MATERIALIZED (SELECT id FROM nodes ORDER BY id LIMIT 10),
+         |nbr AS (SELECT DISTINCT s.dst AS id FROM sym s
+         |        JOIN core c ON s.src = c.id
+         |        WHERE s.dst NOT IN (SELECT id FROM core)),
+         |snn AS (SELECT id FROM core UNION SELECT id FROM nbr),
+         |sne AS (SELECT src, dst, c FROM e
+         |        WHERE src IN (SELECT id FROM core)
+         |           OR dst IN (SELECT id FROM core)),
+         |g3 AS (SELECT src, dst, c FROM e WHERE c >= 3)
+         |SELECT 'sn_node' AS kind, id, 1::BIGINT AS v FROM snn
+         |UNION ALL SELECT 'sn_edges', -1, count(*) FROM sne
+         |UNION ALL SELECT 'sn_w', -1, sum(c)::BIGINT FROM sne
+         |UNION ALL SELECT 'iso_edges', -1,
+         |  (SELECT count(*) FROM e
+         |   WHERE src NOT IN (SELECT id FROM core)
+         |     AND dst NOT IN (SELECT id FROM core))
+         |UNION ALL SELECT 'unw_w', -1, (SELECT count(*) FROM e)
+         |UNION ALL SELECT 'append_m', -1,
+         |  (SELECT count(*) FROM e) + (SELECT count(*) FROM g3)
+         |UNION ALL SELECT 'append_n', -1,
+         |  (SELECT count(*) FROM nodes) + (SELECT count(DISTINCT id)
+         |    FROM (SELECT src AS id FROM g3 UNION ALL SELECT dst FROM g3))
+         |UNION ALL SELECT 'merge_m', -1, (SELECT count(*) FROM e)
+         |UNION ALL SELECT 'merge_n', -1, (SELECT count(*) FROM nodes)
+         |UNION ALL SELECT 'rand_n', -1, 10""".stripMargin,
     // degrees of the minShared=2 part graph, derived from the TABLES —
     // the Spark side re-parses them from its own exported gephi stream
     "x96_gephi" ->

@@ -189,4 +189,23 @@ class GraphAlgorithmsSpec extends SparkSpec {
     val top = ev.orderBy(desc("score")).select("id").head.getLong(0)
     assert(top == 33L)
   }
+
+  test("append/merge carry BOTH node sets, including isolated nodes") {
+    import spark.implicits._
+    // g1: edge 0-1 plus isolated node 9; g2: edge 0-2 plus isolated 5
+    val g1 = PropertyGraph(Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"),
+      directed = false, Some(Seq(0L, 1L, 9L).toDF("id")))
+    val g2 = PropertyGraph(Seq((0L, 2L, 1.0)).toDF("src", "dst", "weight"),
+      directed = false, Some(Seq(0L, 2L, 5L).toDF("id")))
+    val app = GraphOps.append(g1, g2, offset = 100L)
+    // reference append (graphtools.pyx:237): every g2 node shifted in
+    assert(app.vertices.as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 9L, 100L, 102L, 105L))
+    assert(app.edges.count() === 2)
+    assert(app.edges.filter(col("src") === 100L && col("dst") === 102L).count() === 1)
+    val mer = GraphOps.merge(g1, g2)
+    assert(mer.vertices.as[Long].collect().sorted.toSeq ===
+      Seq(0L, 1L, 2L, 5L, 9L))
+    assert(mer.edges.count() === 2)
+  }
 }
