@@ -54,9 +54,33 @@ object Octree {
     * total point count covered (= n−1 when no skip triggered — the
     * partition-of-space invariant). */
   def repulsion(coords: DataFrame, dim: Int, qSign: Double, q2: Double,
-      maxLevels: Int = 12, leafOccupancy: Double = 4.0): DataFrame = {
+      maxLevels: Int = 12, leafOccupancy: Double = 4.0,
+      exactBelow: Long = 8192): DataFrame = {
     val cs = (0 until dim).map(d => col(s"c$d"))
     val n = coords.count()
+    // size dispatch: below the cutoff the EXACT field is one broadcast
+    // join + one aggregate — cheaper than building the level tables and
+    // strictly more accurate; the interaction lists are the scale path
+    // (the same dispatch discipline as MaxFlow.cutClustering)
+    if (n <= exactBelow) {
+      val other = broadcast(coords.select(col("id").as("id2") +:
+        (0 until dim).map(d => col(s"c$d").as(s"m$d")): _*))
+      val pairs = coords.crossJoin(other)
+        .filter(col("id2") =!= col("id"))
+        .withColumn("cnt", lit(1L))
+      val sqd0 = (0 until dim).map(d =>
+        (col(s"c$d") - col(s"m$d")) * (col(s"c$d") - col(s"m$d"))).reduce(_ + _)
+      val sums0 = (0 until dim).map(d => sum(col(s"p$d")).as(s"f$d")) :+
+        sum(col("cnt")).as("cov")
+      return pairs.withColumn("sqd", sqd0)
+        .withColumn("factor",
+          when(col("sqd") < 1e-5, lit(0.0)).otherwise(
+            lit(qSign) * col("cnt") / pow(greatest(col("sqd"), lit(1e-3)), q2)))
+        .select(col("id") +: (col("cnt") +:
+          (0 until dim).map(d =>
+            (col("factor") * (col(s"c$d") - col(s"m$d"))).as(s"p$d")).toSeq): _*)
+        .groupBy("id").agg(sums0.head, sums0.tail: _*)
+    }
     val boxAggs = (0 until dim).map(d => min(col(s"c$d")).as(s"lo$d")) ++
       (0 until dim).map(d => max(col(s"c$d")).as(s"hi$d"))
     val box = coords.agg(boxAggs.head, boxAggs.tail: _*).first()

@@ -41,7 +41,8 @@ class OctreeSpec extends SparkSpec {
     val n = 300
     val pts = randomPoints(n, 2, 7)
     val coords = toCoordsDf(pts, 2)
-    val rep = Octree.repulsion(coords, dim = 2, qSign = 1.0, q2 = 1.0)
+    val rep = Octree.repulsion(coords, dim = 2, qSign = 1.0, q2 = 1.0,
+      exactBelow = 0)
     val covs = rep.select("id", "cov").as[(Long, Long)].collect().toMap
     assert(covs.size === n)
     covs.foreach { case (id, cov) =>
@@ -53,7 +54,8 @@ class OctreeSpec extends SparkSpec {
     val n = 80
     val pts = randomPoints(n, 3, 11)
     val coords = toCoordsDf(pts, 3)
-    val rep = Octree.repulsion(coords, dim = 3, qSign = 1.0, q2 = 1.0)
+    val rep = Octree.repulsion(coords, dim = 3, qSign = 1.0, q2 = 1.0,
+      exactBelow = 0)
     val covs = rep.select("cov").as[Long].collect()
     assert(covs.length === n && covs.forall(_ == n - 1))
   }
@@ -62,7 +64,8 @@ class OctreeSpec extends SparkSpec {
     val n = 300
     val pts = randomPoints(n, 2, 7)
     val coords = toCoordsDf(pts, 2).localCheckpoint(true)
-    val rep = Octree.repulsion(coords, dim = 2, qSign = 1.0, q2 = 1.0)
+    val rep = Octree.repulsion(coords, dim = 2, qSign = 1.0, q2 = 1.0,
+        exactBelow = 0)
       .select("id", "f0", "f1").as[(Long, Double, Double)]
       .collect().map(t => t._1 -> (t._2, t._3)).toMap
     // exact direct sum with the same guards
@@ -85,5 +88,26 @@ class OctreeSpec extends SparkSpec {
     val p95 = relErrs((relErrs.length * 95) / 100)
     assert(median < 0.08, s"median rel err $median")
     assert(p95 < 0.25, s"p95 rel err $p95")
+  }
+
+  test("small-n dispatch returns the exact field") {
+    val n = 120
+    val pts = randomPoints(n, 2, 3)
+    val coords = toCoordsDf(pts, 2).localCheckpoint(true)
+    val small = Octree.repulsion(coords, dim = 2, qSign = 1.0, q2 = 1.0)
+      .select("id", "f0", "f1", "cov").as[(Long, Double, Double, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    val bh = Octree.repulsion(coords, dim = 2, qSign = 1.0, q2 = 1.0,
+        exactBelow = 0)
+      .select("id", "f0", "f1").as[(Long, Double, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(small.size === n)
+    small.values.foreach { case (id, f0, f1, cov) =>
+      assert(cov === n - 1)
+      // exact field == BH field up to the acceptance-rule error bound
+      val (_, b0, b1) = bh(id)
+      val rel = math.hypot(f0 - b0, f1 - b1) / math.max(math.hypot(f0, f1), 1e-12)
+      assert(rel < 0.5, s"node $id rel $rel")
+    }
   }
 }
