@@ -101,7 +101,9 @@ object GephiStreaming {
       attributeName: String, base: Long): DataFrame = {
     val ranked = Ranks.zipRank(g.vertices.select("id"), Seq(col("id")), "rank",
       base = base)
-    ranked.join(values, Seq("id"), "left")
+    // inner join: a node absent from `values` emits no cn event (a null
+    // value would null the whole concat'd line)
+    ranked.join(values, Seq("id"))
       .select(col("rank").as("ord"),
         concat(lit("{\"cn\": {\""), col("id"),
           lit("\": {\"" + attributeName + "\": "), col("value"),
@@ -128,7 +130,7 @@ object GephiStreaming {
       attributeName: String, path: String): Unit = {
     val tpe = if (g.directed) "Directed" else "Undirected"
     val ranked = Ranks.zipRank(
-      g.edges.select("src", "dst").join(values, Seq("src", "dst"), "left"),
+      g.edges.select("src", "dst").join(values, Seq("src", "dst")),
       Seq(col("src"), col("dst")), "rank")
     GraphReaders.writeOrderedLines(
       ranked.select(col("rank").as("ord"),

@@ -374,9 +374,9 @@ object ExtendedQueries {
       val an = lines.filter(col("l").startsWith("{\"an\""))
         .select(regexp_extract(col("l"), "\\{\"an\": \\{\"(\\d+)\"", 1)
           .cast("long").as("id"),
-          regexp_extract(col("l"), "\"x\": (-?[0-9.E]+)", 1)
+          regexp_extract(col("l"), "\"x\": (-?[0-9.]+(?:E-?[0-9]+)?)", 1)
             .cast("double").as("x"),
-          regexp_extract(col("l"), "\"y\": (-?[0-9.E]+)", 1)
+          regexp_extract(col("l"), "\"y\": (-?[0-9.]+(?:E-?[0-9]+)?)", 1)
             .cast("double").as("y"))
         .localCheckpoint(true)
       require(an.count() == nV, "one an per node")
@@ -439,6 +439,47 @@ object ExtendedQueries {
         ("merge_n", -1L, mer.vertices.count()),
         ("rand_n", -1L, rnd.count())
       ).toDF("kind", "id", "v").unionAll(snNodes)
+    }),
+    // plain conjugate gradient upgraded spec→oracle (reference
+    // numerics/ConjugateGradient.hpp, Coo.conjugateGradient — the
+    // x78 pattern but through the UNpreconditioned solver): the 32
+    // lowest customer keys become a weighted ring whose two-terminal
+    // effective resistance has the series–parallel closed form the
+    // oracle re-derives with prefix sums; CG runs on the singular
+    // Laplacian with b = e_0 − e_{n/2} ⊥ null space, gated at 1e-6.
+    "x98_cg" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val n = 32
+      val keys = Tables.load(s, dir, "customer")
+        .orderBy("c_custkey").limit(n)
+        .select(col("c_custkey").cast("long").as("key"))
+      val pos = Ranks.zipRank(keys, Seq(col("key")), "pos")
+      val ring = pos.select(col("pos").as("i"),
+          pmod(col("pos") + 1, lit(n.toLong)).as("j"),
+          (lit(1.0) + (col("key") % 7).cast("double")).as("w"))
+        .localCheckpoint(true)
+      val lap = ring.select(col("i"), col("j"), (-col("w")).as("v"))
+        .unionAll(ring.select(col("j").as("i"), col("i").as("j"), (-col("w")).as("v")))
+        .unionAll(ring.select(col("i"), col("i").as("j"), col("w").as("v")))
+        .unionAll(ring.select(col("j").as("i"), col("j").as("j"), col("w").as("v")))
+        .groupBy("i", "j").agg(sum("v").as("v"))
+      val t1 = n / 2
+      val b = Seq((0L, 1.0), (t1.toLong, -1.0)).toDF("i", "v")
+      val x = Coo.conjugateGradient(lap, b, maxIter = 300, tol = 1e-18)
+        .filter(col("i").isin(0L, t1.toLong))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val rCg = x.getOrElse(0L, 0.0) - x.getOrElse(t1.toLong, 0.0)
+      val inv = ring.select(col("i"), (lit(1.0) / col("w")).as("r"))
+      val total = inv.agg(sum("r")).first().getDouble(0)
+      val arc = inv.filter(col("i") >= 0 && col("i") < t1)
+        .agg(sum("r")).first().getDouble(0)
+      val rClosed = arc * (total - arc) / total
+      def r6(d: Double): Double = new java.math.BigDecimal(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      Seq((n.toLong, r6(rClosed),
+        if (math.abs(rCg - rClosed) <= 1e-6 * math.max(1.0, rClosed)) 1L else 0L
+      )).toDF("n", "r1_closed", "cg1_ok")
     }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
@@ -2060,6 +2101,21 @@ object ExtendedQueries {
          |UNION ALL SELECT 'merge_m', -1, (SELECT count(*) FROM e)
          |UNION ALL SELECT 'merge_n', -1, (SELECT count(*) FROM nodes)
          |UNION ALL SELECT 'rand_n', -1, 10""".stripMargin,
+    // series–parallel closed form over the 32-customer weighted ring
+    // (the x78 derivation at n=32); the CG gate is Spark-side
+    "x98_cg" ->
+      """WITH ringw AS (
+        |  SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS pos,
+        |         1.0 + (c_custkey % 7) AS w
+        |  FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 32)),
+        |tot AS (SELECT count(*) AS n, sum(1.0/w) AS total FROM ringw),
+        |a1 AS (SELECT sum(1.0/w) AS arc FROM ringw
+        |       WHERE pos >= 0 AND pos < (SELECT n // 2 FROM tot))
+        |SELECT (SELECT n FROM tot)::BIGINT AS n,
+        |  round(a1.arc * ((SELECT total FROM tot) - a1.arc)
+        |        / (SELECT total FROM tot), 6) AS r1_closed,
+        |  1::BIGINT AS cg1_ok
+        |FROM a1""".stripMargin,
     // degrees of the minShared=2 part graph, derived from the TABLES —
     // the Spark side re-parses them from its own exported gephi stream
     "x96_gephi" ->
