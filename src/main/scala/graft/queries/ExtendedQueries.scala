@@ -481,6 +481,29 @@ object ExtendedQueries {
         if (math.abs(rCg - rClosed) <= 1e-6 * math.max(1.0, rClosed)) 1L else 0L
       )).toDF("n", "r1_closed", "cg1_ok")
     }),
+    // Barnes–Hut octree interaction lists vs an INDEPENDENT SQL
+    // reimplementation (reference viz/Octree.hpp approximateDistance):
+    // 120 customers get exact-rational coordinates ((key%97)/97,
+    // (key%89)/89 — bit-identical doubles in both engines), and the
+    // oracle re-derives each node's per-level cell indices, the
+    // accepted far cells (Chebyshev ∈ [3,5], parent ≤ 2), the finest
+    // 5×5 near pairs, and the per-node coverage count from scratch.
+    // cov is an exact integer contract over the WHOLE list machinery:
+    // one mis-assigned cell or double-counted level breaks the hash.
+    "x99_octree" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val n = 120
+      val pts = Tables.load(s, dir, "customer")
+        .orderBy("c_custkey").limit(n)
+        .select(col("c_custkey").cast("long").as("id"),
+          ((col("c_custkey") % 97).cast("double") / 97.0).as("c0"),
+          ((col("c_custkey") % 89).cast("double") / 89.0).as("c1"))
+        .localCheckpoint(true)
+      graft.viz.Octree.repulsion(pts, dim = 2, qSign = 1.0, q2 = 1.0,
+          exactBelow = 0)
+        .select(col("id"), col("cov"))
+    }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
       val g = DerivedGraphs.partGraph(s, dir, 2)
@@ -2101,6 +2124,50 @@ object ExtendedQueries {
          |UNION ALL SELECT 'merge_m', -1, (SELECT count(*) FROM e)
          |UNION ALL SELECT 'merge_n', -1, (SELECT count(*) FROM nodes)
          |UNION ALL SELECT 'rand_n', -1, 10""".stripMargin,
+    // full independent SQL reimplementation of the Barnes–Hut
+    // interaction lists: per-level cell indices from the same IEEE
+    // floor arithmetic (exact-rational coordinates make every double
+    // bit-identical across engines), accepted far cells (Chebyshev
+    // index distance ∈ [3,5] with parent ≤ 2), finest 5×5 near pairs,
+    // per-node coverage = Σ far-cell counts + near pairs. n = 120 →
+    // lMax = 3 (the engine's ceil(log2(n/4)/dim) with the 2..12 clamp).
+    "x99_octree" ->
+      """WITH k AS (SELECT c_custkey AS key FROM customer
+        |           ORDER BY c_custkey LIMIT 120),
+        |pts AS MATERIALIZED (SELECT key AS id,
+        |  ((key % 97)::DOUBLE / 97.0) AS c0,
+        |  ((key % 89)::DOUBLE / 89.0) AS c1 FROM k),
+        |box AS MATERIALIZED (SELECT min(c0) AS lo0, min(c1) AS lo1,
+        |  greatest(greatest(max(c0) - min(c0), max(c1) - min(c1)), 1e-9)
+        |    * (1.0 + 1e-12) AS side FROM pts),
+        |lv AS (SELECT l FROM range(1, 4) t(l)),
+        |nc AS MATERIALIZED (SELECT p.id, l,
+        |  least(greatest(floor((p.c0 - b.lo0) / (b.side / power(2, l)))::BIGINT,
+        |    0), power(2, l)::BIGINT - 1) AS g0,
+        |  least(greatest(floor((p.c1 - b.lo1) / (b.side / power(2, l)))::BIGINT,
+        |    0), power(2, l)::BIGINT - 1) AS g1
+        |  FROM pts p CROSS JOIN lv CROSS JOIN box b),
+        |cells AS MATERIALIZED (SELECT l, g0, g1, count(*) AS cnt
+        |  FROM nc GROUP BY 1, 2, 3),
+        |offs AS MATERIALIZED (SELECT a.dx, b.dy
+        |  FROM range(-5, 6) a(dx) CROSS JOIN range(-5, 6) b(dy)
+        |  WHERE greatest(abs(a.dx), abs(b.dy)) >= 3),
+        |far AS (SELECT n.id, c.cnt FROM nc n CROSS JOIN offs o
+        |  JOIN cells c ON c.l = n.l AND c.g0 = n.g0 + o.dx
+        |              AND c.g1 = n.g1 + o.dy
+        |  WHERE n.g0 + o.dx >= 0 AND n.g0 + o.dx < power(2, n.l)::BIGINT
+        |    AND n.g1 + o.dy >= 0 AND n.g1 + o.dy < power(2, n.l)::BIGINT
+        |    AND abs((n.g0 + o.dx) // 2 - n.g0 // 2) <= 2
+        |    AND abs((n.g1 + o.dy) // 2 - n.g1 // 2) <= 2),
+        |nearp AS (SELECT a.id, count(*) AS cnt
+        |  FROM nc a JOIN nc b ON a.l = 3 AND b.l = 3
+        |    AND abs(a.g0 - b.g0) <= 2 AND abs(a.g1 - b.g1) <= 2
+        |    AND a.id <> b.id
+        |  GROUP BY a.id),
+        |fs AS (SELECT id, sum(cnt) AS s FROM far GROUP BY id)
+        |SELECT p.id, (COALESCE(fs.s, 0) + COALESCE(np.cnt, 0))::BIGINT AS cov
+        |FROM pts p LEFT JOIN fs ON fs.id = p.id
+        |           LEFT JOIN nearp np ON np.id = p.id""".stripMargin,
     // series–parallel closed form over the 32-customer weighted ring
     // (the x78 derivation at n=32); the CG gate is Spark-side
     "x98_cg" ->
