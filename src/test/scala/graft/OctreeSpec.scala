@@ -90,6 +90,17 @@ class OctreeSpec extends SparkSpec {
     assert(p95 < 0.25, s"p95 rel err $p95")
   }
 
+  test("BH physical plan: no cartesian/nested-loop joins, no single-partition exchange") {
+    val pts = randomPoints(300, 2, 7)
+    val coords = toCoordsDf(pts, 2)
+    val rep = Octree.repulsion(coords, dim = 2, qSign = 1.0, q2 = 1.0,
+      exactBelow = 0)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in BH plan")
+    assert(!plan.contains("BroadcastNestedLoop"), "nested-loop join in BH plan")
+    assert(!plan.contains("Exchange SinglePartition"), "single-task stage in BH plan")
+  }
+
   test("small-n dispatch returns the exact field") {
     val n = 120
     val pts = randomPoints(n, 2, 3)
