@@ -70,7 +70,35 @@ object Bench {
     val qs = fmt(_._2)
     val qsMin = fmt(_._3)
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+
+    // isolated per-query FLOORS for the variance-prone queries: re-run
+    // each alone AFTER the whole suite (JIT + page cache fully warm, no
+    // cold-start or neighbor effects), min of floorRuns — the number a
+    // box-noise shift should be judged against, carried in the artifact
+    // so the comparison no longer needs a separate profiling session
+    val floorNames = sys.env.get("SPARK_GRAFT_FLOORS")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q2_join", "q5_window", "g4_cc", "g6_bfs",
+        "g7_pagerank", "ev2_sessions"))
+      .filter(selected.contains)
+    val floorRuns = sys.env.getOrElse("SPARK_GRAFT_FLOOR_RUNS", "5").toInt
+    val floors = floorNames.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to floorRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case _: Throwable => false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        if (ok) Some(dt) else None
+      }
+      (name, if (times.isEmpty) -1.0 else times.min)
+    }
+    val fl = floors
+      .map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"queries_min":$qsMin,"floors":$fl,"floor_runs":$floorRuns,"sf":"$sfDir"}""")
     spark.stop()
     if (anyFailed) sys.exit(1)
   }

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Barnes–Hut repulsion scale probe: runs `viz.Octree.repulsion` on an
   * n-point hash-random 2D layout and records (a) wall seconds, (b) the
-  * total interaction-row count (accepted cells + near pairs summed over
-  * nodes — the realized fan-out the interaction lists bound by
-  * O(log n) per node), and (c) the partition-of-space invariant
+  * output node count (`nodes` — one aggregated force row per input
+  * point; the per-node interaction fan-out itself is aggregated away
+  * inside `repulsion` and is bounded by O(log n) per node by the
+  * interaction-list construction), and (c) the partition-of-space
+  * invariant
   * (min/max of `cov` must both equal n−1). The former single-level
   * grid was one broadcast crossJoin of n × cells — constant-accuracy
   * only if cells grow as O(n), i.e. O(n²) pair rows; the interaction

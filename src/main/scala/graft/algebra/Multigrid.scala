@@ -91,7 +91,6 @@ object Multigrid {
       .select(col("i"), (col("i") - pmod(col("i"), lit(2L))).as("agg"))
   }
 
-  /** Build the level hierarchy down to ≤ `coarsestN` nodes. */
   /** Build the level hierarchy. `smoother` picks the relaxation used by
     * every V-cycle against this hierarchy: `"jacobi"` (default, one
     * join per sweep) or `"gauss-seidel"` (the reference's

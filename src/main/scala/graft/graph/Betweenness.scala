@@ -222,7 +222,18 @@ object Betweenness {
     * predecessor with probability σ_w/Σσ via a windowed cumulative sum.
     * Nothing graph-sized ever reaches the driver. `(id, kadabra)`. */
   def kadabra(g: PropertyGraph, err: Double = 0.1, delta: Double = 0.1,
-      diamGuess: Int = 32, seed: Long = 42, maxHops: Int = 64): DataFrame = {
+      diamGuess: Int = 32, seed: Long = 42, maxHops: Int = 64): DataFrame =
+    kadabraWithInfo(g, err, delta, diamGuess, seed, maxHops).scores
+
+  /** [[kadabra]]'s scores plus the adaptive-stopping telemetry
+    * (samples actually drawn, the KADABRA worst-case cap, and whether
+    * the union-bound Bernstein check fired before the cap) — the
+    * machine-checkable surface for the adaptive (ε,δ) rule. */
+  final case class KadabraResult(scores: DataFrame, drawn: Long,
+      worstCase: Long, adaptiveStopped: Boolean)
+
+  def kadabraWithInfo(g: PropertyGraph, err: Double = 0.1, delta: Double = 0.1,
+      diamGuess: Int = 32, seed: Long = 42, maxHops: Int = 64): KadabraResult = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -322,8 +333,9 @@ object Betweenness {
     println(s"[kadabra] samples=$drawn cap=$worstCase adaptiveStop=$stopped")
 
     val counts = hits.groupBy(col("v").as("id")).agg(count(lit(1)).as("c"))
-    g.vertices.select("id").join(counts, Seq("id"), "left")
+    val scores = g.vertices.select("id").join(counts, Seq("id"), "left")
       .select(col("id"),
         (coalesce(col("c"), lit(0L)).cast("double") / mEff.toDouble).as("kadabra"))
+    KadabraResult(scores, drawn, worstCase, stopped)
   }
 }

@@ -125,14 +125,29 @@ object GraphOps {
         .unionAll(g2.vertices.select((col("id") + offset).as("id")))))
 
   /** Union keeping ids (reference `merge`, `graphtools.pyx:255`: nodes
-    * and edges missing from G1 are added, existing ids kept). */
-  def merge(g1: PropertyGraph, g2: PropertyGraph): PropertyGraph =
+    * and edges missing from G1 are added, existing ids kept). The
+    * membership test is `hasEdge(u,v)`, which for undirected graphs is
+    * orientation-agnostic — so the dedup key is the canonical
+    * (least, greatest) pair, not the stored orientation, and G1's copy
+    * of a shared edge always survives (anti-join, not an arbitrary
+    * dropDuplicates winner). */
+  def merge(g1: PropertyGraph, g2: PropertyGraph): PropertyGraph = {
+    def keyed(df: DataFrame): DataFrame =
+      if (g1.directed)
+        df.withColumn("ka", col("src")).withColumn("kb", col("dst"))
+      else
+        df.withColumn("ka", least(col("src"), col("dst")))
+          .withColumn("kb", greatest(col("src"), col("dst")))
+    val e1 = g1.edges.select(col("src"), col("dst"), col("weight"))
+    val added = keyed(g2.edges.select(col("src"), col("dst"), col("weight")))
+      .join(keyed(e1).select("ka", "kb"), Seq("ka", "kb"), "left_anti")
+      .dropDuplicates("ka", "kb")
+      .select(col("src"), col("dst"), col("weight"))
     g1.copy(
-      edges = g1.edges.select(col("src"), col("dst"), col("weight"))
-        .unionAll(g2.edges.select(col("src"), col("dst"), col("weight")))
-        .dropDuplicates("src", "dst"),
+      edges = e1.unionAll(added),
       verticesOpt = Some(g1.vertices.select("id")
         .unionAll(g2.vertices.select("id")).distinct()))
+  }
 
   /** Graph scalar stats, 1-row: n, m, density, max degree, self-loops,
     * total weight (reference `GraphTools.hpp:141-160`, `Graph.hpp:122`). */

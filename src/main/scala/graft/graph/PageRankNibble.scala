@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** PageRank-Nibble local community detection (reference
   * `scd/PageRankNibble.hpp:25` — Andersen–Chung–Lang personalized-
@@ -14,9 +13,13 @@ import org.apache.spark.sql.expressions.Window
   * reference's push algorithm is an ε-early-exit of the same fixpoint;
   * fixed iterations make the result order-independent and exactly
   * replayable in SQL). The sweep orders nodes by r/deg — rounded to 9
-  * digits with id tie-break so both engines sort identically — and the
-  * conductance of every prefix set falls out of two window cumsums:
-  * vol(k) = Σ_{rank≤k} deg and intw(k) = Σ_{edges, max(rank_u,rank_v)≤k} w.
+  * digits with id tie-break so both engines sort identically (zipRank,
+  * not a single-partition window) — and the conductance of every prefix
+  * follows from two cumulative sums, vol(k) = Σ_{rank≤k} deg and
+  * intw(k) = Σ_{edges, max(rank_u,rank_v)≤k} w: the |E|-sized
+  * internal-mass aggregation stays distributed, while the cumsums over
+  * the ≤ maxSweep ranked rows finish driver-side (k-row bounded; a
+  * window version would plan a single-partition WindowExec).
   */
 object PageRankNibble {
 
@@ -26,6 +29,7 @@ object PageRankNibble {
     * `bestPrefix` below. */
   def sweep(g: PropertyGraph, seed: Long, alpha: Double = 0.85,
       iters: Int = 20, maxSweep: Int = 50): DataFrame = {
+    val spark = g.edges.sparkSession
     val adj = g.adjacency.select("src", "dst", "weight")
       .filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
@@ -49,31 +53,45 @@ object PageRankNibble {
         .localCheckpoint(true)
     }
 
-    // sweep order: r/deg desc (rounded for cross-engine determinism)
-    val ranked = r.join(deg, "id").filter(col("r") > 0)
-      .withColumn("key", round(col("r") / col("d"), 9))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("key").desc, col("id").asc)))
+    // sweep order: r/deg desc (rounded for cross-engine determinism).
+    // The APR support is push-bounded (O(1/αε)) but rank it distributed
+    // anyway — zipRank, not a single-partition window (the last survivor
+    // of that family, retired round 10)
+    val ranked = Ranks.zipRank(
+        r.join(deg, "id").filter(col("r") > 0)
+          .withColumn("key", round(col("r") / col("d"), 9)),
+        Seq(col("key").desc, col("id").asc), "rank", base = 1L)
       .filter(col("rank") <= maxSweep)
       .localCheckpoint(true)
 
-    val volW = Window.orderBy("rank")
-    val vols = ranked.withColumn("vol", sum("d").over(volW))
     val ranks = ranked.select(col("id"), col("rank"))
+    // internal-edge mass per prefix boundary stays DISTRIBUTED (|E|-sized
+    // join); only the ≤ maxSweep-row cumulative sweep finishes on the
+    // driver — k-row bounded, and it removes the last unpartitioned
+    // Window from this plan (the cumsums ran over ≤ maxSweep rows but
+    // still planned a single-partition WindowExec)
     val internal = adj
       .join(ranks.withColumnRenamed("id", "src").withColumnRenamed("rank", "ru"), "src")
       .join(ranks.withColumnRenamed("id", "dst").withColumnRenamed("rank", "rv"), "dst")
       .filter(col("ru") < col("rv")) // each undirected edge once
       .groupBy(greatest(col("ru"), col("rv")).as("rank"))
       .agg(sum("weight").as("iw"))
-    vols.join(internal, Seq("rank"), "left")
-      .withColumn("iwc", sum(coalesce(col("iw"), lit(0.0))).over(volW))
-      .withColumn("cut", col("vol") - lit(2.0) * col("iwc"))
-      .withColumn("conductance",
-        when(least(col("vol"), lit(m2) - col("vol")) > 0,
-          col("cut") / least(col("vol"), lit(m2) - col("vol")))
-          .otherwise(lit(1.0)))
-      .select(col("rank").cast("long").as("k"), col("id"), col("conductance"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = ranked.select(col("rank"), col("id"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    var vol = 0.0
+    var iwc = 0.0
+    val sweepRows = rows.map { case (rank, id, d) =>
+      vol += d
+      iwc += internal.getOrElse(rank, 0.0)
+      val cut = vol - 2.0 * iwc
+      val denom = math.min(vol, m2 - vol)
+      val cond = if (denom > 0) cut / denom else 1.0
+      (rank, id, cond)
+    }
+    import spark.implicits._
+    sweepRows.toSeq.toDF("k", "id", "conductance")
   }
 
   /** The best sweep prefix: `(members..., best_k, best_conductance)`

@@ -268,48 +268,71 @@ object Gexf {
   }
 
   /** GraphML writer (reference `GraphMLWriter`, `graphio.pyx:2279`):
-    * declares the weight key when any weight ≠ 1. Driver-bounded
-    * single-file interchange sink. */
+    * declares the weight key when any weight ≠ 1. Node and edge lines
+    * are BUILT distributed (typed projections — Java `Double.toString`
+    * rendering, exactly the old driver-side bytes — sorted by id /
+    * (src, dst)); only the single-file sink streams through the driver
+    * partition-at-a-time ([[GraphReaders.writeSectionedSingleFile]]). */
   def writeGraphMl(g: PropertyGraph, path: String): Unit = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
     val weighted = g.edges.filter(col("weight") =!= 1.0).limit(1).count() > 0
-    val sb = new StringBuilder
-    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
-    sb ++= "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">\n"
-    if (weighted)
-      sb ++= "  <key id=\"d1\" for=\"edge\" attr.name=\"weight\" attr.type=\"double\"/>\n"
-    sb ++= s"""  <graph id="G" edgedefault="${
-      if (g.directed) "directed" else "undirected"}">\n"""
-    g.vertices.select("id").orderBy("id").collect().foreach { r =>
-      sb ++= s"""    <node id="n${r.getLong(0)}"/>\n"""
-    }
-    g.edges.select("src", "dst", "weight").collect().foreach { r =>
-      if (weighted)
-        sb ++= s"""    <edge source="n${r.getLong(0)}" target="n${r.getLong(1)}"><data key="d1">${r.getDouble(2)}</data></edge>\n"""
-      else
-        sb ++= s"""    <edge source="n${r.getLong(0)}" target="n${r.getLong(1)}"/>\n"""
-    }
-    sb ++= "  </graph>\n</graphml>\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    val head = (Seq(
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        "<graphml xmlns=\"http://graphml.graphdrawing.org/xmlns\">") ++
+      (if (weighted)
+        Seq("  <key id=\"d1\" for=\"edge\" attr.name=\"weight\" attr.type=\"double\"/>")
+      else Nil) :+
+      s"""  <graph id="G" edgedefault="${
+        if (g.directed) "directed" else "undirected"}">""")
+      .zipWithIndex.map { case (l, i) => (0, i.toLong, 0L, l) }
+      .toDF("sec", "a", "b", "line")
+    val nodes = g.vertices.select(col("id")).as[Long]
+      .map(id => (1, id, 0L, s"""    <node id="n$id"/>"""))
+      .toDF("sec", "a", "b", "line")
+    val edges = g.edges.select(col("src"), col("dst"), col("weight"))
+      .as[(Long, Long, Double)]
+      .map { case (u, v, w) =>
+        val l =
+          if (weighted)
+            s"""    <edge source="n$u" target="n$v"><data key="d1">$w</data></edge>"""
+          else s"""    <edge source="n$u" target="n$v"/>"""
+        (2, u, v, l)
+      }.toDF("sec", "a", "b", "line")
+    val foot = Seq((3, 0L, 0L, "  </graph>"), (3, 1L, 0L, "</graphml>"))
+      .toDF("sec", "a", "b", "line")
+    GraphReaders.writeSectionedSingleFile(
+      head.unionAll(nodes).unionAll(edges).unionAll(foot), path)
   }
 
   /** Static GEXF writer (reference `GEXFWriter`, static path): nodes
-    * 0..n−1, one `<edge>` per stored edge. Driver-bounded single-file
-    * interchange sink like [[GraphReaders.writeGml]]. */
+    * 0..n−1, one `<edge>` per stored edge. Same distributed line-build
+    * + streamed single-file sink discipline as [[writeGraphMl]]. */
   def write(g: PropertyGraph, path: String): Unit = {
-    val sb = new StringBuilder
-    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
-    sb ++= "<gexf xmlns=\"http://www.gexf.net/1.2draft\" version=\"1.2\">\n"
-    sb ++= s"""  <graph mode="static" defaultedgetype="${
-      if (g.directed) "directed" else "undirected"}">\n"""
-    sb ++= "    <nodes>\n"
-    g.vertices.select("id").orderBy("id").collect().foreach { r =>
-      sb ++= s"""      <node id="${r.getLong(0)}"/>\n"""
-    }
-    sb ++= "    </nodes>\n    <edges>\n"
-    g.edges.select("src", "dst", "weight").collect().foreach { r =>
-      sb ++= s"""      <edge source="${r.getLong(0)}" target="${r.getLong(1)}" weight="${r.getDouble(2)}"/>\n"""
-    }
-    sb ++= "    </edges>\n  </graph>\n</gexf>\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val head = Seq(
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        "<gexf xmlns=\"http://www.gexf.net/1.2draft\" version=\"1.2\">",
+        s"""  <graph mode="static" defaultedgetype="${
+          if (g.directed) "directed" else "undirected"}">""",
+        "    <nodes>")
+      .zipWithIndex.map { case (l, i) => (0, i.toLong, 0L, l) }
+      .toDF("sec", "a", "b", "line")
+    val nodes = g.vertices.select(col("id")).as[Long]
+      .map(id => (1, id, 0L, s"""      <node id="$id"/>"""))
+      .toDF("sec", "a", "b", "line")
+    val mid = Seq((2, 0L, 0L, "    </nodes>"), (2, 1L, 0L, "    <edges>"))
+      .toDF("sec", "a", "b", "line")
+    val edges = g.edges.select(col("src"), col("dst"), col("weight"))
+      .as[(Long, Long, Double)]
+      .map { case (u, v, w) =>
+        (3, u, v, s"""      <edge source="$u" target="$v" weight="$w"/>""") }
+      .toDF("sec", "a", "b", "line")
+    val foot = Seq((4, 0L, 0L, "    </edges>"), (4, 1L, 0L, "  </graph>"),
+        (4, 2L, 0L, "</gexf>"))
+      .toDF("sec", "a", "b", "line")
+    GraphReaders.writeSectionedSingleFile(
+      head.unionAll(nodes).unionAll(mid).unionAll(edges).unionAll(foot), path)
   }
 }

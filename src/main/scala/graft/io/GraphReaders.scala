@@ -265,20 +265,28 @@ object GraphReaders {
       directed = directed, Some(vertices))
   }
 
-  /** GML writer (reference `io/GMLGraphWriter.hpp`): size-bounded —
-    * the interchange format is a single sequential text file, so the
-    * edge list is collected to the driver (document: n+m rows). */
+  /** GML writer (reference `io/GMLGraphWriter.hpp`): node and edge
+    * blocks are BUILT distributed (one typed projection each, sorted by
+    * id / (src, dst) for determinism); only the final single-file sink
+    * streams through the driver one partition at a time
+    * ([[writeSectionedSingleFile]]) — driver memory is partition-
+    * bounded, not graph-bounded. */
   def writeGml(g: PropertyGraph, path: String): Unit = {
-    val sb = new StringBuilder("graph [\n")
-    if (g.directed) sb ++= "  directed 1\n"
-    g.vertices.select("id").collect().foreach { r =>
-      sb ++= s"  node [\n    id ${r.getLong(0)}\n  ]\n"
-    }
-    g.edges.select("src", "dst").collect().foreach { r =>
-      sb ++= s"  edge [\n    source ${r.getLong(0)}\n    target ${r.getLong(1)}\n  ]\n"
-    }
-    sb ++= "]\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val head = (Seq("graph [") ++ (if (g.directed) Seq("  directed 1") else Nil))
+      .zipWithIndex.map { case (l, i) => (0, i.toLong, 0L, l) }
+      .toDF("sec", "a", "b", "line")
+    val nodes = g.vertices.select(col("id")).as[Long]
+      .map(id => (1, id, 0L, s"  node [\n    id $id\n  ]"))
+      .toDF("sec", "a", "b", "line")
+    val edges = g.edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .map { case (u, v) =>
+        (2, u, v, s"  edge [\n    source $u\n    target $v\n  ]") }
+      .toDF("sec", "a", "b", "line")
+    val foot = Seq((3, 0L, 0L, "]")).toDF("sec", "a", "b", "line")
+    writeSectionedSingleFile(
+      head.unionAll(nodes).unionAll(edges).unionAll(foot), path)
   }
 
   /** KONECT reader with header directives (reference
@@ -322,6 +330,21 @@ object GraphReaders {
     lines.repartition(1).sortWithinPartitions("ord")
       .select(col("line"))
       .write.mode("overwrite").text(path)
+
+  /** Write `(sec, a, b, line)` rows as ONE local file at `path` in
+    * (sec, a, b) order, `\n` after every line. Unlike
+    * [[writeOrderedLines]] this produces a plain file (not a
+    * `part-*` directory) — required by the DOM-parsed XML formats —
+    * without collecting: the rows sort DISTRIBUTED (range-partitioned
+    * sort), then stream to the driver one partition at a time via
+    * `toLocalIterator`, so driver memory is bounded by one sorted
+    * partition, never the whole graph. */
+  private[io] def writeSectionedSingleFile(lines: DataFrame, path: String): Unit = {
+    val it = lines.sort("sec", "a", "b").select(col("line")).toLocalIterator()
+    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path))
+    try while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+    finally w.close()
+  }
 
   /** METIS adjacency writer (reference `io/METISGraphWriter.hpp:18`):
     * header `n m [fmt]`, then line i = the 1-based neighbors of node

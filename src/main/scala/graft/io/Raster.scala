@@ -28,12 +28,11 @@ object Raster {
     val lines = spark.read.textFile(path).rdd.zipWithIndex()
       .map { case (l, i) => (i, l) }.toDF("ln", "l")
       .localCheckpoint(true)
-    def headerNum(ln: Long): Double = {
-      val row = lines.filter(col("ln") === ln).head.getString(1)
-      // the reference skips a fixed 14-char key field; accept any
-      // "<key> <value>" header line
-      row.trim.split("\\s+").last.toDouble
-    }
+    // one job for the whole 6-line header (the reference skips a fixed
+    // 14-char key field; accept any "<key> <value>" header line)
+    val header = lines.filter(col("ln") < 6).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def headerNum(ln: Long): Double = header(ln).trim.split("\\s+").last.toDouble
     val ncols = headerNum(0).toLong
     val nrows = headerNum(1).toLong
     val cells = lines.filter(col("ln") >= 6 && col("ln") < 6 + nrows)

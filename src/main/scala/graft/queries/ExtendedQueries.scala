@@ -364,7 +364,10 @@ object ExtendedQueries {
       val spark = s
       import spark.implicits._
       val g = DerivedGraphs.partGraph(s, dir, 2)
-      val p = "/tmp/graft_x96.gephi"
+      // per-application scratch path: unlike x93 (whose ORACLE reads a
+      // pinned path from DuckDB), only this session re-reads the stream,
+      // so concurrent runs must not share the file
+      val p = s"/tmp/graft_x96_${s.sparkContext.applicationId}.gephi"
       graft.io.GephiStreaming.exportGraph(g, p)
       val lines = s.read.textFile(p).select(col("value").as("l"))
         .localCheckpoint(true)
@@ -503,6 +506,51 @@ object ExtendedQueries {
       graft.viz.Octree.repulsion(pts, dim = 2, qSign = 1.0, q2 = 1.0,
           exactBelow = 0)
         .select(col("id"), col("cov"))
+    }),
+    // Wilson-UST pseudoinverse diagonal upgraded spec→oracle (reference
+    // centrality/ApproxElectricalCloseness.hpp:28, ESA 2020): the 48
+    // lowest customer keys form a binary-heap tree (child pos → parent
+    // (pos−1)/2). A tree has exactly ONE spanning tree, so Wilson's
+    // sampler is DETERMINISTIC — R̂(u, root) is exactly the hop
+    // distance regardless of nSamples/seed — and the diagonal reduces
+    // to the CG root-column solve. The oracle re-derives the tree's L⁺
+    // diagonal through the closed form
+    // L⁺_uu = Σ_v d(u,v)/n − Σ_{v,w} d(v,w)/(2n²) (min-plus squaring,
+    // the x76 pattern; hop distances are exact integers). Hard gate:
+    // every node's UST estimate within 1e-6 of the closed form; the
+    // emitted surface is the closed form rounded to 6 (identical IEEE
+    // expression shape on both sides).
+    "x100_ust" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val n = 48
+      val keys = Tables.load(s, dir, "customer")
+        .orderBy("c_custkey").limit(n)
+        .select(col("c_custkey").cast("long").as("key"))
+      val pos = Ranks.zipRank(keys, Seq(col("key")), "pos")
+      val edges = pos.filter(col("pos") > 0)
+        .select(col("pos").as("cpos"), expr("(pos - 1) div 2").as("ppos"),
+          col("key").as("ck"))
+        .join(pos.select(col("pos").as("ppos"), col("key").as("pk")), "ppos")
+        .select(least(col("ck"), col("pk")).as("src"),
+          greatest(col("ck"), col("pk")).as("dst"), lit(1.0).as("weight"))
+        .localCheckpoint(true)
+      val g = PropertyGraph(edges, directed = false,
+        Some(pos.select(col("key").as("id"))))
+      val ust = graft.graph.UstDiagonal
+        .diagonal(g, nSamples = 32, seed = 7, maxIter = 200)
+        .localCheckpoint(true)
+      val d = Apsp.floydWarshall(g)
+        .select(col("src").as("id"), col("dist")).localCheckpoint(true)
+      val tot = d.agg(sum("dist")).first().getDouble(0)
+      val closed = d.groupBy("id").agg(sum("dist").as("rs"))
+        .select(col("id"),
+          (col("rs") / n.toDouble - lit(tot / (2.0 * n * n))).as("closed"))
+      val both = ust.join(closed, "id").localCheckpoint(true)
+      val off = both.filter(abs(col("diag") - col("closed")) > 1e-6).count()
+      require(off == 0,
+        s"UST diagonal must match the tree closed form at 1e-6 ($off nodes off)")
+      both.select(col("id"), round(col("closed"), 6).as("diag"))
     }),
     // semiring MxV: adjacency × degree vector (arithmetic semiring)
     "x1_mxv" -> ((s, dir) => {
@@ -2183,6 +2231,33 @@ object ExtendedQueries {
         |        / (SELECT total FROM tot), 6) AS r1_closed,
         |  1::BIGINT AS cg1_ok
         |FROM a1""".stripMargin,
+    // tree L⁺ diagonal closed form over the 48-customer binary-heap
+    // tree: hop distances by min-plus squaring (2^4 = 16 ≥ diameter 10
+    // at heap depth 5), then L⁺_uu = rowsum/n − total/(2n²) with the
+    // IDENTICAL IEEE expression shape as the Spark side (integer sums,
+    // /48.0 then −/4608.0); the UST-vs-closed-form gate is Spark-side
+    "x100_ust" -> {
+      val sqs = (1 to 4).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT a.i, b.j, min(a.v + b.v) AS v
+           |  FROM d${k - 1} a JOIN d${k - 1} b ON a.j = b.i GROUP BY a.i, b.j)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH k AS (SELECT c_custkey AS key FROM customer
+         |           ORDER BY c_custkey LIMIT 48),
+         |p AS MATERIALIZED (SELECT row_number() OVER (ORDER BY key) - 1 AS pos,
+         |                   key FROM k),
+         |e AS MATERIALIZED (SELECT c.key AS x, f.key AS y FROM p c
+         |     JOIN p f ON f.pos = (c.pos - 1) // 2 WHERE c.pos > 0),
+         |sym AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+         |d0 AS MATERIALIZED (SELECT i, j, min(v) AS v FROM (
+         |    SELECT x AS i, y AS j, 1 AS v FROM sym
+         |    UNION ALL SELECT key AS i, key AS j, 0 AS v FROM p) GROUP BY i, j),
+         |$sqs,
+         |rs AS (SELECT i, sum(v) AS rs FROM d4 GROUP BY i),
+         |tot AS (SELECT sum(v)::DOUBLE AS t FROM d4)
+         |SELECT i AS id,
+         |  round(rs::DOUBLE / 48.0 - (SELECT t FROM tot) / 4608.0, 6) AS diag
+         |FROM rs""".stripMargin
+    },
     // degrees of the minShared=2 part graph, derived from the TABLES —
     // the Spark side re-parses them from its own exported gephi stream
     "x96_gephi" ->

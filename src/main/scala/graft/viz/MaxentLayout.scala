@@ -88,7 +88,7 @@ object MaxentLayout {
       finalAlpha: Double = 0.008, maxSolvesPerAlpha: Int = 50,
       fastComputation: Boolean = true, seed: Long = 42L,
       solveTol: Double = 1e-6, solveMaxCycles: Int = 12,
-      coarsestN: Int = 64): MaxentResult = {
+      coarsestN: Int = 64, repulsionExactBelow: Long = 1024L): MaxentResult = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
     val s = knownDistances(g, k).localCheckpoint(true)
@@ -156,8 +156,13 @@ object MaxentLayout {
             (col(s"r$dd") / norms(dd)).as(s"r$dd")): _*)
         }
         // Barnes–Hut octree repulsion (the reference's
-        // approxRepulsiveForces shape), normalized then scaled by alpha
-        val rep0 = Octree.repulsion(coords, dim, qSign, q2)
+        // approxRepulsiveForces shape), normalized then scaled by alpha.
+        // The exact-dispatch cutoff is LOWER here than Octree's one-shot
+        // default: this call repeats every solve of every alpha round,
+        // so the n² exact field would be paid dozens of times in the
+        // mid-size band where the O(n log n) interaction lists already win
+        val rep0 = Octree.repulsion(coords, dim, qSign, q2,
+            exactBelow = repulsionExactBelow)
           .drop("cov")
           .localCheckpoint(true)
         val fnCols = (0 until dim).map(dd =>

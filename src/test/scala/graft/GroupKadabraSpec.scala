@@ -50,6 +50,26 @@ class GroupKadabraSpec extends SparkSpec {
     val top = joined.orderBy(col("kadabra").desc).select("id").as[Long].head()
     assert(Set(0L, 33L).contains(top), s"top $top")
   }
+
+  test("kadabra: adaptive union-bound stop fires below the worst-case cap") {
+    // err must sit ABOVE the Bernstein floor 3·ln(3n/δ)/m reachable
+    // within the cap but BELOW where the cap itself ends the loop first:
+    // at err = 0.05 the cap is ~3.2k samples and the union bound
+    // certifies ε̂ ≤ err at the third batch boundary (~2.8k) for ANY
+    // p̂ ≤ 0.5, so the stop fires deterministically; at looser err the
+    // doubling batches hit the (smaller) cap before a checkpoint can
+    // certify — the worst-case budget is doing its job there
+    val res = Betweenness.kadabraWithInfo(karate, err = 0.05, delta = 0.1)
+    assert(res.adaptiveStopped, "adaptive stop must fire on karate at err=0.05")
+    assert(res.drawn < res.worstCase,
+      s"drawn ${res.drawn} must be below the cap ${res.worstCase}")
+    val n = karate.vertices.count().toDouble
+    val exact = Betweenness.run(karate, sampleSources = None)
+      .select(col("id"), (col("score") * 2.0 / (n * (n - 1.0))).as("exact"))
+    val maxDev = res.scores.join(exact, "id")
+      .agg(max(abs(col("kadabra") - col("exact")))).as[Double].head()
+    assert(maxDev <= 0.05, s"max deviation $maxDev")
+  }
 }
 
 object GedWalkCheck {
