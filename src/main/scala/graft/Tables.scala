@@ -39,7 +39,12 @@ object Tables {
       // part-graph pair explosion at high SF) stop funneling through
       // `shuffle.partitions`-sized reducers, while small queries still
       // end up with few partitions after coalesce
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256")
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
+      // let the planner pick shuffled-hash join when its build side fits
+      // (guide §3.1): skips both sort passes of sort-merge; the planner
+      // still falls back to SMJ when the size conditions fail, so this
+      // is scale-safe (a too-big build side never hash-joins)
+      "spark.sql.join.preferSortMergeJoin" -> "false")
     if (sys.env.contains("GRAFT_DISABLE_CLAMP")) base
     else base + ("spark.sql.extensions" -> "graft.GraftExtensions")
   }

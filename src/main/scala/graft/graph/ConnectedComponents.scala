@@ -48,13 +48,20 @@ object ConnectedComponents {
     def sym(e: DataFrame): DataFrame =
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
 
+    // each star pays ONE exchange: the symmetric view is hash-partitioned
+    // by u up front, so the min-aggregate AND the star join both reuse
+    // that partitioning (groupBy needs only clustering on u; the join's
+    // other side derives from the same exchange) — 3 exchanges per round
+    // (largeStar, smallStar, dedup) instead of 5
+    def symByU(e: DataFrame): DataFrame = sym(e).repartition(col("u"))
+
     // min(N(u) ∪ {u}) per node over a symmetric pair set
     def nbrMin(s: DataFrame): DataFrame =
       s.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
 
     def largeStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
+      val s = symByU(e)
       val m = nbrMin(s)
       s.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -62,7 +69,7 @@ object ConnectedComponents {
     }
 
     def smallStar(e: DataFrame): DataFrame = {
-      val s = sym(e)
+      val s = symByU(e)
       val m = nbrMin(s)
       val moved = s.join(m, "u").filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -85,16 +92,23 @@ object ConnectedComponents {
       (e, _) => smallStar(largeStar(e))
     } { e => checksum(e) }
 
-    // star forest: every non-root points at its root; add the roots
-    val members = stars.select(col("u").as("id"), col("v").as("component"))
-    val roots = stars.select(col("v").as("id")).distinct()
-      .join(stars.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("component"))
-    // isolated vertices (if a vertex table is attached) are their own component
-    val isolated = g.vertices.select("id")
-      .join(members.select("id").unionAll(roots.select("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("component"))
-    members.unionAll(roots).unionAll(isolated)
+    // star forest: every non-root points at its root. Roots and isolated
+    // vertices are covered by seeding EVERY vertex with itself as a
+    // candidate label — min() then picks the root for members (the root
+    // is the component minimum at the fixpoint) and the id itself for
+    // roots/isolated. One union + one aggregate replaces the former
+    // roots/isolated anti-join cascade (14 exchanges + 3 sort-merge
+    // anti-joins → ≤2 exchanges), identical output. When the vertex set
+    // derives from endpoints its distinct is skipped too: the final
+    // min-aggregate dedups.
+    val selfSeed = g.verticesOpt match {
+      case Some(v) => v.select(col("id"), col("id").as("component"))
+      case None => g.edges.select(col("src").as("id"))
+        .unionAll(g.edges.select(col("dst").as("id")))
+        .select(col("id"), col("id").as("component"))
+    }
+    stars.select(col("u").as("id"), col("v").as("component"))
+      .unionAll(selfSeed)
       .groupBy("id").agg(min("component").as("component"))
   }
 

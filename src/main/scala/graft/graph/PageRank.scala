@@ -46,19 +46,19 @@ object PageRank {
       .select(col("src"), col("dst"),
         (if (weighted) col("weight") / col("out") else lit(1.0) / col("out")).as("share"))
       .persist()
-    adj.count()
-    dbg("adj materialized")
 
     // pre-partitioned like the per-iteration contrib (hash on id) so the
     // in-coverage completion join never re-exchanges the node table; for
     // the structurally-covered case the distinct over `src` of the
-    // persisted adj reuses its partitioning — no extra exchange
+    // persisted adj reuses its partitioning — no extra exchange. The
+    // nodes count is also what materializes adj (its scan populates the
+    // persist) — one setup job instead of a separate adj.count() pass.
     val nodes = (
       if (structurallyCovered) adj.select(col("src").as("id")).distinct()
       else g.vertices.select("id").repartition(shufflePartitions, col("id"))
     ).persist()
     val n = nodes.count().toDouble
-    dbg("nodes counted")
+    dbg("adj+nodes materialized")
     val init = nodes.select(col("id"), lit(1.0 / n).as("rank"))
 
     // nodes with no out-edges: their rank is redistributed uniformly

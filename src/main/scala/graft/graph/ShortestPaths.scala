@@ -25,11 +25,19 @@ import org.apache.spark.storage.StorageLevel
 object ShortestPaths {
 
   /** Hop distances from each source: `(source, id, dist)` (unreachable
-    * nodes absent). */
+    * nodes absent).
+    *
+    * One Spark job per hop: the new frontier is a LAZY localCheckpoint
+    * whose materializing action is the frontier-size count, and the
+    * settled set is the flat UNION of the per-hop frontier checkpoints
+    * (BFS never improves a settled distance, so dist is append-only) —
+    * the former per-hop eager re-checkpoint of the whole dist table
+    * (O(n·diameter) copied rows) and its extra job are gone. The
+    * anti-join reads the union (one scan of already-materialized
+    * blocks); total resident bytes are unchanged (= |dist|). */
   def bfs(g: PropertyGraph, sources: DataFrame, maxIter: Int = 200): DataFrame = {
     val adj = g.adjacency.select("src", "dst")
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
 
     var dist = sources.select(col("source"), col("source").as("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -42,16 +50,11 @@ object ShortestPaths {
         .groupBy("source", "id").agg(min("dist").as("dist"))
       val newFrontier = candidates
         .join(dist, Seq("source", "id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it
       frontierSize = newFrontier.count()
       if (frontierSize > 0) {
-        val prevDist = dist
-        val prevFrontier = frontier
-        dist = dist.unionAll(newFrontier).localCheckpoint(true)
+        dist = dist.unionAll(newFrontier)
         frontier = newFrontier
-        // eager checkpoint above copied both into fresh blocks
-        Fixpoint.free(prevDist)
-        if (!(prevFrontier eq prevDist)) Fixpoint.free(prevFrontier)
       } else Fixpoint.free(newFrontier)
       i += 1
     }

@@ -41,9 +41,17 @@ object Triangles {
           col("dst")).otherwise(col("src")).as("b"))
   }
 
-  /** All triangles, one row each: `(a, b, c)`. */
+  /** All triangles, one row each: `(a, b, c)`.
+    *
+    * The oriented edge table is MATERIALIZED (eager localCheckpoint)
+    * before the wedge join: it is referenced three times (both wedge
+    * sides + the closer), and a lazy persist lets the three concurrent
+    * stage subtrees race to compute it — the explain of the former plan
+    * carried the whole canonicalize/degree/orient subtree in triplicate
+    * (53 exchanges); now it runs once and the wedge query reads the
+    * checkpointed blocks. */
   def triangles(g: PropertyGraph): DataFrame = {
-    val e = oriented(g).persist()
+    val e = oriented(g).localCheckpoint(true)
     val e1 = e.select(col("a").as("u"), col("b").as("v"))
     val e2 = e.select(col("a").as("v"), col("b").as("w"))
     val wedges = e1.join(e2, "v").select(col("u"), col("v"), col("w"))

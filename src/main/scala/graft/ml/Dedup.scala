@@ -39,15 +39,19 @@ object Dedup {
       .otherwise(array())
   }
 
-  /** MinHash signatures: k independent min-hashes over the distinct
-    * shingle set, as hex-string columns `mh0..mh{k-1}`.
-    * (hash_i(s) = md5(i || s); the min is taken lexicographically.) */
+  /** MinHash signatures: k independent min-hashes over the shingle set,
+    * as hex-string columns `mh0..mh{k-1}`.
+    * (hash_i(s) = md5(i || s); the min is taken lexicographically.)
+    * No shingle-dedup pass: `min` is duplicate-insensitive, so the
+    * former per-(doc, shingle) distinct was a full extra exchange for
+    * the identical result — the signature aggregate (with map-side
+    * partial min) is the only shuffle. */
   def minhashSignatures(df: DataFrame, id: String, text: String,
       k: Int = 8, shingleN: Int = 3): DataFrame = {
     val sh = df
       .withColumn("toks", tokens(col(text)))
       .withColumn("sh", explode(shingleExpr("toks", shingleN)))
-      .select(col(id), col("sh")).distinct()
+      .select(col(id), col("sh"))
     val aggs = (0 until k).map(i => min(md5(concat(lit(i.toString), col("sh")))).as(s"mh$i"))
     sh.groupBy(id).agg(aggs.head, aggs.tail: _*)
   }
