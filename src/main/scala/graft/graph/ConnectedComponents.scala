@@ -97,8 +97,8 @@ object ConnectedComponents {
     // candidate label — min() then picks the root for members (the root
     // is the component minimum at the fixpoint) and the id itself for
     // roots/isolated. One union + one aggregate replaces the former
-    // roots/isolated anti-join cascade (14 exchanges + 3 sort-merge
-    // anti-joins → ≤2 exchanges), identical output. When the vertex set
+    // roots/isolated anti-join cascade (7 Exchanges + 3 sort-merge
+    // anti-joins → 1 Exchange), identical output. When the vertex set
     // derives from endpoints its distinct is skipped too: the final
     // min-aggregate dedups.
     val selfSeed = g.verticesOpt match {
