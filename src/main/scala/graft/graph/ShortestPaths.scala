@@ -32,15 +32,17 @@ object ShortestPaths {
     * settled set is the flat UNION of the per-hop frontier checkpoints
     * (BFS never improves a settled distance, so dist is append-only) —
     * the former per-hop eager re-checkpoint of the whole dist table
-    * (O(n·diameter) copied rows) and its extra job are gone. The
-    * anti-join reads the union (one scan of already-materialized
-    * blocks); total resident bytes are unchanged (= |dist|). */
+    * (O(n·diameter) copied rows) and its extra job are gone. On exit the
+    * union is compacted into ONE checkpoint and the per-hop legs are
+    * freed, preserving the round-state hygiene contract (FixpointSpec):
+    * the settled table is copied once total, not once per hop. */
   def bfs(g: PropertyGraph, sources: DataFrame, maxIter: Int = 200): DataFrame = {
     val adj = g.adjacency.select("src", "dst")
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
 
     var dist = sources.select(col("source"), col("source").as("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
+    val legs = scala.collection.mutable.ListBuffer(dist)
     var frontier = dist
     var i = 0
     var frontierSize = frontier.count()
@@ -54,12 +56,18 @@ object ShortestPaths {
       frontierSize = newFrontier.count()
       if (frontierSize > 0) {
         dist = dist.unionAll(newFrontier)
+        legs += newFrontier
         frontier = newFrontier
       } else Fixpoint.free(newFrontier)
       i += 1
     }
     adj.unpersist(false)
-    dist
+    if (legs.size == 1) dist
+    else {
+      val out = dist.localCheckpoint(true)
+      legs.foreach(Fixpoint.free)
+      out
+    }
   }
 
   /** Weighted SSSP (non-negative weights): `(source, id, dist)`.
