@@ -36,7 +36,7 @@ object JobCount {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks.incrementAndGet()
     })
 
-    names.foreach { n =>
+    val summary = names.map { n =>
       val fn = SparkEntry.queries(n)
       val rows = (1 to 2).map { run =>
         spark.sparkContext.setJobDescription(s"$n run$run")
@@ -52,7 +52,10 @@ object JobCount {
       }
       val (c, dt, j, st, tk, sw) = rows.last
       println(f"$n%-16s rows=$c%-8d jobs=$j%-4d stages=$st%-4d tasks=$tk%-6d shufMB=${sw / 1e6}%-8.1f wall=$dt%.2fs")
+      f""""$n":{"rows":$c,"jobs":$j,"stages":$st,"tasks":$tk,"shuffle_mb":${sw / 1e6}%.1f}"""
     }
+    // machine-readable line for the plans/rNN evidence artifacts
+    println(summary.mkString("{\"jobcount\":{", ",", s"""},"sf":"$sfDir"}"""))
     spark.stop()
   }
 }

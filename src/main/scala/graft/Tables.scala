@@ -40,10 +40,23 @@ object Tables {
       // `shuffle.partitions`-sized reducers, while small queries still
       // end up with few partitions after coalesce
       "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "256",
+      // cached (persisted) plans run WITHOUT AQE unless this is on, so a
+      // persist under the 256-partition initialPartitionNum above would
+      // be stored as 256 tiny partitions and every consumer scan pays
+      // 256 tasks — with it on, AQE coalesces the cached plan like any
+      // other (the persisted oriented-edge table in Triangles went
+      // 1566 → ~40 tasks at sf0.1)
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
       // let the planner pick shuffled-hash join when its build side fits
-      // (guide §3.1): skips both sort passes of sort-merge; the planner
-      // still falls back to SMJ when the size conditions fail, so this
-      // is scale-safe (a too-big build side never hash-joins)
+      // (guide §3.1): skips both sort passes of sort-merge. Caveat: the
+      // SHJ size check uses PLAN-TIME statistics — misestimated stats on
+      // a large non-broadcast join can pick SHJ with a build side that
+      // does not fit (the build side cannot spill for every join type),
+      // so this is a measured bet, not a guaranteed fallback; it was
+      // A/B'd against the default in r10 (q2_join floor 0.81→0.46 s,
+      // g8 SMJ→SHJ) and re-A/B'd in r11 (g7_pagerank floors equal
+      // within noise; its loop join is broadcast at bench scale, so the
+      // r10-suspected regression was box noise, not this flag)
       "spark.sql.join.preferSortMergeJoin" -> "false")
     if (sys.env.contains("GRAFT_DISABLE_CLAMP")) base
     else base + ("spark.sql.extensions" -> "graft.GraftExtensions")

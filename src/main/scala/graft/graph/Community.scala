@@ -921,59 +921,83 @@ object Community {
     var members = Set(seed)
     var kin = 0.0
     var kout = seedDeg(0).getDouble(1)
-    var improving = true
-    while (improving && members.size < maxSize) {
-      improving = false
-      val sDf = members.toSeq.toDF("id")
-      // insertion candidates: boundary nodes, with weight into C
-      val wIn = adj.join(sDf.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-        .join(sDf.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-        .groupBy(col("src").as("id")).agg(sum("weight").as("wIn"))
-        .join(degs, "id")
-      val f0 = fitness(kin, kout)
-      val bestAdd = wIn
+
+    // Incremental neighborhood state — ONE Spark job per greedy step.
+    // One row per node inside or adjacent to the community:
+    // (id, wIn = weight into members\{id}, d = total degree, member).
+    // Each step updates the state with ONE node's edge deltas (a pushed
+    // filter on the persisted adjacency) instead of re-aggregating the
+    // boundary from the full adjacency, and the add/delete decision is
+    // one collect of two top-1 rankings over the same lazily-
+    // checkpointed state (the collect materializes it). The former code
+    // paid ≥2 full-adjacency aggregation jobs per added member (insert
+    // ranking + deletion sweep); for integer-valued weights the
+    // incremental sums are exact, so the greedy sequence — deletions to
+    // exhaustion after each improving add, same tie-breaks — and the
+    // resulting member set are identical.
+    def deltaOf(v: Long): DataFrame = adj.filter(col("src") === v)
+      .groupBy(col("dst").as("id")).agg(sum("weight").as("dw"))
+    def applyDelta(prev: DataFrame, v: Long, sign: Double,
+        nowMember: Boolean): DataFrame =
+      prev.join(deltaOf(v), Seq("id"), "full")
+        .join(degs.withColumnRenamed("d", "d2"), Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("wIn"), lit(0.0)) +
+            lit(sign) * coalesce(col("dw"), lit(0.0))).as("wIn"),
+          coalesce(col("d"), col("d2")).as("d"),
+          when(col("id") === v, lit(nowMember))
+            .otherwise(coalesce(col("member"), lit(false))).as("member"))
+        // positive weights: adjacent-to-C ⟺ wIn > 0, so pruning keeps
+        // exactly the original candidate set
+        .filter(col("member") || col("wIn") > 0)
+        .localCheckpoint(false) // lazy: the decision collect materializes it
+    var state: DataFrame = deltaOf(seed)
+      .join(degs, Seq("id"), "left")
+      .select(col("id"), col("dw").as("wIn"), col("d"), lit(false).as("member"))
+      .unionAll(degs.filter(col("id") === seed)
+        .select(col("id"), lit(0.0).as("wIn"), col("d"), lit(true).as("member")))
+      .localCheckpoint(false)
+    var prevState: DataFrame = null
+    var done = false
+    while (!done) {
+      val addTop = state.filter(!col("member"))
         .withColumn("nkin", lit(kin) + lit(2.0) * col("wIn"))
         .withColumn("nkout", lit(kout) + col("d") - lit(2.0) * col("wIn"))
         .orderBy((col("nkin") / pow(col("nkin") + col("nkout"), lit(alpha))).desc,
           col("id").asc)
-        .limit(1).collect()
-      if (bestAdd.nonEmpty) {
-        val r = bestAdd(0)
-        val (nkin, nkout) = (r.getAs[Double]("nkin"), r.getAs[Double]("nkout"))
-        if (fitness(nkin, nkout) > f0 + 1e-12) {
-          members += r.getLong(0)
-          kin = nkin; kout = nkout
-          improving = true
-          // deletion sweep: drop any member (except the seed) whose
-          // removal raises fitness
-          var sweep = true
-          while (sweep) {
-            sweep = false
-            val mDf = members.toSeq.toDF("id")
-            val wm = adj.join(mDf.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-              .join(mDf.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-              .groupBy(col("src").as("id")).agg(sum("weight").as("wIn"))
-            val cands = mDf.join(wm, Seq("id"), "left").na.fill(0.0, Seq("wIn"))
-              .join(degs, "id").filter(col("id") =!= seed)
-              .withColumn("rkin", lit(kin) - lit(2.0) * col("wIn"))
-              .withColumn("rkout", lit(kout) - col("d") + lit(2.0) * col("wIn"))
-            val bestDel = cands
-              .orderBy((col("rkin") / pow(col("rkin") + col("rkout"), lit(alpha))).desc,
-                col("id").asc)
-              .limit(1).collect()
-            if (bestDel.nonEmpty) {
-              val d = bestDel(0)
-              val (rkin, rkout) = (d.getAs[Double]("rkin"), d.getAs[Double]("rkout"))
-              if (fitness(rkin, rkout) > fitness(kin, kout) + 1e-12) {
-                members -= d.getLong(0)
-                kin = rkin; kout = rkout
-                sweep = true
-              }
-            }
-          }
-        }
-      }
+        .limit(1)
+        .select(lit("add").as("act"), col("id"),
+          col("nkin").as("ki"), col("nkout").as("ko"))
+      val delTop = state.filter(col("member") && col("id") =!= seed)
+        .withColumn("rkin", lit(kin) - lit(2.0) * col("wIn"))
+        .withColumn("rkout", lit(kout) - col("d") + lit(2.0) * col("wIn"))
+        .orderBy((col("rkin") / pow(col("rkin") + col("rkout"), lit(alpha))).desc,
+          col("id").asc)
+        .limit(1)
+        .select(lit("del").as("act"), col("id"),
+          col("rkin").as("ki"), col("rkout").as("ko"))
+      val top = addTop.unionAll(delTop).collect()
+      if (prevState != null) { Fixpoint.free(prevState); prevState = null }
+      val f0 = fitness(kin, kout)
+      // deletions first: one can only improve right after an add, and the
+      // original swept them to exhaustion before the next add — same order
+      val del = top.find(r => r.getString(0) == "del" &&
+        fitness(r.getDouble(2), r.getDouble(3)) > f0 + 1e-12)
+      val add = top.find(r => r.getString(0) == "add" &&
+        fitness(r.getDouble(2), r.getDouble(3)) > f0 + 1e-12)
+      if (del.isDefined) {
+        val r = del.get; val v = r.getLong(1)
+        members -= v; kin = r.getDouble(2); kout = r.getDouble(3)
+        prevState = state
+        state = applyDelta(state, v, -1.0, nowMember = false)
+      } else if (members.size < maxSize && add.isDefined) {
+        val r = add.get; val v = r.getLong(1)
+        members += v; kin = r.getDouble(2); kout = r.getDouble(3)
+        prevState = state
+        state = applyDelta(state, v, 1.0, nowMember = true)
+      } else done = true
     }
+    Fixpoint.free(state)
     adj.unpersist(false); degs.unpersist(false)
     members.toSeq.sorted.toDF("id")
   }

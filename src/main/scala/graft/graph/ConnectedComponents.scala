@@ -89,7 +89,10 @@ object ConnectedComponents {
     // truncation. Fused loop: the (count, xor) checksum IS the
     // materializing action — one job per round.
     val stars = Fixpoint.loopFusedFingerprint(base, maxIter) {
-      (e, _) => smallStar(largeStar(e))
+      (e, i) =>
+        val round = smallStar(largeStar(e))
+        if (i > 0) Fixpoint.dumpLoopPlan("cc_star_round", round)
+        round
     } { e => checksum(e) }
 
     // star forest: every non-root points at its root. Roots and isolated

@@ -18,6 +18,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Fixpoint {
 
+  /** Loop-body plan evidence: `explain` on the OUTPUT of a checkpointing
+    * loop shows only the final projection over a LogicalRDD — the real
+    * per-iteration plan (exchange count, join strategy) is invisible.
+    * When `GRAFT_LOOP_PLAN_DIR` is set, the first call per label writes
+    * the formatted plan of one loop-body iteration (the pre-checkpoint
+    * DataFrame) to `<dir>/<label>_loop.txt`, so per-iteration claims are
+    * checkable against a committed artifact. No-op (and zero cost beyond
+    * an env probe) in normal runs. */
+  private val dumpedLabels = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  def dumpLoopPlan(label: String, df: DataFrame): Unit =
+    sys.env.get("GRAFT_LOOP_PLAN_DIR").foreach { dir =>
+      if (dumpedLabels.putIfAbsent(label, true).isEmpty) {
+        val d = new java.io.File(dir); d.mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/${label}_loop.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
+
   /** Release the storage behind a per-round state. `Dataset.unpersist`
     * only drops CacheManager entries, so for a `localCheckpoint`ed state
     * (plan = `LogicalRDD`) it is a silent no-op and every round's blocks

@@ -200,12 +200,15 @@ object GraphOps {
       g.adjacency.filter(col("src") =!= col("dst"))).select("src", "dst")
     // checkpointEvery = 1: the peel step references e three times
     val fin = Fixpoint.loopUntilStableScalar(start, maxIter,
-      df => df.count().toDouble, checkpointEvery = 1) { (e, _) =>
+      df => df.count().toDouble, checkpointEvery = 1) { (e, i) =>
       val deg = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("id")
-      e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      val round = e
+        .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      if (i > 0) Fixpoint.dumpLoopPlan("kcore_peel_round", round)
+      round
     }
     PropertyGraph(fin.withColumn("weight", lit(1.0)), directed = false)
   }

@@ -17,15 +17,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Matching {
 
-  /** Matched pairs `(u, v, weight)` with u < v. */
+  /** Matched pairs `(u, v, weight)` with u < v.
+    *
+    * ONE Spark job per round (see [[bSuitor]] for the pattern): lazy
+    * localCheckpoints materialized by the mutual-size count; the matched
+    * set accumulates as per-round legs, unioned once at exit. The
+    * remaining-edge prune anti-joins against THIS round's mutual
+    * endpoints only — edges incident to earlier rounds' matches were
+    * already removed in their own round, so pruning against the full
+    * matched set (the former code) was redundant work growing per round. */
   def suitor(g: PropertyGraph, maxIter: Int = 50): DataFrame = {
     val spark = g.edges.sparkSession
+    import spark.implicits._
     var remaining = g.adjacency
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("weight"))
       .localCheckpoint(true)
-    var matched = spark.emptyDataFrame
-    var first = true
+    val legs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var pendingFree: List[DataFrame] = Nil
     var done = false
     var i = 0
     val debugT0 = System.nanoTime()
@@ -39,33 +48,41 @@ object Matching {
         .groupBy("src")
         .agg(max(struct(col("weight"), (-col("dst")).as("negDst"), col("dst"))).as("b"))
         .select(col("src"), col("b.dst").as("dst"), col("b.weight").as("weight"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val mutual = best.as("a")
         .join(best.as("b"),
           col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
         .filter(col("a.src") < col("a.dst"))
         .select(col("a.src").as("u"), col("a.dst").as("v"),
           col("a.weight").as("weight"))
-        .localCheckpoint(true)
-      if (mutual.isEmpty) done = true
+        .localCheckpoint(false)
+      val nMutual = mutual.count()
+      pendingFree.foreach(Fixpoint.free); pendingFree = Nil
+      Fixpoint.free(best)
+      if (nMutual == 0) { Fixpoint.free(mutual); done = true }
       else {
-        matched = (if (first) mutual else matched.unionAll(mutual)).localCheckpoint(true)
-        first = false
-        val taken = matched.select(col("u").as("id"))
-          .unionAll(matched.select(col("v").as("id")))
+        legs += mutual
+        val taken = mutual.select(col("u").as("id"))
+          .unionAll(mutual.select(col("v").as("id")))
+        val prevRemaining = remaining
         remaining = remaining
           .join(taken.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
           .join(taken.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
           .select("src", "dst", "weight")
-          .localCheckpoint(true)
-        if (remaining.isEmpty) done = true
+          .localCheckpoint(false)
+        pendingFree = List(prevRemaining)
       }
       i += 1
     }
-    if (first) {
-      import spark.implicits._
-      Seq.empty[(Long, Long, Double)].toDF("u", "v", "weight")
-    } else matched
+    pendingFree.foreach(Fixpoint.free)
+    Fixpoint.free(remaining)
+    if (legs.isEmpty) Seq.empty[(Long, Long, Double)].toDF("u", "v", "weight")
+    else if (legs.size == 1) legs.head
+    else {
+      val out = legs.reduce(_ unionAll _).localCheckpoint(true)
+      legs.foreach(Fixpoint.free)
+      out
+    }
   }
 
   /** b-matching via rounds of mutual-best proposals with residual
@@ -84,44 +101,65 @@ object Matching {
       .localCheckpoint(true)
     var cap = remaining.select(col("src").as("id")).distinct()
       .withColumn("cap", lit(b.toLong)).localCheckpoint(true)
-    var matched = Seq.empty[(Long, Long, Double)].toDF("u", "v", "weight")
+    // ONE Spark job per round: best/mutual and the next round's
+    // cap/remaining are LAZY localCheckpoints; the mutual-size count is
+    // the action that materializes the whole chained round (the former
+    // eager checkpoints + isEmpty probes cost ~7 jobs/round). The
+    // matched set is accumulated as per-round legs and unioned once at
+    // exit instead of re-checkpointing a growing table every round.
+    val legs = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var pendingFree: List[DataFrame] = Nil
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      val capPos = cap.filter(col("cap") > 0)
       val eligible = remaining
-        .join(cap.filter(col("cap") > 0).select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(cap.filter(col("cap") > 0).select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .join(capPos.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(capPos.select(col("id").as("dst")), Seq("dst"), "left_semi")
       val best = eligible.groupBy("src")
         .agg(max(struct(col("weight"), (-col("dst")).as("negDst"), col("dst"))).as("b"))
         .select(col("src"), col("b.dst").as("dst"), col("b.weight").as("weight"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val mutual = best.as("a")
         .join(best.as("b"),
           col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
         .filter(col("a.src") < col("a.dst"))
         .select(col("a.src").as("u"), col("a.dst").as("v"),
           col("a.weight").as("weight"))
-        .localCheckpoint(true)
-      if (mutual.isEmpty) done = true
+        .localCheckpoint(false)
+      val nMutual = mutual.count() // materializes best + mutual and the
+        // lazy cap/remaining checkpoints created last round beneath them
+      pendingFree.foreach(Fixpoint.free); pendingFree = Nil
+      Fixpoint.free(best) // mutual is materialized; best no longer needed
+      if (nMutual == 0) { Fixpoint.free(mutual); done = true }
       else {
-        matched = matched.unionAll(mutual).localCheckpoint(true)
+        legs += mutual
         val used = mutual.select(col("u").as("id"))
           .unionAll(mutual.select(col("v").as("id")))
           .groupBy("id").agg(count(lit(1)).as("used"))
+        val prevCap = cap; val prevRemaining = remaining
         cap = cap.join(used, Seq("id"), "left")
           .select(col("id"), (col("cap") - coalesce(col("used"), lit(0L))).as("cap"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         remaining = remaining
           .join(mutual.select(col("u").as("src"), col("v").as("dst")),
             Seq("src", "dst"), "left_anti")
           .join(mutual.select(col("v").as("src"), col("u").as("dst")),
             Seq("src", "dst"), "left_anti")
-          .localCheckpoint(true)
-        if (remaining.isEmpty) done = true
+          .localCheckpoint(false)
+        pendingFree = List(prevCap, prevRemaining)
       }
       i += 1
     }
-    matched
+    pendingFree.foreach(Fixpoint.free)
+    Fixpoint.free(cap); Fixpoint.free(remaining)
+    if (legs.isEmpty) Seq.empty[(Long, Long, Double)].toDF("u", "v", "weight")
+    else if (legs.size == 1) legs.head
+    else {
+      val out = legs.reduce(_ unionAll _).localCheckpoint(true)
+      legs.foreach(Fixpoint.free)
+      out
+    }
   }
 
   /** Dynamic b-suitor: fold a batch of edge INSERTIONS into an existing
@@ -142,6 +180,8 @@ object Matching {
     var matched = matching.select("u", "v", "weight").localCheckpoint(true)
     val adj = g.adjacency.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
+    // two jobs per round (mutual-size count + repaired-matching count);
+    // the former eager checkpoints and isEmpty probe cost ~5
     var done = false
     var i = 0
     while (!done && i < maxIter) {
@@ -172,15 +212,15 @@ object Matching {
       val best = cand.groupBy("src")
         .agg(max(struct(col("weight"), (-col("dst")).as("negDst"), col("dst"))).as("b"))
         .select(col("src"), col("b.dst").as("dst"), col("b.weight").as("weight"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val mutual = best.as("a")
         .join(best.as("b"),
           col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
         .filter(col("a.src") < col("a.dst"))
         .select(col("a.src").as("u"), col("a.dst").as("v"),
           col("a.weight").as("weight"))
-        .localCheckpoint(true)
-      if (mutual.isEmpty) done = true
+        .localCheckpoint(false)
+      if (mutual.count() == 0) { Fixpoint.free(mutual); Fixpoint.free(best); done = true }
       else {
         // admit, then evict each over-capacity node's worst matches
         val all = matched.unionAll(mutual)
@@ -192,9 +232,12 @@ object Matching {
             Window.partitionBy("id").orderBy(col("pref").desc)))
         val evicted = ranked.filter(col("rk") > b)
           .select("u", "v").distinct()
+        val prevMatched = matched
         matched = all
           .join(evicted, Seq("u", "v"), "left_anti")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
+        matched.count() // materializes matched (and consumes best/mutual)
+        Fixpoint.free(prevMatched); Fixpoint.free(mutual); Fixpoint.free(best)
       }
       i += 1
     }

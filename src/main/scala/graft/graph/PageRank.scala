@@ -129,6 +129,7 @@ object PageRank {
         isoMass = nSinks * ((1.0 - damping) / n + damping * isoMass / n)
       }
       // localCheckpoint truncates the span's chained lineage each round
+      if (i > 0) Fixpoint.dumpLoopPlan("pagerank_span", stepped)
       val next = stepped.localCheckpoint(false)
       if (tol > 0) {
         val diff = next.select(col("id"), col("rank"))

@@ -43,6 +43,16 @@ object ShortestPaths {
     var dist = sources.select(col("source"), col("source").as("id"), lit(0L).as("dist"))
       .localCheckpoint(true)
     val legs = scala.collection.mutable.ListBuffer(dist)
+    // bound the union depth: past `compactEvery` legs the d-ary union's
+    // per-hop planning cost is O(d) (O(d²) over the traversal) and the
+    // exit compaction scans d legs — fine at diameter ~40, hostile at
+    // diameter 10⁴ (road networks). Compacting every K hops keeps the
+    // plan O(K) wide for one O(n) copy per K hops; the hop-loop stays
+    // 1 job/hop. The live frontier leg is freed one round late
+    // (pendingFree): the compacted dist holds its ROWS, but the frontier
+    // DataFrame still reads its checkpoint blocks next round.
+    val compactEvery = 32
+    var pendingFree: List[DataFrame] = Nil
     var frontier = dist
     var i = 0
     var frontierSize = frontier.count()
@@ -50,18 +60,28 @@ object ShortestPaths {
       val candidates = frontier.join(adj, frontier("id") === adj("src"))
         .select(col("source"), col("dst").as("id"), (col("dist") + 1).as("dist"))
         .groupBy("source", "id").agg(min("dist").as("dist"))
-      val newFrontier = candidates
-        .join(dist, Seq("source", "id"), "left_anti")
-        .localCheckpoint(false) // lazy: the count below materializes it
+      val hopBody = candidates.join(dist, Seq("source", "id"), "left_anti")
+      if (i > 0) Fixpoint.dumpLoopPlan("bfs_hop", hopBody)
+      val newFrontier =
+        hopBody.localCheckpoint(false) // lazy: the count below materializes it
       frontierSize = newFrontier.count()
+      pendingFree.foreach(Fixpoint.free); pendingFree = Nil
       if (frontierSize > 0) {
         dist = dist.unionAll(newFrontier)
         legs += newFrontier
+        if (legs.size >= compactEvery) {
+          val compacted = dist.localCheckpoint(true)
+          legs.filterNot(_ eq newFrontier).foreach(Fixpoint.free)
+          pendingFree = List(newFrontier)
+          legs.clear(); legs += compacted
+          dist = compacted
+        }
         frontier = newFrontier
       } else Fixpoint.free(newFrontier)
       i += 1
     }
     adj.unpersist(false)
+    pendingFree.foreach(Fixpoint.free)
     if (legs.size == 1) dist
     else {
       val out = dist.localCheckpoint(true)
@@ -72,14 +92,29 @@ object ShortestPaths {
 
   /** Weighted SSSP (non-negative weights): `(source, id, dist)`.
     * Bellman-Ford relaxation, expanding only from nodes whose distance
-    * improved last round — semantically identical to Dijkstra. */
+    * improved last round — semantically identical to Dijkstra.
+    *
+    * One Spark job per round, like [[bfs]]: the improved set is a LAZY
+    * localCheckpoint whose materializing action is the frontier-size
+    * count, and the dist table is kept as the UNION of per-round
+    * improvement legs — current best = min over legs (improvements only
+    * decrease, so min = latest). The former per-round eager re-aggregate
+    * + re-checkpoint of the WHOLE dist table (an O(n) copy and a second
+    * full-dist shuffle every round) is gone; the union is compacted into
+    * one aggregated checkpoint every `compactEvery` rounds and once at
+    * exit, so plan width stays O(K) and the O(n) copy amortizes. */
   def dijkstra(g: PropertyGraph, sources: DataFrame, maxIter: Int = 200): DataFrame = {
     val adj = g.adjacency.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
 
-    var dist = sources.select(col("source"), col("source").as("id"), lit(0.0).as("dist"))
+    var union = sources.select(col("source"), col("source").as("id"), lit(0.0).as("dist"))
       .localCheckpoint(true)
-    var frontier = dist
+    val legs = scala.collection.mutable.ListBuffer(union)
+    val compactEvery = 16
+    var pendingFree: List[DataFrame] = Nil
+    // current settled best per (source, id) — min over the legs
+    def best = union.groupBy("source", "id").agg(min("dist").as("dist"))
+    var frontier = union
     var i = 0
     var frontierSize = frontier.count()
     while (frontierSize > 0 && i < maxIter) {
@@ -87,25 +122,37 @@ object ShortestPaths {
         .select(col("source"), col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
         .groupBy("source", "id").agg(min("nd").as("nd"))
       // keep candidates that beat the settled distance (or reach new nodes)
-      val improved = candidates.join(dist, Seq("source", "id"), "left")
-        .filter(col("dist").isNull || col("nd") < col("dist"))
+      val roundBody = candidates
+        .join(best.withColumnRenamed("dist", "cur"), Seq("source", "id"), "left")
+        .filter(col("cur").isNull || col("nd") < col("cur"))
         .select(col("source"), col("id"), col("nd").as("dist"))
-        .localCheckpoint(true)
+      if (i > 0) Fixpoint.dumpLoopPlan("dijkstra_round", roundBody)
+      val improved =
+        roundBody.localCheckpoint(false) // lazy: the count below materializes it
       frontierSize = improved.count()
+      pendingFree.foreach(Fixpoint.free); pendingFree = Nil
       if (frontierSize > 0) {
-        val prevDist = dist
-        val prevFrontier = frontier
-        dist = dist.unionAll(improved)
-          .groupBy("source", "id").agg(min("dist").as("dist"))
-          .localCheckpoint(true)
+        union = union.unionAll(improved)
+        legs += improved
+        if (legs.size >= compactEvery) {
+          val compacted = best.localCheckpoint(true)
+          legs.filterNot(_ eq improved).foreach(Fixpoint.free)
+          pendingFree = List(improved) // live frontier: free after next round
+          legs.clear(); legs += compacted
+          union = compacted
+        }
         frontier = improved
-        Fixpoint.free(prevDist)
-        if (!(prevFrontier eq prevDist)) Fixpoint.free(prevFrontier)
       } else Fixpoint.free(improved)
       i += 1
     }
     adj.unpersist(false)
-    dist
+    pendingFree.foreach(Fixpoint.free)
+    if (legs.size == 1) union
+    else {
+      val out = best.localCheckpoint(true)
+      legs.foreach(Fixpoint.free)
+      out
+    }
   }
 
   def sourcesOf(g: PropertyGraph, ids: Seq[Long]): DataFrame = {

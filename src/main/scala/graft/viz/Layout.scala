@@ -60,13 +60,23 @@ object Layout {
       .map { case (p, j) => (p, j.toLong) }.toDF("source", "j"))
     val d = distAll.join(jIdx, "source").select(col("id"), col("j"), col("dist"))
       .localCheckpoint(true)
+    // All float sums below run as exact DECIMAL(38,18) aggregation: a
+    // plain double `sum` merges partials in task-completion order, so
+    // two runs of the same layout differ in the last bits and the
+    // downstream power method amplifies that into visibly different
+    // coordinates (LayoutSpec "deterministic across runs" was flaky).
+    // Each term is rounded deterministically per row (at 1e-18, far
+    // below double noise); decimal addition is integer-exact and thus
+    // order-independent.
+    def dsum(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(38,18)")).cast("double")
     // double centering (reference divisors: rowMean/k, colMean/n,
     // grandMean = Σrow/(2n) + Σcol/(2k)); absent (unreachable) entries
     // are implicit zeros exactly as in the reference's sparse CSR
-    val rowMean = d.groupBy("id").agg((sum("dist") / k).as("rm"))
-    val colMean = d.groupBy("j").agg((sum("dist") / n).as("cm"))
-    val grand = rowMean.agg(sum(col("rm") / (2.0 * n))).first().getDouble(0) +
-      colMean.agg(sum(col("cm") / (2.0 * k))).first().getDouble(0)
+    val rowMean = d.groupBy("id").agg((dsum(col("dist")) / k).as("rm"))
+    val colMean = d.groupBy("j").agg((dsum(col("dist")) / n).as("cm"))
+    val grand = rowMean.agg(dsum(col("rm") / (2.0 * n))).first().getDouble(0) +
+      colMean.agg(dsum(col("cm") / (2.0 * k))).first().getDouble(0)
     val b = d.join(rowMean, "id").join(colMean, "j")
       .select(col("id"), col("j"),
         (col("dist") - col("rm") - col("cm") + grand).as("v"))
@@ -74,7 +84,7 @@ object Layout {
     // Gram matrix CᵀC: k×k via partial-aggregated self-join
     val gram = b.select(col("id"), col("j").as("j1"), col("v").as("v1"))
       .join(b.select(col("id"), col("j").as("j2"), col("v").as("v2")), "id")
-      .groupBy("j1", "j2").agg(sum(col("v1") * col("v2")).as("g"))
+      .groupBy("j1", "j2").agg(dsum(col("v1") * col("v2")).as("g"))
       .collect()
     val cc = Array.ofDim[Double](k, k)
     gram.foreach(r => cc(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
@@ -124,7 +134,7 @@ object Layout {
       (j.toLong, (0 until dim).map(dd => eigVecs(dd)(j)))
     }.toDF("j", "cs"))
     val aggCols = (0 until dim).map(dd =>
-      sum(col("v") * col("cs")(dd)).as(s"p$dd"))
+      dsum(col("v") * col("cs")(dd)).as(s"p$dd"))
     val coords = b.join(basis, "j").groupBy("id")
       .agg(aggCols.head, aggCols.tail: _*)
     val outCols = (0 until dim).map(dd =>

@@ -130,4 +130,30 @@ class PathsSpec extends SparkSpec {
         sb.as[(Long, Long)].collect().toSet)
     }
   }
+
+  test("bfs: high-diameter path graph (d >> compaction window) stays exact") {
+    // 100-hop traversal = 3 leg compactions (compactEvery = 32): the
+    // settled-union depth stays O(32) so per-hop planning cannot blow up,
+    // and every hop distance must still be exact after compaction
+    val n = 100
+    val path = g((0L until n - 1).map(i => (i, i + 1)): _*)
+    val dist = ShortestPaths.bfs(path, Seq(0L).toDF("source"), maxIter = n)
+    val rows = dist.select("id", "dist").as[(Long, Long)].collect().toMap
+    assert(rows.size == n)
+    assert((0L until n).forall(i => rows(i) == i), "dist(i) must equal i on a path")
+  }
+
+  test("dijkstra: weighted path crosses the leg-compaction window exactly") {
+    // 40 rounds = 2 compactions (compactEvery = 16); weights i+1 give
+    // closed-form prefix sums to compare against
+    val n = 40
+    val edges = (0L until n - 1).map(i => (i, i + 1, (i + 1).toDouble))
+      .toDF("src", "dst", "weight")
+    val gw = PropertyGraph.fromEdges(edges, directed = false, weight = Some("weight"))
+    val dist = ShortestPaths.dijkstra(gw, Seq(0L).toDF("source"), maxIter = n)
+    val rows = dist.select("id", "dist").as[(Long, Double)].collect().toMap
+    assert(rows.size == n)
+    assert((0L until n).forall(i => rows(i) == (i * (i + 1) / 2).toDouble),
+      "dist(i) must be the prefix sum i(i+1)/2")
+  }
 }
